@@ -1,0 +1,242 @@
+"""Reference-shaped fixture generators (FIXTURES.md §A) with closed-form
+expected traversal counts.  Id formats copy the reference exactly
+(01_multi_layer/setup_scenario_a.py:86-122) so counts are reproducible:
+R{i:03d}, U{i:04d}, S{i:05d}, D{squad:05d}_{j:02d}, M{i:06d}.
+
+Generators build plain Python rows (deterministic, seed-free round-robin
+like the reference) and return JVM-materialized DataFrames.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdb_for_drones_spark.functions.crypto import (
+    HAVE_CRYPTOGRAPHY,
+    canonical_json_bytes,
+    make_keypair,
+)
+
+
+def _df(spark: SparkSession, rows, schema) -> DataFrame:
+    # materialize JVM-side: fixture tables are scanned repeatedly by the
+    # traversal loop and must not respawn Python workers per level
+    return spark.createDataFrame(rows, schema).coalesce(1).localCheckpoint()
+
+
+@dataclass
+class Hierarchy:
+    """A1 delegation tree: 1 HQ → R Regional → U Unit → S Squad → S×D Drone,
+    round-robin parents (units[idx % R] etc.,
+    reference 01_multi_layer/setup_scenario_a.py:86-122)."""
+
+    hq: DataFrame
+    delegation_relation: DataFrame
+    mission_test: DataFrame
+    counts: dict
+
+
+def delegation_hierarchy(
+    spark: SparkSession,
+    num_regional: int = 10,
+    num_unit: int = 20,
+    num_squad: int = 50,
+    drones_per_squad: int = 5,
+    missions_per_drone: int = 1,
+) -> Hierarchy:
+    regionals = [f"R{i:03d}" for i in range(num_regional)]
+    units = [f"U{i:04d}" for i in range(num_unit)]
+    squads = [f"S{i:05d}" for i in range(num_squad)]
+    edges = [("HQ1", r, "Regional") for r in regionals]
+    edges += [(regionals[i % num_regional], u, "Unit") for i, u in enumerate(units)]
+    edges += [(units[i % num_unit], s, "Squad") for i, s in enumerate(squads)]
+    drones = []
+    for i, s in enumerate(squads):
+        for j in range(drones_per_squad):
+            d = f"D{i:05d}_{j:02d}"
+            drones.append(d)
+            edges.append((s, d, "Drone"))
+    missions = [
+        (f"M{k:06d}", d, "CMD1", f"Payload for mission M{k:06d}")
+        for k, d in enumerate(
+            d for d in drones for _ in range(missions_per_drone)
+        )
+    ]
+    return Hierarchy(
+        hq=_df(spark, [("HQ1",)], "id string"),
+        delegation_relation=_df(
+            spark, edges, "parent_id string, child_id string, child_type string"
+        ),
+        mission_test=_df(
+            spark,
+            missions,
+            "mission_id string, drone_id string, cid string, payload string",
+        ),
+        counts={
+            "regional": num_regional,
+            "unit": num_unit,
+            "squad": num_squad,
+            "drone": num_squad * drones_per_squad,
+            "reachable_depth": lambda d: sum(
+                n
+                for lvl, n in enumerate(
+                    [
+                        num_regional,
+                        num_unit,
+                        num_squad,
+                        num_squad * drones_per_squad,
+                    ],
+                    start=1,
+                )
+                if lvl <= d
+            ),
+        },
+    )
+
+
+def flat_delegation(spark: SparkSession, n: int = 1000, hq_id: str = "HQ1") -> DataFrame:
+    """A3 star: delegation(drone_id, hq_id) all pointing at one HQ
+    (02_topology_dynamic/setup_scenario_a.py:51-56).  The textbook skew
+    key: one hq value over every row."""
+    return _df(
+        spark,
+        [(i, hq_id) for i in range(n)],
+        "drone_id long, hq_id string",
+    )
+
+
+def chain_delegation(spark: SparkSession, n: int = 50) -> DataFrame:
+    """A3 chain variant: rows (i+1 → i) so level-k frontiers stay
+    non-empty — guards the §7.4-1 'accidentally right' pitfall."""
+    return _df(
+        spark,
+        [(i, str(i + 1)) for i in range(n)],
+        "drone_id long, hq_id string",
+    )
+
+
+def web_trust_chain(spark: SparkSession, n: int = 30, anchor: str = "did:example:anchor") -> DataFrame:
+    """A4 linear chain e0→e1→…→e(n-1)→anchor
+    (04_web_of_trust/setup_scenario_a.py:74-91)."""
+    dids = [f"did:example:e{i}" for i in range(n)] + [anchor]
+    rows = [(dids[i], dids[i + 1]) for i in range(n)]
+    return _df(spark, rows, "from_did string, to_did string")
+
+
+@dataclass
+class Abac:
+    user: DataFrame
+    group: DataFrame
+    resource: DataFrame
+    member: DataFrame
+    subgroup: DataFrame
+    permission: DataFrame
+
+
+def abac_tables(spark: SparkSession, num_users: int = 100) -> Abac:
+    """A5 six-table ABAC schema (04_web_of_trust/setup_scenario_a.py:94-121):
+    users round-robin into groups, linear subgroup chain, top group holds
+    every permission."""
+    num_groups = max(num_users // 10, 2)
+    users = [f"did:example:u{i}" for i in range(num_users)]
+    groups = [f"g{i}" for i in range(num_groups)]
+    resources = [f"res{i}" for i in range(num_groups)]
+    return Abac(
+        user=_df(spark, [(u,) for u in users], "did string"),
+        group=_df(spark, [(g,) for g in groups], "id string"),
+        resource=_df(spark, [(r,) for r in resources], "id string"),
+        member=_df(
+            spark,
+            [(u, groups[i % num_groups]) for i, u in enumerate(users)],
+            "user_did string, group_id string",
+        ),
+        subgroup=_df(
+            spark,
+            [(groups[i], groups[i + 1]) for i in range(num_groups - 1)],
+            "from_id string, to_id string",
+        ),
+        permission=_df(
+            spark,
+            [(groups[-1], r) for r in resources],
+            "group_id string, resource_id string",
+        ),
+    )
+
+
+# --------------------------------------------------------------------- #
+# A2: DID/VC tables with real Ed25519 signatures
+# --------------------------------------------------------------------- #
+
+
+def make_vc(issuer_did: str, subject_did: str, mission_id: str, drone_id: str, sk) -> dict:
+    """W3C VC skeleton exactly as common/did_utils.py:30-52: sign the
+    canonical (sort_keys) serialization of the proof-less document, then
+    attach the proof with the hex signature."""
+    vc = {
+        "@context": ["https://www.w3.org/2018/credentials/v1"],
+        "type": ["VerifiableCredential", "MissionCredential"],
+        "issuer": issuer_did,
+        "issuanceDate": "2024-01-01T00:00:00Z",
+        "credentialSubject": {
+            "id": subject_did,
+            "mission_id": mission_id,
+            "drone_id": drone_id,
+        },
+    }
+    sig = sk.sign(canonical_json_bytes(vc))
+    vc["proof"] = {
+        "type": "Ed25519Signature2020",
+        "verificationMethod": f"{issuer_did}#key-1",
+        "signatureValue": sig.hex(),
+    }
+    return vc
+
+
+@dataclass
+class VcTables:
+    did_issuer: DataFrame
+    did_subject: DataFrame
+    vc_test: DataFrame
+    issuer_pubkey: bytes
+
+
+def vc_tables(spark: SparkSession, num_subjects: int = 50) -> VcTables:
+    """A2: one issuer (HQ), one VC per drone subject
+    (01_multi_layer/setup_scenario_b.py:52-164)."""
+    if not HAVE_CRYPTOGRAPHY:  # pragma: no cover
+        raise NotImplementedError("cryptography unavailable")
+    sk, pk = make_keypair()
+    issuer = "did:example:HQ1"
+    subjects = [f"did:example:d{i:05d}" for i in range(num_subjects)]
+    vcs = [
+        (
+            f"vc{i:06d}",
+            issuer,
+            s,
+            json.dumps(
+                make_vc(issuer, s, f"M{i:06d}", f"D{i:05d}", sk)
+            ),
+        )
+        for i, s in enumerate(subjects)
+    ]
+    return VcTables(
+        did_issuer=_df(
+            spark,
+            [(issuer, json.dumps({"publicKeyHex": pk.hex()}))],
+            "did string, public_key string",
+        ),
+        did_subject=_df(
+            spark,
+            [(s, "{}") for s in subjects],
+            "did string, public_key string",
+        ),
+        vc_test=_df(
+            spark,
+            vcs,
+            "vc_id string, issuer_did string, subject_did string, vc_json string",
+        ),
+        issuer_pubkey=pk,
+    )

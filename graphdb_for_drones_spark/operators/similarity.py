@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs both:
+
+* brute-force cosine top-k — exact baseline; one narrow projection
+  computes the score entirely in codegen (``zip_with`` + ``aggregate``
+  fold in double precision), then a single ``orderBy … limit k``.
+  Linear scan: right answer for one-off queries and small corpora.
+
+* LSH-bucketed ANN (random hyperplanes) — the scale path: a 32-bit
+  signed-projection signature per vector, banded into buckets; queries
+  only score vectors sharing a band bucket.  Hyperplanes are derived
+  deterministically from a seed (numpy RandomState), so signatures are
+  reproducible across runs and clusters.
+
+Dot products avoid Python per row; the hyperplane projection uses one
+literal array per plane (64 floats), built once driver-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right double fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def _vec_lit(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity.  Returns
+    (id, cosine) ordered by (cosine desc, id) for determinism."""
+    q = _vec_lit(query_vec)
+    score = cosine(F.col(vec_col), q)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        embeddings.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 32, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for signed-projection LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Pack sign(v·pⱼ) bits into a long — one bucket key per vector."""
+    total = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        bit = F.when(dot(vec_col, _vec_lit(p)) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        total = total + bit
+    return total
+
+
+def ann_index(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Materializable ANN index: (id, embedding, band, bucket) — one row
+    per (vector, band).  Partition/bucket the output by (band, bucket) on
+    disk and a query touches only its own buckets."""
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = lsh_signature(F.col(vec_col), planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    out = embeddings.select(id_col, vec_col, sig.alias("sig"))
+    bb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    return out.select(id_col, vec_col, bb.alias("bb")).select(
+        id_col, vec_col, "bb.band", "bb.bucket"
+    )
+
+
+def ann_search(
+    index: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing ≥1 band bucket with
+    the query (computed driver-side from the same seeded planes)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for j, p in enumerate(planes):
+        if float(np.dot(query_vec, p)) > 0:
+            qsig |= 1 << j
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    buckets = [(b, (qsig >> (b * width)) & mask) for b in range(bands)]
+    cond = None
+    for b, bk in buckets:
+        c = (F.col("band") == b) & (F.col("bucket") == bk)
+        cond = c if cond is None else (cond | c)
+    cands = index.filter(cond).dropDuplicates([id_col])
+    score = F.round(cosine(F.col(vec_col), _vec_lit(query_vec)), 6)
+    return (
+        cands.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_blocked(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within a blocking key (e.g. an LSH
+    bucket or a label partition): the join is per-block, never all-pairs."""
+    a = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
+    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("id_a", "id_b", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

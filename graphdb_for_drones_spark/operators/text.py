@@ -1,0 +1,123 @@
+"""Text analysis operators for training-data pipelines — all pure
+``pyspark.sql.functions`` expressions (whole-stage codegen, no Python on
+the row path): token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# tiny marker-word lists for the n-gram/marker language-ID heuristic;
+# deliberately deterministic and dependency-free
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenizer (empty-safe)."""
+    return F.filter(
+        F.split(F.trim(col), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored token estimate: count word pieces + punctuation via a
+    regex over word/number/punct boundaries — a deterministic stand-in for
+    a real tokenizer's token count."""
+    pieces = F.filter(
+        F.split(col, r"(?=[^\w])|(?<=[^\w])"), lambda t: F.trim(t) != F.lit("")
+    )
+    return F.size(pieces).cast("long")
+
+
+def stopword_ratio(col: Column, stopwords=STOPWORDS) -> Column:
+    toks = tokens(F.lower(col))
+    sw = F.size(
+        F.filter(toks, lambda t: t.isin(*stopwords))
+    )
+    return sw / F.size(toks)
+
+
+def punct_ratio(col: Column) -> Column:
+    no_punct = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(no_punct)) / F.length(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-range length and
+    stopword presence, penalizes punctuation soup — the usual cheap
+    pre-filter before expensive model-based scoring."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * 4, F.lit(0.0))
+    return F.round((len_score + sw_score + punct_pen) / 3, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language ID: argmax over per-language marker hit
+    counts, ties broken by language-code order; 'und' when no marker
+    hits.  Pure expression — a greatest-of-structs argmax."""
+    toks = tokens(F.lower(col))
+
+    def is_marker(markers):
+        # closure factory (a 2-param lambda would receive the element index)
+        return lambda t: t.isin(*markers)
+
+    scored = [
+        F.struct(
+            F.size(F.filter(toks, is_marker(markers))).alias("hits"),
+            # negate lexicographic rank so greatest() prefers earlier codes on ties
+            F.lit(-i).alias("rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items()))
+    ]
+    best = F.greatest(*scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column, modulus: int = 1_000_000_007) -> Column:
+    """Deterministic polynomial rolling hash over characters — the
+    cross-engine-checkable document fingerprint.  In production prefer
+    ``F.xxhash64(col)`` (one codegen op); this variant exists because its
+    value is reproducible in any engine, for oracle checks."""
+    codes = F.expr(
+        "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))"
+    ) if False else None
+    # expression built generically over `col` below
+    chars = F.sequence(F.lit(1), F.length(col))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.ascii(F.substr(col, i, F.lit(1)))) % modulus,
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: token count, stopword ratio, punct ratio,
+    quality, predicted language, fingerprint."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "stopword_ratio": F.round(stopword_ratio(c), 6),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "quality": quality_score(c),
+            "pred_lang": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )
