@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Protocol mirrors the reference's bench_utils (one warm-up action to prime
+the JVM + file-system caches, then timed runs); per-query time is the
+wall-clock of plan construction + execution + collect, like the
+reference's execute+fetchone loop (common/bench_utils.py:37-60).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphdb_for_drones_spark.session import get_spark  # noqa: E402
+from graphdb_for_drones_spark.plans import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: one per operator family (traversal, path-multiplicity,
+# web-of-trust, ABAC, scan+agg, join+topk, window, CDC apply)
+HEADLINE = [
+    "mission_count",
+    "delegation_reachable",
+    "path_count_diamond",
+    "wot_path_count",
+    "abac_check",
+    "pricing_summary",
+    "top_customers",
+    "latest_event_per_user",
+    "event_type_stats",
+    "cdc_apply_events",
+]
+
+
+def main() -> None:
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else None
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def drop_leftover_caches():
+        # free localCheckpoint/persist blocks left by the previous query so
+        # its GC debt doesn't tax the next measurement (the reference
+        # resets state between scenarios the same way)
+        sc = spark.sparkContext
+        for rdd in list(sc._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+        sc._jvm.System.gc()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        # reference protocol (common/bench_utils.py): one untimed warm-up
+        # execution (primes codegen/JIT, page cache), then the timed run
+        QUERIES[name](spark, SF_DIR).collect()
+        drop_leftover_caches()
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+        drop_leftover_caches()
+
+    out = {
+        "metric": "headline query wall-clock at sf on local[%s]" % CPUS,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

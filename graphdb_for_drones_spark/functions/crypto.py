@@ -123,6 +123,112 @@ def verify_ed25519_udf(
     return pd.Series(map(verify, zip(payload, signature, public_key)))
 
 
+@pandas_udf(BinaryType())
+def sign_ecdsa_p256_udf(payload: pd.Series, private_key_pem: pd.Series) -> pd.Series:
+    """F6: ECDSA-P256/SHA-256 signing (PEM-encoded keys), the offline-VC
+    variant (demo_offline/01_offline_did/self_contained_vc.py:40-46)."""
+    _require_crypto()
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+
+    cache: dict[bytes, object] = {}
+
+    def sign(args):
+        data, pem = args
+        pem = bytes(pem)
+        sk = cache.get(pem)
+        if sk is None:
+            sk = cache[pem] = serialization.load_pem_private_key(pem, password=None)
+        data = data.encode("utf-8") if isinstance(data, str) else bytes(data)
+        return sk.sign(data, ec.ECDSA(hashes.SHA256()))
+
+    return pd.Series(map(sign, zip(payload, private_key_pem)))
+
+
+@pandas_udf(BooleanType())
+def verify_ecdsa_p256_udf(
+    payload: pd.Series, signature: pd.Series, public_key_pem: pd.Series
+) -> pd.Series:
+    """F6: ECDSA-P256/SHA-256 verification
+    (self_contained_vc_verifier.py:26-39)."""
+    _require_crypto()
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+
+    cache: dict[bytes, object] = {}
+
+    def verify(args):
+        data, sig, pem = args
+        try:
+            pem = bytes(pem)
+            pk = cache.get(pem)
+            if pk is None:
+                pk = cache[pem] = serialization.load_pem_public_key(pem)
+            data = data.encode("utf-8") if isinstance(data, str) else bytes(data)
+            pk.verify(bytes(sig), data, ec.ECDSA(hashes.SHA256()))
+            return True
+        except Exception:
+            return False
+
+    return pd.Series(map(verify, zip(payload, signature, public_key_pem)))
+
+
+def b64url_encode(col: Column) -> Column:
+    """F9: URL-safe base64 — built-in ``base64`` (standard alphabet) +
+    JVM-side ``translate`` to the urlsafe alphabet
+    (base64.urlsafe_b64encode, self_contained_vc.py:46)."""
+    return F.translate(F.base64(col), "+/", "-_")
+
+
+def b64url_decode(col: Column) -> Column:
+    return F.unbase64(F.translate(col, "-_", "+/"))
+
+
+def hybrid_encrypt(vc_bytes: bytes, rsa_public_key) -> dict:
+    """F15 driver-side envelope encryption mirroring
+    demo_sqlite_cdc/01_unit_test/01_hybrid_crypto.py:27-60: random AES-GCM
+    data key encrypts the payload; RSA-OAEP wraps the data key.  (Column
+    variant: ``F.aes_encrypt`` for the AES leg; RSA wrap stays driver-side
+    because the wrapped key is per-envelope metadata, not row data.)"""
+    _require_crypto()
+    import os as _os
+
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    key = AESGCM.generate_key(bit_length=256)
+    nonce = _os.urandom(12)
+    ct = AESGCM(key).encrypt(nonce, vc_bytes, None)
+    wrapped = rsa_public_key.encrypt(
+        key,
+        padding.OAEP(
+            mgf=padding.MGF1(algorithm=hashes.SHA256()),
+            algorithm=hashes.SHA256(),
+            label=None,
+        ),
+    )
+    return {"ciphertext": ct, "nonce": nonce, "wrapped_key": wrapped}
+
+
+def hybrid_decrypt(envelope: dict, rsa_private_key) -> bytes:
+    """F15 inverse (01_hybrid_crypto.py:62-97)."""
+    _require_crypto()
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    key = rsa_private_key.decrypt(
+        envelope["wrapped_key"],
+        padding.OAEP(
+            mgf=padding.MGF1(algorithm=hashes.SHA256()),
+            algorithm=hashes.SHA256(),
+            label=None,
+        ),
+    )
+    return AESGCM(key).decrypt(envelope["nonce"], envelope["ciphertext"], None)
+
+
 @pandas_udf(BooleanType())
 def verify_vc_udf(vc_json: pd.Series, public_key: pd.Series) -> pd.Series:
     """Verify a W3C VC JSON string: strip ``proof``, canonical-serialize,

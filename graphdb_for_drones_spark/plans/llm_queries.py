@@ -1,0 +1,362 @@
+"""LLM-data-pipeline query catalog: dedup, similarity search, text
+analysis over the ``documents`` / ``embeddings`` tables — the
+beyond-reference operator families, each with a DuckDB oracle where the
+semantics are SQL-expressible (hash-based LSH internals are engine-side
+optimizations and get rows-only checks).
+
+Cross-engine determinism rules (same as plans/queries.py):
+* jaccard / ratios are integer-derived double divisions — exact on both;
+* cosine scores are double folds rounded to 6dp (reduction-order noise
+  is ~1e-15, far below the rounding grain);
+* the fingerprint is a polynomial char hash, reproducible in any engine
+  (production variant would be one xxhash64 codegen op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.catalog import Catalog
+from graphdb_for_drones_spark.functions.crypto import (
+    HAVE_CRYPTOGRAPHY,
+    make_keypair,
+    sign_ed25519_udf,
+    verify_ed25519_udf,
+)
+from graphdb_for_drones_spark.operators import dedup as D
+from graphdb_for_drones_spark.operators import similarity as S
+from graphdb_for_drones_spark.operators import text as T
+
+# --------------------------------------------------------------------- #
+# dedup family
+# --------------------------------------------------------------------- #
+
+
+def q_doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup summary: total vs unique contents vs duplicated groups."""
+    cat = Catalog(spark, sf_dir)
+    per_text = cat.documents.groupBy("text").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_text.agg(
+        F.sum("cnt").alias("n_total"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.count_if(F.col("cnt") > 1).alias("n_dup_groups"),
+    )
+
+
+ORACLE_DOC_DEDUP_STATS = """
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+       COUNT(*) AS n_unique,
+       CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_groups
+FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY text)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram jaccard ≥ 0.1 (inverted-index
+    join — engine hashes shingles, oracle joins shingle strings; equal
+    modulo 64-bit hash collisions)."""
+    cat = Catalog(spark, sf_dir)
+    return D.ngram_jaccard_pairs(cat.documents, threshold=0.1).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)]
+         END AS sh
+  FROM d
+),
+ds AS (SELECT doc_id, len(list_distinct(sh)) AS n, list_distinct(sh) AS sh FROM s),
+inv AS (SELECT doc_id, n, unnest(sh) AS g FROM ds),
+c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, inter * 1.0 / (na + nb - inter) AS jaccard
+FROM c WHERE inter * 1.0 / (na + nb - inter) >= 0.1
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate near-dups (rows-only: xxhash64-banded LSH is
+    an engine-internal approximation, not SQL-reproducible)."""
+    cat = Catalog(spark, sf_dir)
+    return D.minhash_lsh_pairs(cat.documents, jaccard_threshold=0.3)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups within hamming ≤ 6 (rows-only)."""
+    cat = Catalog(spark, sf_dir)
+    return D.simhash_pairs(cat.documents, max_hamming=6)
+
+
+# --------------------------------------------------------------------- #
+# text analysis family
+# --------------------------------------------------------------------- #
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = F.col("text")
+    return cat.documents.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        F.round(T.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio(c), 6).alias("punct_ratio"),
+    )
+
+
+ORACLE_DOC_TOKEN_STATS = r"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+    AS n_tokens,
+  ROUND(
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        t -> t IN ('the','a','of','and','in','to','is')))
+    * 1.0 /
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')),
+    6) AS stopword_ratio,
+  ROUND(
+    (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+    * 1.0 / length(text), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def q_doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+ORACLE_DOC_LANG_SUMMARY = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial content fingerprint per document."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID prediction counts per predicted language."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(T.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# tie order mirrors the engine: alphabetical language code wins ties,
+# 'und' when no marker hits at all
+ORACLE_DOC_LANG_ID = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS de,
+    len(list_filter(w, t -> t IN ('the','and','of','is','with'))) AS en,
+    len(list_filter(w, t -> t IN ('el','la','los','y','es'))) AS es,
+    len(list_filter(w, t -> t IN ('le','la','les','et','est'))) AS fr,
+    len(list_filter(w, t -> t IN ('的','是','了','在','我'))) AS zh
+  FROM toks
+),
+pred AS (
+  SELECT CASE
+    WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 AND zh = 0 THEN 'und'
+    WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+    WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+    WHEN es >= fr AND es >= zh THEN 'es'
+    WHEN fr >= zh THEN 'fr'
+    ELSE 'zh' END AS pred_lang
+  FROM hits
+)
+SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang
+"""
+
+
+# --------------------------------------------------------------------- #
+# similarity family
+# --------------------------------------------------------------------- #
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return S.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+s AS (
+  SELECT e.vec_id, SUM(e.v * q.v) AS dot, SUM(e.v * e.v) AS ne,
+         SUM(q.v * q.v) AS nq
+  FROM e JOIN q USING (i) GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot / (sqrt(ne) * sqrt(nq)), 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ 0.3, blocked by label (the
+    blocking key stands in for an LSH bucket: per-block join, never
+    all-pairs)."""
+    cat = Catalog(spark, sf_dir)
+    return S.cosine_pairs_blocked(
+        cat.embeddings, block_col="label", threshold=0.3
+    )
+
+
+ORACLE_EMBEDDING_NEAR_PAIRS = """
+WITH n AS (
+  SELECT vec_id, SUM(v * v) AS nrm FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+  ) GROUP BY vec_id
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(len(a.embedding)),
+      i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+    )) AS dot,
+    na.nrm AS nrm_a, nb.nrm AS nrm_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+)
+SELECT id_a, id_b, ROUND(dot / (sqrt(nrm_a) * sqrt(nrm_b)), 6) AS cosine
+FROM p WHERE ROUND(dot / (sqrt(nrm_a) * sqrt(nrm_b)), 6) >= 0.3
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (rows-only: bucket membership
+    depends on seeded random hyperplanes)."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    idx = S.ann_index(emb.filter(F.col("vec_id") != 0), dim=len(q))
+    return S.ann_search(idx, q, k=10)
+
+
+# --------------------------------------------------------------------- #
+# crypto (rows-only: Ed25519 is not expressible in DuckDB)
+# --------------------------------------------------------------------- #
+
+
+def q_vc_verify_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sign→verify roundtrip over customers-as-subjects: the
+    reference's verified==inserted invariant
+    (test_cases/test_b_did_pg.py) as a two-UDF pipeline."""
+    if not HAVE_CRYPTOGRAPHY:  # pragma: no cover
+        raise NotImplementedError("cryptography unavailable")
+    from cryptography.hazmat.primitives import serialization
+
+    sk, pk = make_keypair()
+    sk_bytes = sk.private_bytes(
+        serialization.Encoding.Raw,
+        serialization.PrivateFormat.Raw,
+        serialization.NoEncryption(),
+    )
+    cat = Catalog(spark, sf_dir)
+    base = cat.customer.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("did:example:c"), F.col("c_custkey").cast("string")).alias(
+                    "credentialSubject"
+                ),
+                F.lit("did:example:HQ1").alias("issuer"),
+            )
+        ).alias("payload")
+    )
+    signed = base.withColumn(
+        "sig", sign_ed25519_udf(F.col("payload"), F.lit(sk_bytes))
+    )
+    ok = signed.withColumn(
+        "ok", verify_ed25519_udf(F.col("payload"), F.col("sig"), F.lit(pk))
+    )
+    return ok.agg(
+        F.count_if(F.col("ok")).alias("verified_count"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------- #
+
+LLM_QUERIES = {
+    "doc_dedup_stats": q_doc_dedup_stats,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_lang_summary": q_doc_lang_summary,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_lang_id": q_doc_lang_id,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "ann_topk": q_ann_topk,
+    "vc_verify_count": q_vc_verify_count,
+}
+
+LLM_ORACLES = {
+    "doc_dedup_stats": ORACLE_DOC_DEDUP_STATS,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
+    "doc_lang_summary": ORACLE_DOC_LANG_SUMMARY,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "doc_lang_id": ORACLE_DOC_LANG_ID,
+    "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "embedding_near_pairs": ORACLE_EMBEDDING_NEAR_PAIRS,
+    # minhash_pairs / simhash_pairs / ann_topk / vc_verify_count:
+    # rows-only by design (hash-seeded approximations & crypto)
+}

@@ -1,0 +1,65 @@
+"""Non-parquet sources/sinks from the reference inventory (SURVEY §2.1).
+
+* S5  JSON file source/sink — the offline VC/package files
+  (demo_offline/01_offline_did/self_contained_vc.py:62-64).
+* S12 CSV result sink — every benchmark writes metric rows as CSV
+  (02_topology_dynamic/benchmark_scenario_a.py:139-145).
+* S6  SQLite/SQLCipher wallet tables — modeled as a JDBC source; the
+  SQLCipher at-rest encryption is out of engine scope (the reference
+  treats it as transparent storage), so without a JDBC driver we read
+  the equivalent parquet fixture.
+* S7  ArangoDB collections — the vertex/edge collection model maps to
+  the same two-DataFrame graph; a dedicated connector is out of scope.
+
+Kafka source/sink (S8/S9) live in streaming/cdc.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_json_docs(spark: SparkSession, path: str, schema=None, multiline: bool = True) -> DataFrame:
+    """VC/DID JSON documents from files.  ``multiLine=True`` matches the
+    reference's one-document-per-file layout."""
+    reader = spark.read.option("multiLine", "true" if multiline else "false")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json_docs(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_csv_results(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Benchmark CSV sink: header row like csv.DictWriter's."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+) -> DataFrame:
+    """JDBC source (SQLite/PostgreSQL wallet tables).  When a numeric key
+    is available, pass partition bounds so the read parallelizes instead
+    of funnelling through one connection."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()

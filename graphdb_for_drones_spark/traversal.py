@@ -70,6 +70,7 @@ def reachable(
     mode: str = "node",
     include_seed: bool = False,
     broadcast_threshold: int = BROADCAST_THRESHOLD,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """Bounded BFS.  Returns DataFrame(node string, level int).
 
@@ -81,6 +82,13 @@ def reachable(
     if mode not in ("node", "path"):
         raise ValueError(f"mode must be 'node' or 'path', got {mode!r}")
     edges = edges.select("src", "dst")
+    if cache_edges:
+        # the loop scans edges once per level; persist so the (possibly
+        # expensive) edge derivation runs once.  MEMORY_AND_DISK default:
+        # spills rather than OOMs on huge edge tables; pass
+        # cache_edges=False when the caller manages caching or a single
+        # scan is cheaper than materialization.
+        edges = edges.persist()
     seed_df = _as_seed_df(edges, seeds)
 
     frontier = (seed_df.distinct() if mode == "node" else seed_df).localCheckpoint()
@@ -97,11 +105,18 @@ def reachable(
         if mode == "node":
             nxt = nxt.distinct().join(visited, "node", "left_anti")
         nxt = nxt.localCheckpoint()  # eager: materialize + cut lineage
+        # (sparse checkpointing re-executes the un-materialized segment for
+        # every count/broadcast build — measured quadratic; eager-per-level
+        # is strictly faster)
         if mode == "node":
             visited = visited.unionByName(nxt)
         levels.append(nxt.select("node", F.lit(lvl).alias("level")))
         frontier = nxt
 
+    if cache_edges:
+        # safe: every level is an eager localCheckpoint, so the result no
+        # longer references the edge lineage
+        edges.unpersist()
     if not levels:
         spark = edges.sparkSession
         return spark.createDataFrame([], "node string, level int")

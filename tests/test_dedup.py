@@ -1,0 +1,80 @@
+"""Dedup operators on hand-built corpora with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_pairs,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank"
+DOC_A2 = "the quick brown fox jumps over the lazy dog near the river bend"  # 1 word off
+DOC_B = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, DOC_A),
+        (2, DOC_A),              # exact dup of 1
+        (3, "  The  quick brown fox jumps over the lazy dog near the river bank "),  # normalized dup
+        (4, DOC_A2),             # near dup
+        (5, DOC_B),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).localCheckpoint()
+
+
+def test_exact_duplicates(corpus):
+    groups = exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper_id == 1 and groups[0].dup_count == 3
+
+
+def test_dedup_exact_keeps_min_id(corpus):
+    kept = sorted(r.doc_id for r in dedup_exact(corpus).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(shingles(F.col("text"), 3).alias("s")).first().s
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "text string")
+    got2 = short.select(shingles(F.col("text"), 3).alias("s")).first().s
+    assert got2 == ["a b"]
+
+
+def test_minhash_finds_near_dup(corpus):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.5).collect()}
+    # exact dups always collide in every band; near dup (1,4) shares most shingles
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    rows = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(corpus, threshold=0.05).collect()}
+    assert rows[(1, 2)] == 1.0
+    # DOC_A has 11 distinct 3-gram shingles; DOC_A2 differs in last word →
+    # shares 10 of them... compute: 13 words -> 11 shingles, last 1 changed
+    assert 0.7 < rows[(1, 4)] < 1.0
+    assert not any(5 in k for k in rows)
+
+
+def test_simhash_near_dup_low_hamming(corpus):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(corpus, max_hamming=16).collect()}
+    # identical docs → identical fingerprint; candidate generation is
+    # GUARANTEED only for hamming < bands (pigeonhole), so only exact
+    # dups are asserted present — near dups may or may not share a chunk
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    # every reported pair respects the threshold
+    assert all(h <= 16 for h in pairs.values())
+    # unrelated doc 5 is far from the A-family under a tight threshold
+    tight = {(r.id_a, r.id_b) for r in simhash_pairs(corpus, max_hamming=2).collect()}
+    assert not any(5 in p for p in tight)

@@ -1,0 +1,42 @@
+"""Multimodal column plumbing: schemas, mapInPandas batch shapes, fanout,
+and the strict-decode stub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators.multimodal import (
+    extract_image_features,
+    fake_media_table,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return fake_media_table(spark, n=16, kind="image")
+
+
+def test_image_features_schema_and_determinism(spark, media):
+    feats = extract_image_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 16
+    assert set(feats.columns) == {"media_id", "width", "height", "n_bytes", "phash"}
+    # deterministic across runs
+    rows2 = {r.media_id: r for r in extract_image_features(media).collect()}
+    assert all(rows[i] == rows2[i] for i in rows)
+    assert rows[0].n_bytes == 256
+
+
+def test_strict_decode_raises(spark, media):
+    feats = extract_image_features(media, decode="strict")
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|decod"):
+        feats.collect()
+
+
+def test_frame_sampling_fanout(spark):
+    vids = fake_media_table(spark, n=4, kind="video")
+    frames = sample_frames(vids, every_n_bytes=64, max_frames=3)
+    per = {r[0]: r[1] for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert per == {0: 3, 1: 3, 2: 3, 3: 3}
+    one = frames.filter((F.col("media_id") == 0) & (F.col("frame_idx") == 0)).first()
+    assert len(one.frame) == 64

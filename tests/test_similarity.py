@@ -1,0 +1,75 @@
+"""Similarity search: exact brute-force vs numpy ground truth, ANN
+self-consistency."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, StructField, StructType
+
+from graphdb_for_drones_spark.operators.similarity import (
+    ann_index,
+    ann_search,
+    cosine_pairs_blocked,
+    cosine_topk,
+)
+
+DIM = 16
+N = 60
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(N, DIM).astype(np.float32)
+    # plant a known near-duplicate of vector 0
+    vecs[1] = vecs[0] + rng.randn(DIM).astype(np.float32) * 0.01
+    schema = StructType(
+        [
+            StructField("vec_id", IntegerType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rows = [(i, [float(x) for x in vecs[i]], i % 3) for i in range(N)]
+    df = spark.createDataFrame(rows, schema).coalesce(1).localCheckpoint()
+    return df, vecs
+
+
+def np_cosine(a, b):
+    a64, b64 = a.astype(np.float64), b.astype(np.float64)
+    return float(a64 @ b64 / (np.linalg.norm(a64) * np.linalg.norm(b64)))
+
+
+def test_brute_force_matches_numpy(vectors):
+    df, vecs = vectors
+    q = [float(x) for x in vecs[0]]
+    got = cosine_topk(df.filter(F.col("vec_id") != 0), q, k=5).collect()
+    exp = sorted(
+        ((i, round(np_cosine(vecs[i], vecs[0]), 6)) for i in range(1, N)),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r.vec_id, r.cosine) for r in got] == exp
+    assert got[0].vec_id == 1  # the planted near-dup wins
+
+
+def test_ann_finds_planted_neighbor(vectors):
+    df, vecs = vectors
+    q = [float(x) for x in vecs[0]]
+    idx = ann_index(df, dim=DIM)
+    res = ann_search(idx, q, k=3)
+    ids = [r.vec_id for r in res.collect()]
+    # vec 0 itself collides in all bands (cos=1), planted dup in nearly all
+    assert ids[0] == 0
+    assert 1 in ids
+
+
+def test_blocked_pairs(vectors):
+    df, vecs = vectors
+    # ids 0 and 1 share label 0 mod 3? 0%3=0, 1%3=1 → different labels.
+    # use a constant block to check pair math, threshold high to keep small
+    pairs = cosine_pairs_blocked(
+        df.withColumn("blk", F.lit(1)), "blk", threshold=0.95
+    ).collect()
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs}
+    assert (0, 1) in got
+    assert got[(0, 1)] == round(np_cosine(vecs[0], vecs[1]), 6)
