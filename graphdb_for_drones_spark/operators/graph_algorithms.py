@@ -1,0 +1,192 @@
+"""Analytics graph algorithms in aggregateMessages style — message
+passing expressed as join + groupBy (the DataFrame translation of
+GraphX's aggregateMessages; PySpark has no GraphX bindings, and the
+join/agg form lets Catalyst fuse/optimize each superstep).
+
+These serve the reference's web-of-trust analytics surface: trust
+propagation over CROSSED_SIGNED edges
+(04_web_of_trust/setup_scenario_c.py:75-101), component analysis of the
+delegation fabric, and degree centrality of issuers.
+
+Scale notes: each superstep is one shuffle keyed on dst (message
+aggregation).  Ranks/labels are checkpointed per iteration — same
+lineage discipline as the traversal kernel.  For billion-edge graphs,
+pre-partition edges by dst so the per-iteration shuffle degenerates to
+a local combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """In/out degree per node — issuer fan-out, signer fan-in."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "id", "full_outer")
+        .fillna(0, ["out_degree", "in_degree"])
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    cache_edges: bool = True,
+) -> DataFrame:
+    """Standard PageRank, one superstep per iteration:
+    contribution = rank/out_degree flows along edges; new rank =
+    (1-d) + d * Σ incoming.  Returns (id, rank) — un-normalized
+    GraphX-convention ranks (sum ≈ N)."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if cache_edges:
+        edges = edges.select("src", "dst").persist()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(out_deg, ranks["id"] == out_deg["id"])
+            .select(
+                edges["dst"].alias("id"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("id").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            verts.join(summed, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    if cache_edges:
+        edges.unpersist()
+    return ranks
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, cache_edges: bool = True
+) -> DataFrame:
+    """Label-propagation connected components (undirected): every node
+    repeatedly adopts the min component id among itself and its
+    neighbors; converges in O(diameter) supersteps with an early-exit
+    convergence check.  Returns (id, component)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if cache_edges:
+        sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if cache_edges:
+        sym.unpersist()
+    return labels
+
+
+def trust_propagation(
+    edges: DataFrame,
+    anchor: str,
+    decay: float = 0.5,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Web-of-trust scoring: trust flows OUT from the anchor along
+    CROSSED_SIGNED edges with per-hop decay; a node's score is the max
+    over paths (order-independent, idempotent — safe under the BFS's
+    multiplicity).  Returns (id, trust) for reached nodes.
+    The graph analog of the reference's path-count trust query
+    (04_web_of_trust/benchmark_scenario_d.py:200-203)."""
+    frontier = (
+        edges.sparkSession.createDataFrame([(anchor, 1.0)], "id string, trust double")
+        .localCheckpoint()
+    )
+    edges = edges.select("src", "dst").persist()
+    best = frontier
+    for _ in range(max_depth):
+        nxt = (
+            edges.join(F.broadcast(frontier), edges["src"] == frontier["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("trust") * decay).alias("trust"),
+            )
+            .groupBy("id")
+            .agg(F.max("trust").alias("trust"))
+        )
+        # keep only improvements over current best (monotone → terminates)
+        improved = (
+            nxt.alias("n")
+            .join(best.alias("b"), "id", "left")
+            .filter(
+                F.col("b.trust").isNull() | (F.col("n.trust") > F.col("b.trust"))
+            )
+            .select("id", F.col("n.trust").alias("trust"))
+            .localCheckpoint()
+        )
+        if improved.count() == 0:
+            break
+        best = (
+            best.alias("b")
+            .join(improved.alias("i"), "id", "left")
+            .select(
+                "id",
+                F.greatest(
+                    F.col("b.trust"), F.coalesce(F.col("i.trust"), F.lit(0.0))
+                ).alias("trust"),
+            )
+            .unionByName(
+                improved.join(best.select("id"), "id", "left_anti")
+            )
+            .localCheckpoint()
+        )
+        frontier = improved
+    edges.unpersist()
+    return best

@@ -584,6 +584,58 @@ SELECT user_id, last_event_id, last_value FROM (
 """
 
 
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream — the batch twin
+    of the Structured-Streaming windowed aggregate (same ``F.window``
+    call runs under readStream with a watermark; see streaming tests).
+    Window start is emitted as epoch seconds: timezone-proof across
+    engines."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING_HOURLY = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_flat_chain_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's chain-count SQL running NATIVELY as a Spark 4
+    recursive CTE (``WITH RECURSIVE``) — the compatibility SQL surface
+    (api.get_bench_query).  Same semantics as flat_chain_count, executed
+    by Catalyst's UnionLoop instead of the iterative kernel."""
+    from graphdb_for_drones_spark.api import get_bench_query
+
+    cat = Catalog(spark, sf_dir)
+    cat.customer.select(
+        F.col("c_custkey").alias("drone_id"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("hq_id"),
+    ).createOrReplaceTempView("delegation")
+    return spark.sql(get_bench_query("N5", 3))
+
+
+ORACLE_FLAT_CHAIN_COUNT_SQL = ORACLE_FLAT_CHAIN_COUNT
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -608,6 +660,8 @@ QUERIES = {
     "event_type_stats": q_event_type_stats,
     "order_price_percentiles": q_order_price_percentiles,
     "cdc_apply_events": q_cdc_apply_events,
+    "events_tumbling_hourly": q_events_tumbling_hourly,
+    "flat_chain_count_sql": q_flat_chain_count_sql,
 }
 
 ORACLES = {
@@ -630,4 +684,6 @@ ORACLES = {
     "event_type_stats": ORACLE_EVENT_TYPE_STATS,
     "order_price_percentiles": ORACLE_ORDER_PRICE_PERCENTILES,
     "cdc_apply_events": ORACLE_CDC_APPLY_EVENTS,
+    "events_tumbling_hourly": ORACLE_EVENTS_TUMBLING_HOURLY,
+    "flat_chain_count_sql": ORACLE_FLAT_CHAIN_COUNT_SQL,
 }

@@ -1,0 +1,67 @@
+"""Graph analytics: degrees, pagerank, connected components, trust
+propagation on graphs with known answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators.graph_algorithms import (
+    connected_components,
+    degrees,
+    pagerank,
+    trust_propagation,
+)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string").coalesce(1).localCheckpoint()
+
+
+def test_degrees(spark):
+    e = edges_df(spark, [("A", "B"), ("A", "C"), ("B", "C")])
+    d = {r.id: (r.out_degree, r.in_degree) for r in degrees(e).collect()}
+    assert d == {"A": (2, 0), "B": (1, 1), "C": (0, 2)}
+
+
+def test_pagerank_star(spark):
+    # star: A,B,C all point at D → D accumulates rank, sources stay at 1-d
+    e = edges_df(spark, [("A", "D"), ("B", "D"), ("C", "D")])
+    ranks = {r.id: r.rank for r in pagerank(e, iterations=5).collect()}
+    assert ranks["D"] > ranks["A"]
+    assert abs(ranks["A"] - 0.15) < 1e-9  # dangling sources: 1-d exactly
+    assert ranks["A"] == ranks["B"] == ranks["C"]
+
+
+def test_pagerank_cycle_uniform(spark):
+    # symmetric cycle → uniform ranks of exactly 1.0
+    e = edges_df(spark, [("A", "B"), ("B", "C"), ("C", "A")])
+    ranks = [r.rank for r in pagerank(e, iterations=20).collect()]
+    assert all(abs(x - 1.0) < 1e-6 for x in ranks)
+
+
+def test_connected_components(spark):
+    e = edges_df(spark, [("A", "B"), ("B", "C"), ("X", "Y")])
+    comp = {r.id: r.component for r in connected_components(e).collect()}
+    assert comp["A"] == comp["B"] == comp["C"] == "A"
+    assert comp["X"] == comp["Y"] == "X"
+    assert comp["A"] != comp["X"]
+
+
+def test_connected_components_chain_converges(spark):
+    # long chain exercises multi-iteration propagation + early exit
+    n = 12
+    e = edges_df(spark, [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n)])
+    comp = {r.id: r.component for r in connected_components(e).collect()}
+    assert set(comp.values()) == {"n00"}
+
+
+def test_trust_propagation(spark):
+    # anchor → a → b; decay 0.5 per hop; diamond gives max not sum
+    e = edges_df(
+        spark,
+        [("anchor", "a"), ("anchor", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+    )
+    t = {r.id: r.trust for r in trust_propagation(e, "anchor", decay=0.5).collect()}
+    assert t["anchor"] == 1.0
+    assert t["a"] == 0.5 and t["b"] == 0.5
+    assert t["c"] == 0.25  # max over two equal paths, not 0.5
+    assert t["d"] == 0.125
