@@ -27,7 +27,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline set: one per operator family (traversal, path-multiplicity,
-# web-of-trust, ABAC, scan+agg, join+topk, window, CDC apply)
+# web-of-trust, ABAC, scan+agg, join+topk, window, CDC apply, plus the
+# LLM-pipeline families: dedup, text analysis, similarity search)
 HEADLINE = [
     "mission_count",
     "delegation_reachable",
@@ -39,6 +40,11 @@ HEADLINE = [
     "latest_event_per_user",
     "event_type_stats",
     "cdc_apply_events",
+    "events_tumbling_hourly",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "doc_token_stats",
+    "embedding_topk",
 ]
 
 

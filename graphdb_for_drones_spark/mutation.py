@@ -97,6 +97,45 @@ def redelegate(delegation: DataFrame, drone_keys, new_hq: str, key_col: str = "d
     return update_by_keys(delegation, drone_keys, key_col, {hq_col: new_hq})
 
 
+def diff_as_changes(
+    before: DataFrame, after: DataFrame, key_col: str, seq_start: int = 0
+) -> DataFrame:
+    """M11 trigger equivalent: Spark has no AFTER-INSERT/UPDATE/DELETE
+    triggers (04_sqlite_trigger_demo.py:39-64), so the write path derives
+    the change log by diffing consecutive snapshots — the engine-side
+    stand-in for Delta Change Data Feed.  Emits (id, op ∈ {c,u,d},
+    payload, ts_ms) rows consumable by the CDC pipeline, with ts_ms a
+    deterministic per-diff sequence (row order by key)."""
+    b = before.select(F.col(key_col).alias("id"), *[c for c in before.columns if c != key_col])
+    a = after.select(F.col(key_col).alias("id"), *[c for c in after.columns if c != key_col])
+    val_cols = [c for c in before.columns if c != key_col]
+    bj = b.withColumnRenamed(val_cols[0], "__b") if len(val_cols) == 1 else b
+    aj = a.withColumnRenamed(val_cols[0], "__a") if len(val_cols) == 1 else a
+    if len(val_cols) != 1:
+        raise ValueError("diff_as_changes supports single-payload tables")
+    full = bj.join(aj, "id", "full_outer")
+    changes = full.select(
+        "id",
+        F.when(F.col("__b").isNull(), F.lit("c"))
+        .when(F.col("__a").isNull(), F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.col("__a").alias("payload"),
+        F.col("__b").alias("__old"),
+    ).filter(
+        F.col("op").isin("c", "d")
+        | (F.col("payload") != F.col("__old"))
+        | F.col("payload").isNull()
+        & F.col("__old").isNotNull()
+    ).drop("__old")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("id")
+    return changes.withColumn(
+        "ts_ms", (F.row_number().over(w) + F.lit(seq_start)).cast("long")
+    )
+
+
 def set_vertex_property(vertices: DataFrame, label: str, prop_col: str, value) -> DataFrame:
     """M9: ``MATCH (d:Drone) SET d.hqId = 'HQ1'``
     (02_topology_dynamic/setup_scenario_c.py:103) — bulk columnar update."""

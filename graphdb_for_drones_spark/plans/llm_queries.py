@@ -88,6 +88,44 @@ FROM c WHERE inter * 1.0 / (na + nb - inter) >= 0.1
 """
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path variant: shingles above document-frequency 50 are
+    dropped before the inverted-index join (hot-shingle d² candidate
+    blowup control); jaccard over the filtered sets."""
+    cat = Catalog(spark, sf_dir)
+    return D.ngram_jaccard_pairs(
+        cat.documents, threshold=0.1, max_df=50
+    ).select("id_a", "id_b", "jaccard")
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)]
+         END AS sh
+  FROM d
+),
+ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+keep AS (SELECT g FROM ds GROUP BY g HAVING COUNT(*) <= 50),
+inv AS (SELECT doc_id, g FROM ds JOIN keep USING (g)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.1
+"""
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dups (rows-only: xxhash64-banded LSH is
     an engine-internal approximation, not SQL-reproducible)."""
@@ -336,6 +374,7 @@ def q_vc_verify_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_QUERIES = {
     "doc_dedup_stats": q_doc_dedup_stats,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "doc_token_stats": q_doc_token_stats,
@@ -351,6 +390,7 @@ LLM_QUERIES = {
 LLM_ORACLES = {
     "doc_dedup_stats": ORACLE_DOC_DEDUP_STATS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
     "doc_lang_summary": ORACLE_DOC_LANG_SUMMARY,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

@@ -170,6 +170,33 @@ def apply_cdc_batch(state: DataFrame, changes: DataFrame, seq_col: str = "ts_ms"
     return out.unionByName(upserts)
 
 
+def poll_changes(
+    change_log: DataFrame, last_id: int, id_col: str = "change_id"
+) -> DataFrame:
+    """P8/C2 batch form: the incremental poll
+    (``WHERE change_id > ? ORDER BY change_id ASC``,
+    01_unit_test/05_trigger_cdc_test.py:91-97).  The caller tracks the
+    max id it has applied — exactly the reference's ``last_id`` loop;
+    the streaming form of the same contract is the file/Kafka offset."""
+    return change_log.filter(F.col(id_col) > last_id).orderBy(id_col)
+
+
+def observe_latency_stages(changes: DataFrame, now_ms_col=None) -> DataFrame:
+    """C7: per-batch E2E latency metrics (02_e2e_cdc.py:89-135) via
+    ``observe`` — records count/avg/max of (apply-time − event ts_ms)
+    without a separate pass; read from the query's observedMetrics."""
+    now = now_ms_col if now_ms_col is not None else F.unix_millis(
+        F.current_timestamp()
+    )
+    lat = (now - F.col("ts_ms")).alias("lat")
+    return changes.observe(
+        "cdc_latency",
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(now - F.col("ts_ms")).alias("avg_ms"),
+        F.max(now - F.col("ts_ms")).alias("max_ms"),
+    )
+
+
 def read_cdc_file_stream(spark: SparkSession, path: str) -> DataFrame:
     """C2 as a file stream: each file holds newline-JSON Debezium envelopes
     (the test harness's stand-in for the Kafka topic)."""
