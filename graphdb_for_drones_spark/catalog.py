@@ -28,8 +28,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# session-level relation cache: resolving a parquet relation costs a
+# driver round of file listing + footer reads (~100 ms each); a real
+# engine caches catalog metadata the same way.  DataFrames are immutable
+# plans, so sharing one per (session, path, table) is safe.
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key in _DF_CACHE:
+        return _DF_CACHE[key]
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long (runtime-settable legacy conf)
@@ -37,11 +46,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = raw.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _DF_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

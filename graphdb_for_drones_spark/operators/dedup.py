@@ -26,6 +26,19 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _spread_input(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a narrow projection up to the cluster's parallelism when
+    the source arrives in fewer splits (a single small parquet file reads
+    as ONE partition, which would serialize all shingle/hash CPU work onto
+    one core).  No-op — no exchange added — when the source already has
+    enough splits, i.e. always at real corpus scale."""
+    sel = df.select(*cols)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target)
+    return sel
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -64,16 +77,23 @@ def shingles(col, n: int = 3):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 32):
-    """MinHash signature: for permutation j, min over shingles of
-    xxhash64(shingle, seed=j).  Array<long> of length num_hashes.
+    """MinHash signature: for permutation j, min over shingles of a
+    j-seeded hash.  Array<long> of length num_hashes.
 
-    Single pass over the shingles: each shingle expands to its
-    ``num_hashes`` permutation hashes once, and an aggregate folds an
-    element-wise minimum — versus the naive num_hashes × array_min
-    re-scans (measured ~3× on the documents corpus).  All codegen."""
+    Two cost levers, both measured on the documents corpus:
+
+    * single pass over the shingles — each shingle expands to its
+      ``num_hashes`` permutation hashes once and an aggregate folds an
+      element-wise minimum (vs num_hashes × array_min re-scans, ~3×);
+    * the variable-length shingle STRING is hashed exactly once;
+      permutations j re-hash the resulting 8-byte long
+      (``xxhash64(base, j)``), not the string.  String hashing dominates
+      signature cost at 32 permutations (~5× on long documents).
+    All codegen — no Python on the row path."""
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
     per_shingle = F.transform(
-        shingle_col,
-        lambda s: F.array(*[F.xxhash64(s, F.lit(j)) for j in range(num_hashes)]),
+        base,
+        lambda h: F.array(*[F.xxhash64(h, F.lit(j)) for j in range(num_hashes)]),
     )
     max_long = (1 << 63) - 1
     init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
@@ -81,6 +101,49 @@ def minhash_signature(shingle_col, num_hashes: int = 32):
         per_shingle,
         init,
         lambda acc, h: F.zip_with(acc, h, lambda x, y: F.least(x, y)),
+    )
+
+
+def pairs_from_sorted_ids(ids_col):
+    """All ordered pairs (a < b by position) from a sorted id array, as an
+    array<struct<id_a,id_b>> — the posting-list pair enumeration of a
+    bucket/inverted index, generated map-side with zero join.
+
+    Caller must guarantee ``size(ids) >= 2`` (filter the bucket list
+    first): ``sequence`` would run backwards on a singleton."""
+    n = F.size(ids_col)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(ids_col, i + 1, n),
+                lambda b: F.struct(
+                    F.element_at(ids_col, i).alias("id_a"), b.alias("id_b")
+                ),
+            ),
+        )
+    )
+
+
+def _bucket_pairs(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(id, key...) → distinct candidate pairs (id_a, id_b) sharing a key.
+
+    One exchange on the bucket key builds the posting lists; pairs are
+    enumerated map-side from each list (``pairs_from_sorted_ids``) —
+    versus the classic inverted-index SELF-JOIN, which shuffles the index
+    twice and materializes the join hash relation.  Measured ~2× on the
+    documents corpus.  A bucket of d docs still yields O(d²) pairs — that
+    blowup is inherent to the candidate semantics; cost knobs (``max_df``,
+    band width) belong to the callers."""
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -97,14 +160,16 @@ def minhash_lsh_pairs(
     signature buckets, verified with exact shingle-set jaccard.
 
     Plan shape at scale: one narrow projection computes (id, signature,
-    shingle-hash set); ``explode`` over ``bands`` band-hashes; the
-    candidate self-join keys on (band, band_hash) so only same-bucket
-    docs ever meet; exact jaccard runs on the (small) candidate set using
-    the precomputed hash sets — the raw text never reaches a shuffle.
-    """
+    shingle-hash set); band buckets shuffle only (band, band_hash, id);
+    candidate pairs are enumerated per bucket posting list (no
+    self-join); exact jaccard joins the hash sets onto the (small)
+    candidate set — the raw text never reaches a shuffle.  The two
+    consumers (banding, verification) recompute the projection from the
+    same reused exchange rather than caching it: columnar caching of
+    array columns measured ~20× slower than the recompute."""
     rows_per_band = num_hashes // bands
     sh = shingles(F.col(text_col), shingle_n)
-    base = df.select(
+    base = _spread_input(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(sh, lambda s: F.xxhash64(s))
@@ -113,8 +178,7 @@ def minhash_lsh_pairs(
     )
 
     banded = base.select(
-        "id",
-        "shingle_hashes",
+        F.col("id"),
         F.explode(
             F.array(
                 *[
@@ -128,30 +192,96 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "shingle_hashes", "bb.band", "bb.band_hash")
+    ).select("id", "bb.band", "bb.band_hash")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingle_hashes").alias("sh_a"),
-            F.col("r.shingle_hashes").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_pairs(banded, ["band", "band_hash"])
+    sets = base.select("id", "shingle_hashes")
+    pairs = cand.join(
+        sets.select(
+            F.col("id").alias("id_a"), F.col("shingle_hashes").alias("sh_a")
+        ),
+        "id_a",
+    ).join(
+        sets.select(
+            F.col("id").alias("id_b"), F.col("shingle_hashes").alias("sh_b")
+        ),
+        "id_b",
     )
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs over an ENGINE-NEUTRAL hash family:
+    permutation j of shingle s is ``md5(j || ':' || s)`` and the MinHash
+    is the lexicographic minimum of the hex digests — every step (md5,
+    string min, band digest, jaccard) is reproducible in any SQL engine,
+    so the WHOLE pipeline (not just the verified pairs) is oracle-
+    checkable.  The xxhash64 variant (``minhash_lsh_pairs``) is the
+    production path: one 8-byte hash vs num_hashes md5s over the string.
+
+    Same plan shape as the fast variant: bucket posting lists → map-side
+    pair enumeration → exact-jaccard verification join."""
+    rows_per_band = num_hashes // bands
+    sh_arr = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    base = _spread_input(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), sh_arr.alias("sh")
+    )
+    per_shingle = F.transform(
+        F.col("sh"),
+        lambda s: F.array(
+            *[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(num_hashes)]
+        ),
+    )
+    # 'g' sorts after every hex digest: identity for the string-min fold
+    init = F.array(*[F.lit("g") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, h: F.zip_with(acc, h, lambda x, y: F.least(x, y)),
+    )
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.band_hash")
+    cand = _bucket_pairs(banded, ["band", "band_hash"])
+    sets = base
+    pairs = cand.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -177,32 +307,41 @@ def ngram_jaccard_pairs(
     pairs, so hot shingles dominate cost at corpus scale.  Jaccard is
     then over the filtered shingle sets (an explicit semantic change,
     which is why it's a parameter and not a default)."""
-    sh = df.select(
+    sh = _spread_input(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
         ).alias("hashes"),
     )
-    inv = sh.select("id", F.explode("hashes").alias("h"))
+    inv = sh.select("id", F.size("hashes").alias("n"), F.explode("hashes").alias("h"))
     if max_df is not None:
+        # post-filter set sizes differ from size(hashes): recount per doc
         keep = inv.groupBy("h").agg(F.count(F.lit(1)).alias("dfc")).filter(
             F.col("dfc") <= max_df
         )
         inv = inv.join(keep.select("h"), "h", "left_semi")
-    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inv = inv.join(sizes, "id")
-    a = inv.alias("a")
-    b = inv.alias("b")
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        # set size is just the array length — no extra aggregate/join
+        sizes = sh.select("id", F.size("hashes").alias("n"))
+
+    # posting lists per shingle → map-side pair enumeration → count common
+    # shingles per pair.  vs the classic inverted-index self-join: one
+    # exchange of (h, id) instead of two, no join build, and the per-doc
+    # set sizes join onto the AGGREGATED pair table (one row per candidate
+    # pair), never onto the exploded pair stream.
+    posting = (
+        inv.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
+        posting.select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    common = common.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return common.withColumn("jaccard", jac).filter(
         F.col("jaccard") >= threshold
@@ -244,13 +383,12 @@ def simhash_pairs(
     ``bands`` 16-bit chunks; by pigeonhole, any pair within hamming
     distance < bands must agree on ≥1 chunk → bucket-join on chunks,
     verify with exact popcount."""
-    base = df.select(
+    base = _spread_input(df, id_col, text_col).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp")
     )
     width = 64 // bands
     chunks = base.select(
         "id",
-        "fp",
         F.explode(
             F.array(
                 *[
@@ -264,24 +402,12 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "fp", "bb.band", "bb.chunk")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    ).select("id", "bb.band", "bb.chunk")
+    cand = _bucket_pairs(chunks, ["band", "chunk"])
+    fps = base
+    cand = cand.join(
+        fps.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a"
+    ).join(fps.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")), "id_b")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming

@@ -1,0 +1,129 @@
+"""Temporal operators: as-of join and sessionization.
+
+Neither exists as a Spark built-in; both are implemented as compositions
+of built-in operators chosen for their 100 TB plan shape:
+
+* ``asof_join`` — the classic scalable formulation: tag the two event
+  streams, UNION them, and carry the right side's latest value forward
+  with a ``last(ignorenulls)`` running window.  One shuffle on
+  (key, time) — never a range join, whose O(n·m) per-key blowup is the
+  naive implementation's downfall.  (Same trick Flink/KDB users apply on
+  Spark; cf. Databricks' tempo.)
+
+* ``sessionize`` — gap-based session ids via lag + running sum, the
+  standard two-window formulation.  One shuffle on the user key; both
+  windows share the same partitioning so Catalyst plans a single
+  exchange + sort.
+
+The reference has no temporal operators (SURVEY.md §2.5 R1: none) —
+these are beyond-reference additions for the training-data-pipeline
+surface (event-history features, session corpus construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``value_col`` of the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (direction="backward"; ties on
+    the timestamp take the right row — i.e. a right event at exactly the
+    left timestamp matches).  Returns the left rows + ``asof_<value_col>``
+    (+ ``asof_ts``), null when no prior right row exists.
+
+    Implementation: union of tagged streams ordered by
+    (ts, side) — right rows sort before left rows at equal ts — and a
+    running ``last(ignorenulls=True)`` per key.  Scales as one exchange
+    on ``on`` + sort, regardless of how many right rows precede each
+    left row."""
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__rv"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        F.struct(*lcols).alias("__row"),
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(value_col).alias("__rv"),
+        F.col(right_ts).alias("__rts"),
+        F.lit(None).cast(l.schema["__row"].dataType).alias("__row"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", "__rts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        u.withColumn("__asof_v", F.last("__rv", ignorenulls=True).over(w))
+        .withColumn("__asof_ts", F.last("__rts", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    return out.select(
+        *[F.col("__row")[c].alias(c) for c in lcols],
+        F.col("__asof_v").alias(f"asof_{value_col}"),
+        F.col("__asof_ts").alias("asof_ts"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the gap
+    from the user's previous event exceeds ``gap_ms`` (comparison in
+    epoch millis — exact integers, no float/timezone hazards).
+
+    Returns the input plus ``session_seq`` (1-based per user)."""
+    tsm = F.unix_millis(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(tsm, F.col(order_tiebreak))
+    new_session = F.when(
+        tsm - F.lag(tsm).over(w) > gap_ms, F.lit(1)
+    ).otherwise(F.lit(0))
+    # first row per user: lag is null → when() falls to otherwise(0);
+    # running sum then starts at 0 — add 1 for a 1-based id
+    seq = (
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        + 1
+    )
+    return events.withColumn("session_seq", seq.cast("long"))
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Per-session aggregates over ``sessionize`` output: start (epoch
+    ms), event count, duration in ms."""
+    s = sessionize(events, user_col=user_col, ts_col=ts_col, gap_ms=gap_ms)
+    tsm = F.unix_millis(F.col(ts_col))
+    return s.groupBy(user_col, "session_seq").agg(
+        F.min(tsm).alias("session_start_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(tsm) - F.min(tsm)).alias("duration_ms"),
+    )

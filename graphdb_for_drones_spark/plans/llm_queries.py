@@ -139,6 +139,60 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(cat.documents, max_hamming=6)
 
 
+def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable MinHash-LSH: md5-hex hash family, so the
+    DuckDB oracle reproduces the FULL pipeline — signatures, band
+    buckets, candidate generation AND verification — not just the final
+    pairs.  (The xxhash64 variant stays the production/bench path.)"""
+    cat = Catalog(spark, sf_dir)
+    return D.minhash_lsh_pairs_md5(cat.documents, jaccard_threshold=0.3)
+
+
+# mirrors minhash_lsh_pairs_md5 step for step: shingles → per-permutation
+# md5 min → 4-permutation band digests → bucket pairs → exact jaccard
+ORACLE_MINHASH_PAIRS_MD5 = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)]
+         END AS sh
+  FROM d
+),
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+sigs AS (
+  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || g)) AS mh
+  FROM (SELECT doc_id, unnest(sh) AS g FROM ds)
+  CROSS JOIN range(16) t(j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+         md5(string_agg(mh, '|' ORDER BY j)) AS band_hash
+  FROM sigs GROUP BY doc_id, j // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+jc AS (
+  SELECT id_a, id_b,
+         len(list_intersect(da.sh, db.sh)) * 1.0 /
+           (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+           AS jaccard
+  FROM cand
+  JOIN ds da ON da.doc_id = id_a
+  JOIN ds db ON db.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= 0.3
+"""
+
+
 # --------------------------------------------------------------------- #
 # text analysis family
 # --------------------------------------------------------------------- #
@@ -316,13 +370,66 @@ FROM p WHERE ROUND(dot / (sqrt(nrm_a) * sqrt(nrm_b)), 6) >= 0.3
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (rows-only: bucket membership
-    depends on seeded random hyperplanes)."""
+    """LSH-bucketed approximate top-10.  The hyperplanes are seeded
+    (numpy RandomState(42)) and embedded as literals in the DuckDB
+    oracle, so the approximate index itself — signatures, band buckets,
+    candidate set — is oracle-checked, not just the final scores."""
     cat = Catalog(spark, sf_dir)
     emb = cat.embeddings
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     idx = S.ann_index(emb.filter(F.col("vec_id") != 0), dim=len(q))
     return S.ann_search(idx, q, k=10)
+
+
+def _ann_topk_oracle_sql(dim: int = 64, n_planes: int = 16, bands: int = 4) -> str:
+    """Reproduce ann_index + ann_search in DuckDB with the same seeded
+    hyperplanes inlined as literals (deterministic: RandomState(42))."""
+    planes = S.hyperplanes(dim, n_planes, seed=42)
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ",".join(repr(float(v)) for v in p)
+        )
+        for j, p in enumerate(planes)
+    )
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    band_match = " OR ".join(
+        f"((s.sig >> {b * width}) & {mask}) = ((q.sig >> {b * width}) & {mask})"
+        for b in range(bands)
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES {rows}),
+sig AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range({dim}),
+                    i -> CAST(e.embedding[i+1] AS DOUBLE) * pl.p[i+1])) > 0
+               THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+q AS (SELECT sig FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id FROM sig s, q
+  WHERE s.vec_id <> 0 AND ({band_match})
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id,
+    ROUND(
+      list_sum(list_transform(range({dim}),
+        i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.embedding[i+1] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range({dim}),
+           i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range({dim}),
+             i -> CAST(qv.embedding[i+1] AS DOUBLE) * CAST(qv.embedding[i+1] AS DOUBLE))))),
+      6) AS cosine
+  FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id CROSS JOIN qv
+)
+SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+ORACLE_ANN_TOPK = _ann_topk_oracle_sql()
 
 
 # --------------------------------------------------------------------- #
@@ -367,6 +474,15 @@ def q_vc_verify_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ed25519 itself is not expressible in SQL, but the reference's invariant
+# IS (verified == inserted, test_cases/test_b_did_pg.py): the oracle
+# asserts every signed row verifies — any UDF/canonicalization bug that
+# fails a verification breaks the hash match.
+ORACLE_VC_VERIFY_COUNT = """
+SELECT COUNT(*) AS verified_count, COUNT(*) AS total_count FROM customer
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -376,6 +492,7 @@ LLM_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_pairs_md5": q_minhash_pairs_md5,
     "simhash_pairs": q_simhash_pairs,
     "doc_token_stats": q_doc_token_stats,
     "doc_lang_summary": q_doc_lang_summary,
@@ -397,6 +514,10 @@ LLM_ORACLES = {
     "doc_lang_id": ORACLE_DOC_LANG_ID,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_near_pairs": ORACLE_EMBEDDING_NEAR_PAIRS,
-    # minhash_pairs / simhash_pairs / ann_topk / vc_verify_count:
-    # rows-only by design (hash-seeded approximations & crypto)
+    "minhash_pairs_md5": ORACLE_MINHASH_PAIRS_MD5,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "vc_verify_count": ORACLE_VC_VERIFY_COUNT,
+    # minhash_pairs / simhash_pairs stay rows-only by design: their
+    # xxhash64 family is the production fast path (not SQL-reproducible);
+    # the md5 twin above oracle-checks the identical pipeline shape
 }

@@ -28,7 +28,11 @@ from pyspark.sql.window import Window
 
 from graphdb_for_drones_spark.catalog import Catalog
 from graphdb_for_drones_spark.graph import testdata_graph
-from graphdb_for_drones_spark.traversal import path_count_to, reachable
+from graphdb_for_drones_spark.traversal import (
+    path_count_to,
+    reachable,
+    reachable_counts,
+)
 
 # --------------------------------------------------------------------- #
 # shared sub-plans
@@ -75,7 +79,9 @@ def q_delegation_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded reachability from HQ ('R0'), node-set semantics — the
     recursive-CTE chain of common/bench_utils.py:9-34 at depth 2."""
     g = testdata_graph(spark, sf_dir)
-    return reachable(g.out_edges("DELEGATES"), ["R0"], 2, mode="node")
+    return reachable_counts(g.out_edges("DELEGATES"), ["R0"], 2, mode="node").select(
+        "node", "level"
+    )
 
 
 ORACLE_DELEGATION_REACHABLE = f"""
@@ -92,7 +98,7 @@ SELECT node, level FROM chain WHERE level >= 1
 
 def q_delegation_count_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = testdata_graph(spark, sf_dir)
-    hops = reachable(g.out_edges("DELEGATES"), ["R0"], 2, mode="node")
+    hops = reachable_counts(g.out_edges("DELEGATES"), ["R0"], 2, mode="node")
     return hops.groupBy("level").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -118,8 +124,10 @@ def q_flat_chain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("src"),
         F.col("c_custkey").cast("string").alias("dst"),
     )
-    chain = reachable(edges, ["N5"], 3, mode="path")
-    return chain.agg(F.count(F.lit(1)).alias("chain_count"))
+    chain = reachable_counts(edges, ["N5"], 3, mode="path")
+    return chain.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("chain_count")
+    )
 
 
 ORACLE_FLAT_CHAIN_COUNT = """
@@ -142,7 +150,9 @@ def q_mission_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain, filter to drones, join mission_test, count)."""
     cat = Catalog(spark, sf_dir)
     g = testdata_graph(spark, sf_dir)
-    reach = reachable(g.out_edges("DELEGATES"), ["R0"], 2, mode="node")
+    reach = reachable_counts(g.out_edges("DELEGATES"), ["R0"], 2, mode="node").select(
+        "node"
+    )
     orders = cat.orders.select(
         F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("node"),
         "o_orderkey",
@@ -218,8 +228,10 @@ def q_path_count_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = cat.orders.filter(F.col("o_orderkey") <= 100).select(
         F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("node")
     )
-    paths = reachable(edges, seeds, 2, mode="path")
-    return paths.agg(F.count(F.lit(1)).alias("path_count"))
+    paths = reachable_counts(edges, seeds, 2, mode="path")
+    return paths.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("path_count")
+    )
 
 
 ORACLE_PATH_COUNT_DIAMOND = """
@@ -244,9 +256,14 @@ SELECT COUNT(*) AS path_count FROM chain WHERE lvl >= 1
 def q_wot_path_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-of-trust path count to a fixed anchor within max length — J9
     (04_web_of_trust/benchmark_scenario_d.py:200-203).  Linear chain
-    N0→N1→…→N24; anchor N24, L=24 → exactly one path."""
+    N0→N1→…→N24; anchor N24, L=24 → exactly one path.  The chain is a
+    25-row dimension graph: the kernel collects it and runs the BFS in
+    the driver (collect_edges) — the traversal analogue of a broadcast
+    join — instead of 24 distributed jobs."""
     cat = Catalog(spark, sf_dir)
-    return path_count_to(_nation_chain_edges(cat), ["N0"], "N24", 24)
+    return path_count_to(
+        _nation_chain_edges(cat), ["N0"], "N24", 24, collect_edges=True
+    )
 
 
 ORACLE_WOT_PATH_COUNT = f"""
@@ -266,7 +283,9 @@ def q_wot_path_count_short(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference sweeps max_path_lengths,
     04_web_of_trust/benchmark_scenario_a.py:194-239)."""
     cat = Catalog(spark, sf_dir)
-    return path_count_to(_nation_chain_edges(cat), ["N0"], "N24", 10)
+    return path_count_to(
+        _nation_chain_edges(cat), ["N0"], "N24", 10, collect_edges=True
+    )
 
 
 ORACLE_WOT_PATH_COUNT_SHORT = f"""
@@ -291,8 +310,13 @@ def q_abac_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = cat.customer.filter(F.col("c_custkey") == 1).select(
         F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("node")
     )
-    groups = reachable(
-        _nation_chain_edges(cat), member, 30, mode="node", include_seed=True
+    groups = reachable_counts(
+        _nation_chain_edges(cat),
+        member,
+        30,
+        mode="node",
+        include_seed=True,
+        collect_edges=True,
     ).select("node").distinct()
     perm = cat.region.select(
         F.lit("N24").alias("node"),

@@ -123,6 +123,204 @@ def reachable(
     return reduce(DataFrame.unionByName, levels)
 
 
+COLLECT_THRESHOLD = 200_000  # frontier rows the driver will coordinate
+ISIN_THRESHOLD = 10_000  # frontier size worth inlining as an isin() predicate
+
+
+def _seed_counts(edges: DataFrame, seeds, mode: str, collect_threshold: int):
+    """Seeds → driver dict {node: path_count}, or None if too large."""
+    if isinstance(seeds, DataFrame):
+        col = seeds.columns[0]
+        rows = (
+            seeds.select(F.col(col).cast("string").alias("node"))
+            .limit(collect_threshold + 1)
+            .collect()
+        )
+        if len(rows) > collect_threshold:
+            return None
+        it = (r.node for r in rows)
+    else:
+        it = (str(s) for s in seeds)
+    counts: dict[str, int] = {}
+    for n in it:
+        counts[n] = 1 if mode == "node" else counts.get(n, 0) + 1
+    return counts
+
+
+def reachable_counts(
+    edges: DataFrame,
+    seeds,
+    max_depth: int,
+    mode: str = "path",
+    include_seed: bool = False,
+    collect_edges: bool = False,
+    collect_threshold: int = COLLECT_THRESHOLD,
+    isin_threshold: int = ISIN_THRESHOLD,
+) -> DataFrame:
+    """Bounded BFS in the compact (node, level, cnt) representation:
+    ``cnt`` is the number of distinct paths reaching ``node`` at ``level``
+    (always 1 in node mode).  Semantically equal to ``reachable`` with
+    path rows aggregated — but the frontier stays O(distinct nodes) even
+    when the path count is combinatorial, which is what makes deep DAG
+    traversals tractable (path rows explode, counters don't).
+
+    Execution strategy, chosen adaptively (all three run on a cluster;
+    the difference is where the LOOP state lives, never where the edge
+    data lives — except (1), which is the traversal analogue of a
+    broadcast join):
+
+    1. ``collect_edges=True`` — the caller asserts the edge table is
+       dimension-sized (the reference's web-of-trust chain is 25 nodes,
+       its ABAC subgroup chain likewise).  One collect, pure-driver BFS,
+       one createDataFrame.  Running N distributed jobs over a 25-row
+       table is the wrong plan at any scale.
+    2. driver-coordinated frontier (default): the frontier dict lives in
+       the driver; each level is ONE job — edges filtered by an inlined
+       ``isin`` predicate on the frontier (pushed below distincts/unions
+       into the scan) joined to the broadcast frontier literal, grouped
+       by dst.  No lineage growth, no checkpoints, no caching needed:
+       every level's plan is rooted at literal values + the edge scan.
+    3. fully distributed: when a frontier outgrows ``collect_threshold``
+       the loop switches to the checkpointing kernel (frontier stays in
+       executors); driver only sees counts.
+    """
+    if mode not in ("node", "path"):
+        raise ValueError(f"mode must be 'node' or 'path', got {mode!r}")
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst")
+    out_schema = "node string, level int, cnt long"
+
+    if collect_edges:
+        frontier = _seed_counts(edges, seeds, mode, collect_threshold)
+        if frontier is None:
+            raise ValueError("collect_edges=True requires driver-sized seeds")
+        adj: dict[str, list[str]] = {}
+        for r in edges.collect():
+            adj.setdefault(r.src, []).append(r.dst)
+        rows, visited = [], set(frontier)
+        if include_seed:
+            rows += [(n, 0, c) for n, c in sorted(frontier.items())]
+        for lvl in range(1, max_depth + 1):
+            nxt: dict[str, int] = {}
+            for n, c in frontier.items():
+                for d in adj.get(n, ()):
+                    nxt[d] = nxt.get(d, 0) + c
+            if mode == "node":
+                nxt = {n: 1 for n in nxt if n not in visited}
+                visited |= set(nxt)
+            if not nxt:
+                break
+            rows += [(n, lvl, c) for n, c in sorted(nxt.items())]
+            frontier = nxt
+        return spark.createDataFrame(rows, out_schema)
+
+    frontier = _seed_counts(edges, seeds, mode, collect_threshold)
+    local_rows: list = []
+    visited: set = set(frontier) if (frontier is not None and mode == "node") else set()
+    if frontier is not None and include_seed:
+        local_rows += [(n, 0, c) for n, c in sorted(frontier.items())]
+    lvl = 1
+    while frontier is not None and lvl <= max_depth:
+        if not frontier:
+            return spark.createDataFrame(local_rows, out_schema)
+        nxt = None
+        if len(frontier) <= isin_threshold:
+            # single map-only job: inlined isin predicate (pushes below
+            # unions/aggregates into the scan, so derived edge tables only
+            # shuffle the reachable slice) + raw (src,dst) collect; the
+            # counter fold happens in the driver — no join, no exchange
+            raw = (
+                edges.filter(F.col("src").isin(list(frontier)))
+                .limit(collect_threshold + 1)
+                .collect()
+            )
+            if len(raw) <= collect_threshold:
+                nxt = {}
+                for r in raw:
+                    c = frontier.get(r.src)
+                    if c is not None:
+                        nxt[r.dst] = nxt.get(r.dst, 0) + c
+        if nxt is None:
+            # frontier too wide to inline (or raw expansion too big to
+            # fold in the driver): aggregate executor-side first
+            fdf = F.broadcast(
+                spark.createDataFrame(
+                    sorted(frontier.items()), "node string, cnt long"
+                )
+            )
+            nxt_df = (
+                edges.join(fdf, edges["src"] == fdf["node"])
+                .groupBy(edges["dst"])
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            rows = nxt_df.limit(collect_threshold + 1).collect()
+            if len(rows) > collect_threshold:
+                frontier = None  # fall through to the distributed kernel
+                break
+            nxt = {r.dst: r.cnt for r in rows}
+        if mode == "node":
+            nxt = {n: 1 for n in nxt if n not in visited}
+            visited |= set(nxt)
+        if not nxt:
+            return spark.createDataFrame(local_rows, out_schema)
+        local_rows += [(n, lvl, c) for n, c in sorted(nxt.items())]
+        frontier = nxt
+        lvl += 1
+    if frontier is not None:  # completed within driver coordination
+        return spark.createDataFrame(local_rows, out_schema)
+
+    # distributed continuation: counts-typed variant of the checkpointing
+    # kernel (one job per level, eager localCheckpoint, broadcast frontier
+    # under threshold — see `reachable` for the measured rationale)
+    edges = edges.persist()
+    if local_rows or not isinstance(seeds, DataFrame):
+        f_df = spark.createDataFrame(
+            [(n, c) for n, l, c in local_rows if l == lvl - 1]
+            if local_rows
+            else [(str(s), 1) for s in seeds],
+            "node string, cnt long",
+        )
+    else:
+        col = seeds.columns[0]
+        f_df = seeds.select(F.col(col).cast("string").alias("node")).groupBy(
+            "node"
+        ).agg((F.count(F.lit(1)) if mode == "path" else F.lit(1)).alias("cnt"))
+        if include_seed:
+            local_rows_df = f_df.select("node", F.lit(0).alias("level"), "cnt")
+    f_df = f_df.localCheckpoint()
+    visited_df = (
+        spark.createDataFrame([(n,) for n in sorted(visited)], "node string")
+        if mode == "node"
+        else None
+    )
+    parts = [spark.createDataFrame(local_rows, out_schema)]
+    if mode == "node" and visited_df is None:
+        visited_df = f_df.select("node")
+    for dl in range(lvl, max_depth + 1):
+        n = f_df.count()
+        if n == 0:
+            break
+        f = F.broadcast(f_df) if n <= BROADCAST_THRESHOLD else f_df
+        nxt = (
+            edges.join(f, edges["src"] == f["node"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        if mode == "node":
+            nxt = nxt.select("node", F.lit(1).alias("cnt")).join(
+                visited_df, "node", "left_anti"
+            )
+        nxt = nxt.localCheckpoint()
+        if mode == "node":
+            visited_df = visited_df.unionByName(nxt.select("node"))
+        parts.append(
+            nxt.select("node", F.lit(dl).alias("level"), F.col("cnt").cast("long"))
+        )
+        f_df = nxt
+    edges.unpersist()
+    return reduce(DataFrame.unionByName, parts)
+
+
 def reachable_count(edges: DataFrame, seeds, max_depth: int, mode: str = "node") -> int:
     """A1 scalar count over the chain CTE
     (``SELECT COUNT(*) FROM chain``, reference common/bench_utils.py:32)."""
@@ -134,6 +332,7 @@ def path_count_to(
     seeds,
     target: str,
     max_len: int,
+    collect_edges: bool = False,
 ) -> DataFrame:
     """Count paths of length 1..max_len from seeds to a fixed target —
     the web-of-trust J9 query
@@ -142,10 +341,13 @@ def path_count_to(
     reference 04_web_of_trust/benchmark_scenario_c.py:131-137).
 
     Path multiplicity matters: returns one-row DataFrame(path_count long).
-    """
-    paths = reachable(edges, seeds, max_len, mode="path")
-    return paths.filter(F.col("node") == target).agg(
-        F.count(F.lit(1)).alias("path_count")
+    Runs in the counter representation — the path count is a sum of per-
+    node multiplicities, never a materialized path list."""
+    counts = reachable_counts(
+        edges, seeds, max_len, mode="path", collect_edges=collect_edges
+    )
+    return counts.filter(F.col("node") == target).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("path_count")
     )
 
 
