@@ -27,7 +27,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline set: one per operator family (traversal, path-multiplicity,
-# web-of-trust, ABAC, scan+agg, join+topk, window, CDC apply, plus the
+# web-of-trust, ABAC, scan+agg, multi-way joins, anti/semi, rollup,
+# windows (ranking/tumbling/sliding/session), as-of, CDC apply, plus the
 # LLM-pipeline families: dedup, text analysis, similarity search)
 HEADLINE = [
     "mission_count",
@@ -37,14 +38,21 @@ HEADLINE = [
     "abac_check",
     "pricing_summary",
     "top_customers",
+    "shipping_priority",
+    "region_volume",
+    "orders_rollup",
     "latest_event_per_user",
     "event_type_stats",
     "cdc_apply_events",
     "events_tumbling_hourly",
+    "events_sliding_windows",
+    "user_sessions",
+    "asof_signup_before_purchase",
     "minhash_pairs",
     "ngram_jaccard",
     "doc_token_stats",
     "embedding_topk",
+    "ann_topk",
 ]
 
 

@@ -47,9 +47,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        df = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: `/` would go through DOUBLE, whose 52-bit
+        # mantissa cannot represent epoch-nanos exactly (±1 µs drift)
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     _DF_CACHE[key] = df

@@ -372,6 +372,71 @@ def simhash(col, bits: int = 64):
     return total
 
 
+def simhash_md5(col, bits: int = 60):
+    """Engine-neutral SimHash: per-word 60-bit hash parsed from the first
+    15 hex chars of md5 (60 bits keeps every intermediate in signed-64
+    range on any engine), majority vote per bit, packed back into a long.
+    Integer-exact and reproducible in plain SQL — the oracle twin of
+    ``simhash`` (whose xxhash64 stays the production path)."""
+    words = F.filter(F.split(normalize_text(col), " "), lambda w: w != F.lit(""))
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(hashes)
+
+    def bit_set(b):
+        return lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1
+
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        set_count = F.size(F.filter(hashes, bit_set(b)))
+        total = total + F.when(set_count * 2 > n, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return total
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash near-dup pairs over the md5 hash family — fully oracle-
+    checkable (see ``simhash_md5``).  Same banded-pigeonhole candidate
+    scheme and posting-list pair enumeration as ``simhash_pairs``."""
+    base = _spread_input(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), simhash_md5(F.col(text_col), bits).alias("fp")
+    )
+    width = bits // bands
+    chunks = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.chunk")
+    cand = _bucket_pairs(chunks, ["band", "chunk"])
+    cand = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")), "id_b")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", hamming.cast("long")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

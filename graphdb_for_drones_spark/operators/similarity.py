@@ -177,3 +177,73 @@ def cosine_pairs_blocked(
         pairs.select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF(-flat) index: assign each vector to its nearest centroid by
+    cosine (rounded to 6dp; ties broken by centroid id — deterministic
+    across engines and reduction orders).  ``centroids`` is a list of
+    (centroid_id, vector) pairs, driver-side (k is small by design; at
+    scale centroids come from a sampled k-means and are broadcast
+    literals all the same).
+
+    Returns (id, embedding, cluster).  Partition the output by cluster
+    on disk and a probe reads only its clusters — the disk-level analogue
+    of the ANN band buckets."""
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.round(cosine(F.col(vec_col), _vec_lit(v)), 6).alias("cos"),
+                    # negative id: array_max picks the LOWEST id on a
+                    # rounded-cosine tie
+                    F.lit(-int(cid)).alias("neg_cid"),
+                )
+                for cid, v in centroids
+            ]
+        )
+    )
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), (-best["neg_cid"]).alias("cluster")
+    )
+
+
+def ivf_search(
+    index: DataFrame,
+    centroids: list,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probe`` centroids nearest the query (same rounded-
+    cosine order), then exact cosine top-k within those clusters only."""
+
+    def cos_py(a, b):
+        # sequential fold, same order as the engine/oracle folds
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return round(dot / ((na**0.5) * (nb**0.5)), 6)
+
+    ranked = sorted(
+        ((cos_py(query_vec, v), -int(cid)) for cid, v in centroids), reverse=True
+    )
+    probes = [-neg for _, neg in ranked[:n_probe]]
+    score = F.round(cosine(F.col(vec_col), _vec_lit(query_vec)), 6)
+    return (
+        index.filter(F.col("cluster").isin(probes))
+        .select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

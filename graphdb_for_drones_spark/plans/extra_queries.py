@@ -1,0 +1,481 @@
+"""Round-2 coverage widening: TPC-H-shaped multi-join analytics, explicit
+anti/semi joins, rollup, sliding windows, sessionization, as-of join,
+grouped distincts/percentiles, triangle counting, and IVF similarity
+search — each with a DuckDB oracle.
+
+Determinism conventions as in plans/queries.py: decimal-exact sums cast
+to double, epochs as BIGINT (ms where sub-second matters), percentiles
+and cosines rounded to a fixed scale, nullable outputs coalesced to
+sentinels (pandas represents nullable ints as floats, which would break
+the driver's hash compare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphdb_for_drones_spark.catalog import Catalog
+from graphdb_for_drones_spark.operators.graph_algorithms import triangle_count
+from graphdb_for_drones_spark.operators.similarity import ivf_index, ivf_search
+from graphdb_for_drones_spark.operators.temporal import asof_join, session_stats
+
+# --------------------------------------------------------------------- #
+# TPC-H-shaped relational family
+# --------------------------------------------------------------------- #
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: selective dimension filter → 3-way join → grouped
+    revenue → deterministic top-10.  The segment filter reduces customer
+    before the join; revenue aggregates before the sort."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    orders = cat.orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = cat.lineitem.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way join (region→nation→customer→orders→lineitem→
+    supplier with the local-supplier constraint) + grouped revenue.
+    Dimension sides (region, nation, supplier) broadcast; the
+    orders⋈lineitem shuffle carries only join keys + revenue."""
+    cat = Catalog(spark, sf_dir)
+    n = cat.nation.select("n_nationkey", "n_name", "n_regionkey")
+    r = cat.region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    c = cat.customer.select("c_custkey", "c_nationkey")
+    o = cat.orders.select("o_orderkey", "o_custkey")
+    li = cat.lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    s = cat.supplier.select("s_suppkey", "s_nationkey")
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )
+
+
+ORACLE_REGION_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ANTI join (delete-rewrite building block, SURVEY §2.6 M3)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            cat.orders,
+            cat.customer["c_custkey"] == cat.orders["o_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT COUNT(*) AS n_customers FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SEMI join (the ABAC J10 pattern as a standalone op)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            cat.orders,
+            cat.customer["c_custkey"] == cat.orders["o_custkey"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_CUSTOMERS_WITH_ORDERS = """
+SELECT COUNT(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (status, priority); subtotal rows keyed
+    '(all)' so the nullable grouping keys stay hash-comparable."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+ORACLE_ORDERS_ROLLUP = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------- #
+# windows / temporal family
+# --------------------------------------------------------------------- #
+
+
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 15 min slide): each event lands in 4
+    overlapping windows.  Same F.window call runs under readStream with a
+    watermark — this is the batch twin."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+ORACLE_EVENTS_SLIDING_WINDOWS = """
+SELECT CAST(FLOOR(epoch_ms(ts) / 900000) * 900 - k * 900 AS BIGINT)
+         AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN range(4) t(k)
+GROUP BY 1, 2
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session aggregates — the
+    session-corpus construction op of a training-data pipeline."""
+    cat = Catalog(spark, sf_dir)
+    return session_stats(cat.events, gap_ms=30 * 60 * 1000)
+
+
+ORACLE_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS tsm FROM events
+),
+l AS (
+  SELECT *, CASE WHEN tsm - LAG(tsm) OVER
+      (PARTITION BY user_id ORDER BY tsm, event_id) > 1800000
+    THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT *, CAST(1 + SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY tsm, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM l
+)
+SELECT user_id, session_seq, MIN(tsm) AS session_start_ms,
+       COUNT(*) AS n_events, MAX(tsm) - MIN(tsm) AS duration_ms
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_asof_signup_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's most recent
+    signup timestamp at-or-before it.  Engine side runs the scalable
+    union+running-window formulation; the oracle is an independent
+    correlated-MAX formulation (DuckDB), so the check is cross-
+    algorithmic, not just cross-engine.  -1 = no prior signup."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("purchase_ms")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.unix_millis("ts").alias("sig_ms")
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="purchase_ms",
+        right_ts="sig_ms",
+        value_col="sig_ms",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_ms",
+        F.coalesce("asof_sig_ms", F.lit(-1)).cast("long").alias("last_signup_ms"),
+    )
+
+
+ORACLE_ASOF_SIGNUP_BEFORE_PURCHASE = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, epoch_ms(ts) AS sig_ms
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.purchase_ms,
+       COALESCE((SELECT MAX(s.sig_ms) FROM s
+                 WHERE s.user_id = p.user_id
+                   AND s.sig_ms <= p.purchase_ms), -1) AS last_signup_ms
+FROM p
+"""
+
+
+def q_event_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (two-phase distinct aggregation)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_EVENT_USER_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact interpolated percentiles (A6 per group)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+ORACLE_EVENT_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------- #
+# graph + similarity family
+# --------------------------------------------------------------------- #
+
+
+def q_nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the nation graph (chain k→k+1 ∪ co-region
+    cliques) — wedge-join formulation, canonical edge orientation."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.nation.select(F.col("n_nationkey").alias("k"))
+    b = cat.nation.select(F.col("n_nationkey").alias("k2"))
+    chain = a.join(b, b["k2"] == a["k"] + 1).select(
+        F.col("k").alias("src"), F.col("k2").alias("dst")
+    )
+    x = cat.nation.select(
+        F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rx")
+    )
+    y = cat.nation.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("ry")
+    )
+    coregion = x.join(
+        y, (x["rx"] == y["ry"]) & (x["src"] < y["dst"])
+    ).select("src", "dst")
+    return triangle_count(chain.unionByName(coregion))
+
+
+ORACLE_NATION_TRIANGLES = """
+WITH raw AS (
+  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+  FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+  UNION ALL
+  SELECT x.n_nationkey, y.n_nationkey
+  FROM nation x JOIN nation y
+    ON x.n_regionkey = y.n_regionkey AND x.n_nationkey < y.n_nationkey
+),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def _dot64(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(range(64), i -> "
+        f"CAST({x}.embedding[i+1] AS DOUBLE) * CAST({y}.embedding[i+1] AS DOUBLE)))"
+    )
+
+
+def _cos64(x: str, y: str) -> str:
+    return (
+        f"ROUND({_dot64(x, y)} / (sqrt({_dot64(x, x)}) * sqrt({_dot64(y, y)})), 6)"
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10: fixed centroids (vectors 1..8),
+    nearest-centroid assignment, 2-probe search.  Deterministic
+    (rounded-cosine, id tiebreak), so the whole index is oracle-checked
+    like ann_topk."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    cent_rows = (
+        emb.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(r.vec_id, [float(v) for v in r.embedding]) for r in cent_rows]
+    q = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    idx = ivf_index(emb.filter(F.col("vec_id") != 0), centroids)
+    return ivf_search(idx, centroids, q, k=10, n_probe=2)
+
+
+ORACLE_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos64('e', 'c')} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT c.cid FROM cents c CROSS JOIN qv q
+  ORDER BY {_cos64('c', 'q')} DESC, c.cid ASC LIMIT 2
+),
+cand AS (
+  SELECT a.vec_id FROM asg a JOIN probes p ON a.cluster = p.cid
+)
+SELECT e.vec_id, {_cos64('e', 'q')} AS cosine
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q
+ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------- #
+
+EXTRA_QUERIES = {
+    "shipping_priority": q_shipping_priority,
+    "region_volume": q_region_volume,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders": q_customers_with_orders,
+    "orders_rollup": q_orders_rollup,
+    "events_sliding_windows": q_events_sliding_windows,
+    "user_sessions": q_user_sessions,
+    "asof_signup_before_purchase": q_asof_signup_before_purchase,
+    "event_user_distinct": q_event_user_distinct,
+    "event_value_percentiles": q_event_value_percentiles,
+    "nation_triangles": q_nation_triangles,
+    "ivf_topk": q_ivf_topk,
+}
+
+EXTRA_ORACLES = {
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "region_volume": ORACLE_REGION_VOLUME,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
+    "orders_rollup": ORACLE_ORDERS_ROLLUP,
+    "events_sliding_windows": ORACLE_EVENTS_SLIDING_WINDOWS,
+    "user_sessions": ORACLE_USER_SESSIONS,
+    "asof_signup_before_purchase": ORACLE_ASOF_SIGNUP_BEFORE_PURCHASE,
+    "event_user_distinct": ORACLE_EVENT_USER_DISTINCT,
+    "event_value_percentiles": ORACLE_EVENT_VALUE_PERCENTILES,
+    "nation_triangles": ORACLE_NATION_TRIANGLES,
+    "ivf_topk": ORACLE_IVF_TOPK,
+}

@@ -139,6 +139,60 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(cat.documents, max_hamming=6)
 
 
+def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash (md5-derived 60-bit fingerprints): the
+    DuckDB twin reproduces fingerprints, band buckets, candidates and
+    hamming verification with exact integer arithmetic."""
+    cat = Catalog(spark, sf_dir)
+    return D.simhash_pairs_md5(cat.documents, max_hamming=6)
+
+
+def _simhash_md5_oracle_sql(bits: int = 60, bands: int = 4, max_hamming: int = 6) -> str:
+    # 15 hex chars → BIGINT via integer shifts (no doubles: 16**k loses
+    # exactness past 2^52)
+    hex_to_int = (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(x), i+1, 1)) - 1 AS BIGINT)"
+        " << ((14 - i) * 4))) AS BIGINT)"
+    )
+    votes = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) > len(hs)"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    width = bits // bands
+    mask = (1 << width) - 1
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                w -> w <> '') AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, list_transform(w, x -> {hex_to_int}) AS hs FROM d
+),
+fp AS (
+  SELECT doc_id, CAST({votes} AS BIGINT) AS fp FROM h
+),
+chunks AS (
+  SELECT doc_id, CAST(b AS INTEGER) AS band, (fp >> (b * {width})) & {mask} AS chunk
+  FROM fp CROSS JOIN range({bands}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+FROM cand JOIN fp fa ON fa.doc_id = id_a JOIN fp fb ON fb.doc_id = id_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}
+"""
+
+
+ORACLE_SIMHASH_PAIRS_MD5 = _simhash_md5_oracle_sql()
+
+
 def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle-checkable MinHash-LSH: md5-hex hash family, so the
     DuckDB oracle reproduces the FULL pipeline — signatures, band
@@ -494,6 +548,7 @@ LLM_QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "minhash_pairs_md5": q_minhash_pairs_md5,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_pairs_md5": q_simhash_pairs_md5,
     "doc_token_stats": q_doc_token_stats,
     "doc_lang_summary": q_doc_lang_summary,
     "doc_fingerprint": q_doc_fingerprint,
@@ -515,6 +570,7 @@ LLM_ORACLES = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_near_pairs": ORACLE_EMBEDDING_NEAR_PAIRS,
     "minhash_pairs_md5": ORACLE_MINHASH_PAIRS_MD5,
+    "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,
     "ann_topk": ORACLE_ANN_TOPK,
     "vc_verify_count": ORACLE_VC_VERIFY_COUNT,
     # minhash_pairs / simhash_pairs stay rows-only by design: their

@@ -65,3 +65,28 @@ def test_trust_propagation(spark):
     assert t["a"] == 0.5 and t["b"] == 0.5
     assert t["c"] == 0.25  # max over two equal paths, not 0.5
     assert t["d"] == 0.125
+
+
+def test_triangle_count_known(spark):
+    # triangle a-b-c plus a pendant edge c-d (given in mixed orientation
+    # and with a duplicate edge, which canonicalization must absorb)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    ).localCheckpoint()
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        triangle_count,
+    )
+
+    assert triangle_count(edges).first().n_triangles == 1
+
+
+def test_triangle_count_none(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        triangle_count,
+    )
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    ).localCheckpoint()
+    assert triangle_count(chain).first().n_triangles == 0

@@ -73,3 +73,28 @@ def test_blocked_pairs(vectors):
     got = {(r.id_a, r.id_b): r.cosine for r in pairs}
     assert (0, 1) in got
     assert got[(0, 1)] == round(np_cosine(vecs[0], vecs[1]), 6)
+
+
+def test_ivf_self_query_top1(spark):
+    from graphdb_for_drones_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+    )
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.0, 0.9, 0.2]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    centroids = [(1, vecs[0][1]), (2, vecs[1][1])]
+    idx = ivf_index(df, centroids)
+    clusters = {r.vec_id: r.cluster for r in idx.collect()}
+    assert clusters == {1: 1, 2: 2, 3: 1, 4: 2}
+    # query near centroid 1 with n_probe=1 only sees cluster 1
+    hits = ivf_search(idx, centroids, [1.0, 0.05, 0.0], k=2, n_probe=1).collect()
+    assert [r.vec_id for r in hits] == [3, 1] or [r.vec_id for r in hits] == [1, 3]
+    assert all(r.cosine > 0.9 for r in hits)

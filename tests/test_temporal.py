@@ -1,0 +1,80 @@
+"""asof_join and sessionize on hand-built micro-fixtures."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 250), (3, "u2", 50)],
+        "event_id long, user_id string, ts long",
+    ).localCheckpoint()
+    right = spark.createDataFrame(
+        [("u1", 90, 9.0), ("u1", 200, 20.0), ("u2", 60, 6.0)],
+        "user_id string, rts long, v double",
+    ).localCheckpoint()
+    out = {
+        r.event_id: (r.asof_v, r.asof_ts)
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="rts", value_col="v"
+        ).collect()
+    }
+    assert out[1] == (9.0, 90)  # latest right at-or-before 100
+    assert out[2] == (20.0, 200)
+    assert out[3] == (None, None)  # u2's only right row is after ts=50
+
+
+def test_asof_tie_matches_equal_ts(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100)], "event_id long, user_id string, ts long"
+    ).localCheckpoint()
+    right = spark.createDataFrame(
+        [("u", 100, 1.0)], "user_id string, rts long, v double"
+    ).localCheckpoint()
+    row = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="rts", value_col="v"
+    ).first()
+    assert row.asof_v == 1.0  # right row at exactly left_ts matches
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, "u1", datetime.utcfromtimestamp(t)) for i, t in enumerate(rows)],
+        "event_id long, user_id string, ts timestamp",
+    ).localCheckpoint()
+
+
+def test_sessionize_gap(spark):
+    # gaps: 10 min (same session), 31 min (new), 1 min (same)
+    ev = _ev(spark, [0, 600, 600 + 31 * 60, 600 + 32 * 60])
+    got = {
+        r.event_id: r.session_seq
+        for r in sessionize(ev, gap_ms=30 * 60 * 1000).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2}
+
+
+def test_session_stats(spark):
+    ev = _ev(spark, [0, 600, 600 + 31 * 60])
+    rows = {
+        r.session_seq: r
+        for r in session_stats(ev, gap_ms=30 * 60 * 1000).collect()
+    }
+    assert rows[1].n_events == 2 and rows[1].duration_ms == 600_000
+    assert rows[2].n_events == 1 and rows[2].duration_ms == 0
+    assert rows[1].session_start_ms == 0
+
+
+def test_sessionize_single_event_user(spark):
+    ev = spark.createDataFrame(
+        [(1, "solo", datetime.utcfromtimestamp(42))],
+        "event_id long, user_id string, ts timestamp",
+    ).localCheckpoint()
+    assert sessionize(ev).first().session_seq == 1

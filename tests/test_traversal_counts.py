@@ -1,0 +1,113 @@
+"""reachable_counts: counter semantics, strategy equivalence, fallback."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.traversal import (
+    path_count_to,
+    reachable,
+    reachable_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def diamond(spark):
+    # a→{b,c}→d→e : two paths reach d (and e) — multiplicity 2
+    return spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    ).localCheckpoint()
+
+
+def _as_map(df):
+    return {(r.node, r.level): r.cnt for r in df.collect()}
+
+
+def test_path_mode_multiplicity(diamond):
+    got = _as_map(reachable_counts(diamond, ["a"], 3, mode="path"))
+    assert got == {
+        ("b", 1): 1,
+        ("c", 1): 1,
+        ("d", 2): 2,
+        ("e", 3): 2,
+    }
+
+
+def test_node_mode_first_level_wins(diamond):
+    got = _as_map(reachable_counts(diamond, ["a"], 3, mode="node"))
+    assert got == {("b", 1): 1, ("c", 1): 1, ("d", 2): 1, ("e", 3): 1}
+
+
+def test_counts_agree_with_row_kernel(diamond):
+    rows = reachable(diamond, ["a"], 3, mode="path").groupBy(
+        "node", "level"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    assert _as_map(rows) == _as_map(reachable_counts(diamond, ["a"], 3, "path"))
+
+
+def test_collect_edges_strategy_equivalent(diamond):
+    a = _as_map(reachable_counts(diamond, ["a"], 3, mode="path"))
+    b = _as_map(
+        reachable_counts(diamond, ["a"], 3, mode="path", collect_edges=True)
+    )
+    assert a == b
+
+
+def test_distributed_fallback_equivalent(diamond):
+    # force the fallback by making every frontier "too big" for the driver
+    got = _as_map(
+        reachable_counts(
+            diamond, ["a"], 3, mode="path", collect_threshold=0
+        )
+    )
+    assert got == {("b", 1): 1, ("c", 1): 1, ("d", 2): 2, ("e", 3): 2}
+
+
+def test_distributed_fallback_node_mode(diamond):
+    got = _as_map(
+        reachable_counts(diamond, ["a"], 3, mode="node", collect_threshold=0)
+    )
+    assert got == {("b", 1): 1, ("c", 1): 1, ("d", 2): 1, ("e", 3): 1}
+
+
+def test_include_seed(diamond):
+    got = _as_map(
+        reachable_counts(diamond, ["a"], 1, mode="node", include_seed=True)
+    )
+    assert got == {("a", 0): 1, ("b", 1): 1, ("c", 1): 1}
+
+
+def test_cycle_terminates_node_mode(spark):
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    ).localCheckpoint()
+    got = _as_map(reachable_counts(cyc, ["a"], 10, mode="node"))
+    assert got == {("b", 1): 1}  # a already visited as seed
+
+
+def test_path_count_to(diamond):
+    assert path_count_to(diamond, ["a"], "e", 3).first().path_count == 2
+    assert path_count_to(diamond, ["a"], "e", 2).first().path_count == 0
+    assert (
+        path_count_to(diamond, ["a"], "e", 3, collect_edges=True)
+        .first()
+        .path_count
+        == 2
+    )
+
+
+def test_empty_seeds(diamond):
+    assert reachable_counts(diamond, [], 3, mode="path").count() == 0
+
+
+def test_zero_depth(diamond):
+    assert reachable_counts(diamond, ["a"], 0, mode="path").count() == 0
+    got = _as_map(
+        reachable_counts(diamond, ["a"], 0, mode="path", include_seed=True)
+    )
+    assert got == {("a", 0): 1}
+
+
+def test_duplicate_seeds_path_multiplicity(diamond):
+    got = _as_map(reachable_counts(diamond, ["a", "a"], 1, mode="path"))
+    assert got == {("b", 1): 2, ("c", 1): 2}
