@@ -1,0 +1,134 @@
+"""Custom stateful streaming operators (`applyInPandasWithState`) and
+built-in session windows — the beyond-reference streaming surface
+(SURVEY §2.8 notes the reference has no stateful aggregation; a
+training-data pipeline needs at least streaming dedup and running
+per-key materialization).
+
+All operators work on BOTH batch and streaming DataFrames where Spark
+allows it; the `applyInPandasWithState` paths are streaming-only by API
+and have batch twins in plans/ for the oracle gate.
+
+Scale notes: state lives in the state store keyed by the grouping key —
+shuffle is one exchange on the key, state size is O(distinct keys);
+watermarks bound it for session windows.  Arrow moves each group's rows
+as pandas batches (never row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("last_value", LongType()),
+    ]
+)
+RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("last", LongType())]
+)
+
+
+def running_counts(grouped):
+    """Per-key running (count, last_value) maintained across micro-batches
+    — the minimal CDC-style materializer as a custom stateful operator.
+
+    Usage: ``stream.groupBy("key").applyInPandasWithState(... )`` via
+    this wrapper: ``running_counts(stream.groupBy("key"))``.  Emits one
+    row per key per micro-batch that touched it (update semantics).
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        n, last = state.get if state.exists else (0, None)
+        seq = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("seq")
+            n += len(pdf)
+            if len(pdf):
+                seq = int(pdf["seq"].iloc[-1])
+                last = int(pdf["value"].iloc[-1])
+        state.update((n, last))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "last_value": [last]}
+        )
+
+    return grouped.applyInPandasWithState(
+        fn,
+        RUNNING_OUT_SCHEMA,
+        RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+DEDUP_OUT_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("first_seq", LongType())]
+)
+DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def streaming_first_seen(grouped):
+    """Streaming exact-dedup: emit each key exactly once (its first
+    occurrence, by ``seq``) across all micro-batches; later occurrences
+    are absorbed by the per-key state.  The stateful twin of
+    ``dedup.dedup_exact`` — use for continuous corpus ingestion where
+    `dropDuplicates` + watermark would evict state too early."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                m = int(pdf["seq"].min())
+                first = m if first is None else min(first, m)
+        if not state.exists and first is not None:
+            state.update((first,))
+            yield pd.DataFrame({"key": [key[0]], "first_seq": [first]})
+
+    return grouped.applyInPandasWithState(
+        fn,
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Built-in gap session windows (F.session_window): works on batch
+    DataFrames directly and on streams with a watermark.  Emits
+    (user, session_start_ms, n_events).
+
+    Note the semantic difference vs `operators/temporal.sessionize`:
+    session_window closes a session when the NEXT event is > gap after
+    the PREVIOUS one — identical gap rule, but window bounds are
+    [min_ts, last_ts + gap)."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the properties PERF.md claims —
+filter/projection pushdown into the parquet scan, broadcast of dimension
+sides, whole-stage codegen on hot paths — asserted on `.explain` output
+so a regression fails CI, not just the benchmark."""
+
+import os
+
+import pytest
+
+from graphdb_for_drones_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pricing_summary_pushdown(spark):
+    plan = formatted_plan(QUERIES["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "shipdate filter must reach the parquet scan"
+    # column pruning: the scan must not read the unused l_partkey
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_events_filter_pushdown_and_pruning(spark):
+    plan = formatted_plan(QUERIES["events_filter"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "event_type" in pushed and "value" in pushed
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in read_schema, "unused wide column must be pruned"
+
+
+def test_top_customers_broadcasts_aggregated_side(spark):
+    plan = formatted_plan(QUERIES["top_customers"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_region_volume_broadcasts_dimensions(spark):
+    plan = formatted_plan(QUERIES["region_volume"](spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2, (
+        "region/nation/supplier dimension sides should broadcast"
+    )
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = formatted_plan(QUERIES["pricing_summary"](spark, SF_DIR))
+    assert "partial" in plan.lower(), "map-side combine expected before exchange"
+
+
+def test_whole_stage_codegen_on_scan_agg(spark):
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes stages at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark operators inside WholeStageCodegen stages
+    assert "*(1)" in plan and "*(2)" in plan, (
+        "scan→filter→partial-agg and final-agg must both be codegen stages"
+    )
