@@ -22,3 +22,16 @@ def test_csv_shape(tmp_path):
         rows = list(csv.DictReader(f))
     assert rows[0]["scenario"] == "s"
     assert set(rows[0]) == {"scenario", "scale_up", "depth", "p50_ms", "p95_ms", "p99_ms", "tps"}
+
+
+def test_protocol_sweep_shapes(spark):
+    from graphdb_for_drones_spark.bench_protocol import sweep
+
+    rs = sweep(spark, [50], [2], iterations=2)
+    assert {r.scenario for r in rs} == {"flat_chain", "hierarchy", "wot_chain"}
+    for r in rs:
+        row = r.row()
+        assert set(row) == {
+            "scenario", "scale_up", "depth", "p50_ms", "p95_ms", "p99_ms", "tps",
+        }
+        assert row["tps"] > 0
