@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from graphdb_for_drones_spark.bench_utils import BenchResult, benchmark_query
 from graphdb_for_drones_spark.catalog import TABLES, Catalog, load_table
 from graphdb_for_drones_spark.graph import DroneGraph, testdata_graph
-from graphdb_for_drones_spark.traversal import reachable
+from graphdb_for_drones_spark.traversal import (
+    path_count_to,
+    reachable,
+    reachable_counts,
+)
 
 
 def get_bench_query(hq_id: str, depth: int, table: str = "delegation") -> str:
@@ -69,6 +73,60 @@ class DroneGraphEngine:
 
     def traverse(self, edges: DataFrame, seeds, max_depth: int, **kw) -> DataFrame:
         return reachable(edges, seeds, max_depth, **kw)
+
+    def traverse_counts(
+        self, edges: DataFrame, seeds, max_depth: int, **kw
+    ) -> DataFrame:
+        """(node, level, cnt) counter kernel — the adaptive execution
+        path (driver BFS / driver frontier / distributed)."""
+        return reachable_counts(edges, seeds, max_depth, **kw)
+
+    def path_count(
+        self, edges: DataFrame, seeds, target: str, max_len: int, **kw
+    ) -> DataFrame:
+        return path_count_to(edges, seeds, target, max_len, **kw)
+
+    # ---------------- beyond-reference operator families ----------- #
+    def asof_join(self, left, right, **kw) -> DataFrame:
+        from graphdb_for_drones_spark.operators.temporal import asof_join
+
+        return asof_join(left, right, **kw)
+
+    def sessionize(self, events: DataFrame, **kw) -> DataFrame:
+        from graphdb_for_drones_spark.operators.temporal import sessionize
+
+        return sessionize(events, **kw)
+
+    def dedup_exact(self, df: DataFrame, **kw) -> DataFrame:
+        from graphdb_for_drones_spark.operators.dedup import dedup_exact
+
+        return dedup_exact(df, **kw)
+
+    def near_dup_pairs(self, df: DataFrame, method: str = "minhash", **kw):
+        from graphdb_for_drones_spark.operators import dedup as D
+
+        fn = {
+            "minhash": D.minhash_lsh_pairs,
+            "minhash_md5": D.minhash_lsh_pairs_md5,
+            "simhash": D.simhash_pairs,
+            "ngram": D.ngram_jaccard_pairs,
+        }[method]
+        return fn(df, **kw)
+
+    def topk_similar(self, embeddings: DataFrame, query_vec, **kw) -> DataFrame:
+        from graphdb_for_drones_spark.operators.similarity import cosine_topk
+
+        return cosine_topk(embeddings, query_vec, **kw)
+
+    def salted_agg(self, df: DataFrame, keys, aggs, **kw) -> DataFrame:
+        from graphdb_for_drones_spark.operators.skew import salted_agg
+
+        return salted_agg(df, keys, aggs, **kw)
+
+    def write_bucketed(self, df: DataFrame, table: str, bucket_col: str, **kw):
+        from graphdb_for_drones_spark.operators.skew import write_bucketed
+
+        return write_bucketed(df, table, bucket_col, **kw)
 
     def chain_count(self, delegation: DataFrame, hq_id: str, depth: int) -> int:
         """Library form of get_bench_query: count recursive chain rows

@@ -35,3 +35,28 @@ def test_benchmark_protocol(engine):
         engine.sql("SELECT COUNT(*) AS n FROM nation"), iterations=3, scenario="s"
     )
     assert res.iterations == 3 and res.tps > 0
+
+
+def test_engine_facade_round2_surface(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.api import DroneGraphEngine
+
+    eng = DroneGraphEngine(spark, sf_dir)
+    # counter kernel through the facade
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    ).localCheckpoint()
+    assert eng.traverse_counts(edges, ["a"], 2).count() == 2
+    assert eng.path_count(edges, ["a"], "c", 2).first().path_count == 1
+    # dedup + salted agg delegate correctly
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    ).localCheckpoint()
+    assert sorted(
+        r.doc_id for r in eng.dedup_exact(docs).collect()
+    ) == [1]
+    got = eng.salted_agg(
+        docs, ["text"], {"n": F.count(F.lit(1))}, salt_on="doc_id"
+    ).first()
+    assert got.n == 2
