@@ -351,6 +351,50 @@ def path_count_to(
     )
 
 
+def path_count_to_mitm(
+    edges: DataFrame,
+    seeds,
+    target: str,
+    max_len: int,
+    collect_edges: bool = False,
+) -> DataFrame:
+    """Meet-in-the-middle variant of ``path_count_to``: expand forward
+    from the seeds to depth ⌈L/2⌉ and BACKWARD from the anchor (over
+    reversed edges) to depth L−⌈L/2⌉, then join the two count tables at
+    the meeting position.  A length-t path is split at the unique node
+    at position h(t)=min(t, H) from the seed, so each path is counted
+    exactly once: paths(t) = Σ_node fwd(node, h) · bwd(node, t−h).
+
+    Halves the number of SEQUENTIAL expansion rounds — the dominant cost
+    of deep anchored traversals, where each level is a driver-coordinated
+    or distributed job barrier.  Same result as ``path_count_to``."""
+    spark = edges.sparkSession
+    half = (max_len + 1) // 2
+    fwd = reachable_counts(
+        edges, seeds, half, mode="path", include_seed=True,
+        collect_edges=collect_edges,
+    ).select(
+        F.col("node"), F.col("level").alias("lf"), F.col("cnt").alias("cf")
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd = reachable_counts(
+        rev, [target], max_len - half, mode="path", include_seed=True,
+        collect_edges=collect_edges,
+    ).select(
+        F.col("node"), F.col("level").alias("lb"), F.col("cnt").alias("cb")
+    )
+    combos = spark.createDataFrame(
+        sorted({(min(t, half), t - min(t, half)) for t in range(1, max_len + 1)}),
+        "lf int, lb int",
+    )
+    joined = fwd.join(bwd, "node").join(F.broadcast(combos), ["lf", "lb"])
+    return joined.agg(
+        F.coalesce(F.sum(F.col("cf") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("path_count")
+    )
+
+
 def reachable_via_labels(
     graph,
     seed_id: str,

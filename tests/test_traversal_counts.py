@@ -111,3 +111,48 @@ def test_zero_depth(diamond):
 def test_duplicate_seeds_path_multiplicity(diamond):
     got = _as_map(reachable_counts(diamond, ["a", "a"], 1, mode="path"))
     assert got == {("b", 1): 2, ("c", 1): 2}
+
+
+def test_mitm_equals_direct(spark, diamond):
+    from graphdb_for_drones_spark.traversal import path_count_to_mitm
+
+    for target, max_len, want in [
+        ("e", 3, 2),
+        ("e", 2, 0),
+        ("d", 2, 2),
+        ("d", 3, 2),
+        ("b", 1, 1),
+        ("missing", 3, 0),
+    ]:
+        direct = path_count_to(diamond, ["a"], target, max_len).first().path_count
+        mitm = path_count_to_mitm(
+            diamond, ["a"], target, max_len
+        ).first().path_count
+        assert direct == want == mitm, (target, max_len, direct, mitm)
+
+
+def test_mitm_long_chain(spark):
+    from graphdb_for_drones_spark.traversal import path_count_to_mitm
+
+    n = 12
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(n)], "src string, dst string"
+    ).localCheckpoint()
+    got = path_count_to_mitm(
+        chain, ["n0"], f"n{n}", n, collect_edges=True
+    ).first().path_count
+    assert got == 1
+    short = path_count_to_mitm(
+        chain, ["n0"], f"n{n}", n - 1, collect_edges=True
+    ).first().path_count
+    assert short == 0
+
+
+def test_mitm_multi_edge_multiplicity(spark):
+    from graphdb_for_drones_spark.traversal import path_count_to_mitm
+
+    # duplicate edge rows are distinct paths (UNION ALL semantics)
+    g = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c")], "src string, dst string"
+    ).localCheckpoint()
+    assert path_count_to_mitm(g, ["a"], "c", 2).first().path_count == 2
