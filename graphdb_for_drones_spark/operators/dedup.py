@@ -294,6 +294,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.1,
     max_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram jaccard via shingle inverted index: explode distinct
     shingle hashes, self-join on shingle (the inverted-index join), count
@@ -314,6 +315,52 @@ def ngram_jaccard_pairs(
         ).alias("hashes"),
     )
     inv = sh.select("id", F.size("hashes").alias("n"), F.explode("hashes").alias("h"))
+    if prefix_filter and max_df is None:
+        # PPJoin-style prefix filtering, EXACT result: under a global
+        # shingle order (ascending document frequency, hash tiebreak) two
+        # sets with jaccard >= t must both index a shared shingle within
+        # their first |X| - ceil(t*|X|) + 1 entries.  Indexing only those
+        # prefixes drops each doc's most frequent shingles — exactly the
+        # d² candidate-blowup offenders — while the verification join
+        # still computes jaccard over the FULL sets.
+        from pyspark.sql.window import Window
+
+        dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+        ranked = inv.join(dfreq, "h").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("dfc", "h")
+            ),
+        )
+        prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        pruned = ranked.filter(F.col("rn") <= prefix_len).select("id", "h")
+        posting = (
+            pruned.groupBy("h")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        cand = (
+            posting.select(
+                F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sets = sh
+        pairs = cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("hashes").alias("ha")),
+            "id_a",
+        ).join(
+            sets.select(F.col("id").alias("id_b"), F.col("hashes").alias("hb")),
+            "id_b",
+        )
+        inter = F.size(F.array_intersect("ha", "hb"))
+        jac = inter / (F.size("ha") + F.size("hb") - inter)
+        return (
+            pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     if max_df is not None:
         # post-filter set sizes differ from size(hashes): recount per doc
         keep = inv.groupBy("h").agg(F.count(F.lit(1)).alias("dfc")).filter(

@@ -78,3 +78,30 @@ def test_simhash_near_dup_low_hamming(corpus):
     # unrelated doc 5 is far from the A-family under a tight threshold
     tight = {(r.id_a, r.id_b) for r in simhash_pairs(corpus, max_hamming=2).collect()}
     assert not any(5 in p for p in tight)
+
+
+def test_prefix_filter_is_exact(corpus):
+    plain = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.1).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(
+            corpus, threshold=0.1, prefix_filter=True
+        ).collect()
+    }
+    # PPJoin prefix filtering must be a pure optimization: same pairs,
+    # same jaccard values
+    assert pf == plain and len(plain) > 0
+
+
+def test_minhash_md5_behaves_like_fast_variant(corpus):
+    from graphdb_for_drones_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_md5(corpus, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(5 in p for p in pairs)
