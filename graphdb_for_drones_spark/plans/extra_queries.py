@@ -446,6 +446,75 @@ ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
 """
 
 
+def q_event_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (rows-only: HLL estimates are approximate
+    by design; `tests/test_sketches.py` pins 5% accuracy vs exact):
+    daily per-type HLL sketches of distinct users, merged to per-type —
+    the continuous-aggregate pattern that replaces full-scan
+    COUNT(DISTINCT) at serving time."""
+    from graphdb_for_drones_spark.operators.sketches import (
+        hll_build,
+        hll_rollup,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.withColumn("day", F.to_date("ts"))
+    return hll_rollup(hll_build(ev, ["event_type", "day"], "user_id"), ["event_type"])
+
+
+def q_user_event_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user tamper-evident hash chain over the event stream —
+    the reference's hash-chain verification pattern
+    (demo_offline/02_offline_did_and_hash: each artifact binds the
+    previous hash) as a distributed operator: chain_i = md5(chain_{i-1}
+    || payload_i), folded per user in event order.  The fold runs inside
+    codegen (`aggregate` over a collected, sorted struct array) — one
+    exchange on user_id, no Python."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "user_id",
+        F.struct(
+            F.col("event_id"),
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("value").cast("string"),
+            ).alias("payload"),
+        ).alias("s"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("evs")
+    )
+    chain = F.aggregate(
+        F.col("evs"),
+        F.lit("genesis"),
+        lambda acc, e: F.md5(F.concat(acc, e["payload"])),
+    )
+    return per_user.select(
+        "user_id", F.size("evs").alias("n_events"), chain.alias("chain_hash")
+    )
+
+
+ORACLE_USER_EVENT_HASH_CHAIN = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+           CAST(value AS VARCHAR) AS payload
+  FROM events
+),
+pu AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         list(payload ORDER BY event_id) AS payloads
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events,
+       list_reduce(list_prepend('genesis', payloads),
+                   (acc, x) -> md5(acc || x)) AS chain_hash
+FROM pu
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -463,6 +532,8 @@ EXTRA_QUERIES = {
     "event_value_percentiles": q_event_value_percentiles,
     "nation_triangles": q_nation_triangles,
     "ivf_topk": q_ivf_topk,
+    "user_event_hash_chain": q_user_event_hash_chain,
+    "event_hll_rollup": q_event_hll_rollup,
 }
 
 EXTRA_ORACLES = {
@@ -478,4 +549,5 @@ EXTRA_ORACLES = {
     "event_value_percentiles": ORACLE_EVENT_VALUE_PERCENTILES,
     "nation_triangles": ORACLE_NATION_TRIANGLES,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
 }
