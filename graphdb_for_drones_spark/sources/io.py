@@ -63,3 +63,17 @@ def read_jdbc_table(
             .option("upperBound", str(upper_bound))
         )
     return reader.load()
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (e.g. vertices/edges
+    partitioned by ``label``, SURVEY §1.4): an equality filter on a
+    partition column becomes directory pruning — the scan never lists,
+    let alone reads, other partitions.  Verified by
+    tests/test_plan_shape.py::test_partition_pruning_on_label."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

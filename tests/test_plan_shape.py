@@ -62,3 +62,21 @@ def test_whole_stage_codegen_on_scan_agg(spark):
     assert "*(1)" in plan and "*(2)" in plan, (
         "scan→filter→partial-agg and final-agg must both be codegen stages"
     )
+
+
+def test_partition_pruning_on_label(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.sources.io import write_partitioned
+
+    v = spark.createDataFrame(
+        [(f"n{i}", "Drone" if i % 2 else "Squad") for i in range(100)],
+        "id string, label string",
+    )
+    path = str(tmp_path / "vertices")
+    write_partitioned(v, path, ["label"])
+    scan = spark.read.parquet(path).filter(F.col("label") == "Drone")
+    plan = formatted_plan(scan)
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "label" in pf, "label filter must prune partitions:\n" + plan
+    assert scan.count() == 50
