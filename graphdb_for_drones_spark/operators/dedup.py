@@ -105,9 +105,11 @@ def minhash_signature(shingle_col, num_hashes: int = 32):
 
 
 def pairs_from_sorted_ids(ids_col):
-    """All ordered pairs (a < b by position) from a sorted id array, as an
+    """All ordered pairs (a < b by position) from a sorted array, as an
     array<struct<id_a,id_b>> — the posting-list pair enumeration of a
-    bucket/inverted index, generated map-side with zero join.
+    bucket/inverted index, generated map-side with zero join.  Elements
+    may themselves be structs (e.g. (id, set_size)); pair fields keep the
+    element type.
 
     Caller must guarantee ``size(ids) >= 2`` (filter the bucket list
     first): ``sequence`` would run backwards on a singleton."""
@@ -368,27 +370,30 @@ def ngram_jaccard_pairs(
         )
         inv = inv.join(keep.select("h"), "h", "left_semi")
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    else:
-        # set size is just the array length — no extra aggregate/join
-        sizes = sh.select("id", F.size("hashes").alias("n"))
+        inv = inv.drop("n").join(sizes, "id")
 
     # posting lists per shingle → map-side pair enumeration → count common
     # shingles per pair.  vs the classic inverted-index self-join: one
-    # exchange of (h, id) instead of two, no join build, and the per-doc
-    # set sizes join onto the AGGREGATED pair table (one row per candidate
-    # pair), never onto the exploded pair stream.
+    # exchange of (h, id) instead of two and no join build.  The per-doc
+    # set size rides INSIDE the posting-list struct, so the jaccard
+    # denominator needs no size join at all and the base projection is
+    # consumed exactly once (no second shingle computation).
     posting = (
-        inv.groupBy("h").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        inv.select(F.struct("id", "n").alias("s"), "h")
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("s")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     common = (
         posting.select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
+        .groupBy(
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_a.n").alias("na"),
+            F.col("p.id_b.id").alias("id_b"),
+            F.col("p.id_b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    common = common.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
-    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return common.withColumn("jaccard", jac).filter(
         F.col("jaccard") >= threshold
