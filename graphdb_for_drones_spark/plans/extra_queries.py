@@ -446,6 +446,74 @@ ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact n-gram jaccard pairs (≥0.1) as an
+    undirected graph, connected components by iterative min-label
+    propagation, summarized per cluster.  The oracle reproduces the
+    transitive closure with a recursive CTE (cluster id = min reachable
+    doc id) — an iterative distributed algorithm checked against an
+    independent SQL fixpoint formulation."""
+    from graphdb_for_drones_spark.operators.dedup import ngram_jaccard_pairs
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        connected_components,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    # zero-pad: label propagation takes MIN over string labels, which
+    # must order like the numeric doc ids
+    pairs = ngram_jaccard_pairs(cat.documents, threshold=0.1).select(
+        F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("component").cast("long").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# transitive closure over the near-dup pair graph; component id = min
+# reachable doc id (matches min-label propagation's fixpoint)
+ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)]
+         END AS sh
+  FROM d
+),
+ds AS (SELECT doc_id, len(list_distinct(sh)) AS n, list_distinct(sh) AS sh FROM s),
+inv AS (SELECT doc_id, n, unnest(sh) AS g FROM ds),
+c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT id_a, id_b FROM c WHERE inter * 1.0 / (na + nb - inter) >= 0.1
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+),
+closure AS (
+  SELECT DISTINCT src AS node, src AS r FROM e
+  UNION
+  SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM closure GROUP BY node)
+SELECT cluster_id, COUNT(*) AS n_docs
+FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1
+"""
+
+
 def q_event_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (rows-only: HLL estimates are approximate
     by design; `tests/test_sketches.py` pins 5% accuracy vs exact):
@@ -534,6 +602,7 @@ EXTRA_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 EXTRA_ORACLES = {
@@ -550,4 +619,5 @@ EXTRA_ORACLES = {
     "nation_triangles": ORACLE_NATION_TRIANGLES,
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }
