@@ -446,6 +446,93 @@ ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
 """
 
 
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped argmin join: per part, the supplier offering the lowest
+    average line price (window rank over a grouped aggregate; suppkey
+    tiebreak), restricted to parts with >= 3 distinct suppliers, top 20
+    parts.  The correlated-subquery pattern as a rank window."""
+    cat = Catalog(spark, sf_dir)
+    cost = cat.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+    )
+    nsup = cost.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    ).filter(F.col("n_suppliers") >= 3)
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("avg_price"), F.asc("l_suppkey")
+    )
+    best = (
+        cost.join(nsup, "l_partkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round("avg_price", 4).alias("best_avg_price"),
+            "n_suppliers",
+        )
+        .orderBy(F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+ORACLE_MIN_PRICE_SUPPLIER = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avg_price
+  FROM lineitem GROUP BY 1, 2
+),
+nsup AS (
+  SELECT l_partkey, COUNT(*) AS n_suppliers FROM cost
+  GROUP BY 1 HAVING COUNT(*) >= 3
+),
+best AS (
+  SELECT c.l_partkey, c.l_suppkey, c.avg_price, n.n_suppliers,
+         ROW_NUMBER() OVER (PARTITION BY c.l_partkey
+                            ORDER BY c.avg_price ASC, c.l_suppkey ASC) AS rn
+  FROM cost c JOIN nsup n USING (l_partkey)
+)
+SELECT l_partkey, l_suppkey, ROUND(avg_price, 4) AS best_avg_price,
+       n_suppliers
+FROM best WHERE rn = 1
+ORDER BY l_partkey ASC LIMIT 20
+"""
+
+
+def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (F2/F3: get_json_object over the open
+    ``props`` payload) + grouped stats on the extracted value."""
+    cat = Catalog(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        cat.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("k").isNotNull()).alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENT_PROPS_EXTRACT = """
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL)
+            AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: exact n-gram jaccard pairs (≥0.1) as an
     undirected graph, connected components by iterative min-label
@@ -603,6 +690,8 @@ EXTRA_QUERIES = {
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
     "dedup_clusters": q_dedup_clusters,
+    "min_price_supplier": q_min_price_supplier,
+    "event_props_extract": q_event_props_extract,
 }
 
 EXTRA_ORACLES = {
@@ -620,4 +709,6 @@ EXTRA_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "min_price_supplier": ORACLE_MIN_PRICE_SUPPLIER,
+    "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,
 }
