@@ -44,3 +44,35 @@ def test_observe_latency(spark):
     # observation names are attached to the plan; collect must succeed and
     # rows flow through unchanged
     assert observed.count() == 2
+
+
+def test_cdc_protocol_benches(spark):
+    from graphdb_for_drones_spark.cdc_protocol import (
+        bench_capture_apply,
+        bench_recovery,
+        make_change_log,
+    )
+    from graphdb_for_drones_spark.streaming.cdc import (
+        apply_cdc_batch,
+        encode_envelope,
+        parse_envelope,
+    )
+    from pyspark.sql import functions as F
+
+    # protocol correctness at reduced volume: net state = inserts - deletes
+    log = make_change_log(spark, n_insert=100, n_update=40, n_delete=30)
+    decoded = parse_envelope(
+        encode_envelope(log.select("op", "id", "payload", "ts_ms"))
+    ).withColumn("ts_ms", F.col("ts_ms").cast("long"))
+    state = apply_cdc_batch(
+        spark.createDataFrame([], "id long, payload string"),
+        decoded,
+        seq_col="ts_ms",
+    )
+    assert state.count() == 70
+    # updated-but-not-deleted rows carry the v2 payload
+    survivors = {r.id: r.payload for r in state.collect()}
+    assert survivors[35] == "item-35-v2"
+    assert survivors[99] == "item-99"
+    r = bench_recovery(spark, backlog=200)
+    assert r["batches"] == 1 and r["drain_ev_s"] > 0
