@@ -280,6 +280,56 @@ FROM documents
 """
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score pre-filter stats per language: the cheap composite
+    heuristic (length / stopword / punctuation) that gates docs before
+    model-based scoring in a training-data pipeline."""
+    cat = Catalog(spark, sf_dir)
+    q = T.quality_score(F.col("text"))
+    return (
+        cat.documents.select("lang", q.alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("q") >= 0.5).alias("n_pass"),
+            (
+                F.sum(F.col("q").cast("decimal(10,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_q"),
+        )
+    )
+
+
+# replicates quality_score exactly: identical double arithmetic on both
+# engines (int-derived ratios, *5 / *4 / /3, final round 6)
+ORACLE_DOC_QUALITY = r"""
+WITH t AS (
+  SELECT lang,
+    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+      AS n_tok,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        x -> x IN ('the','a','of','and','in','to','is')))
+    * 1.0 /
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))
+      AS sw_ratio,
+    (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+    * 1.0 / length(text) AS p_ratio
+  FROM documents
+),
+q AS (
+  SELECT lang,
+    ROUND((LEAST(n_tok / 100.0, 1.0)
+           + LEAST(sw_ratio * 5, 1.0)
+           + GREATEST(1.0 - p_ratio * 4, 0.0)) / 3, 6) AS q
+  FROM t
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE q >= 0.5) AS BIGINT) AS n_pass,
+       CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_q
+FROM q GROUP BY lang
+"""
+
+
 def q_doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return cat.documents.groupBy("lang").agg(
@@ -550,6 +600,7 @@ LLM_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "simhash_pairs_md5": q_simhash_pairs_md5,
     "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
     "doc_lang_summary": q_doc_lang_summary,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_lang_id": q_doc_lang_id,
@@ -564,6 +615,7 @@ LLM_ORACLES = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
+    "doc_quality": ORACLE_DOC_QUALITY,
     "doc_lang_summary": ORACLE_DOC_LANG_SUMMARY,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
