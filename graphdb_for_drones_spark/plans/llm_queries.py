@@ -408,6 +408,51 @@ SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang
 
 
 # --------------------------------------------------------------------- #
+# multimodal family
+# --------------------------------------------------------------------- #
+
+
+def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing in the correctness gate: documents synthesized
+    into variable-length binary media payloads, decoded through the REAL
+    mapInPandas feature extractor (Arrow batches, repartition balancing,
+    typed output schema) with its deterministic fake decode, then
+    aggregated.  The oracle reproduces the decode arithmetic from the
+    byte lengths — so schema, batching and fan-in are all hash-checked;
+    only the stubbed pixel decode itself is fake (media libs absent by
+    design, COVERAGE.md multimodal row)."""
+    from graphdb_for_drones_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    media = cat.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(
+            F.repeat(F.md5("text"), (F.pmod(F.col("n_chars"), F.lit(7)) + 1).cast("int"))
+        ).alias("content"),
+    )
+    feats = extract_image_features(media, decode="fake")
+    return feats.groupBy("width", "height").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+ORACLE_MEDIA_FEATURE_STATS = """
+WITH m AS (
+  SELECT doc_id, 16 * ((n_chars % 7) + 1) AS nb FROM documents
+)
+SELECT CAST(64 + (nb % 512) AS INTEGER) AS width,
+       CAST(64 + ((nb // 7) % 512) AS INTEGER) AS height,
+       COUNT(*) AS n_media,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes
+FROM m GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- #
 # similarity family
 # --------------------------------------------------------------------- #
 
@@ -601,6 +646,7 @@ LLM_QUERIES = {
     "simhash_pairs_md5": q_simhash_pairs_md5,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
+    "media_feature_stats": q_media_feature_stats,
     "doc_lang_summary": q_doc_lang_summary,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_lang_id": q_doc_lang_id,
@@ -616,6 +662,7 @@ LLM_ORACLES = {
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
     "doc_quality": ORACLE_DOC_QUALITY,
+    "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
     "doc_lang_summary": ORACLE_DOC_LANG_SUMMARY,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
