@@ -105,3 +105,34 @@ def test_minhash_md5_behaves_like_fast_variant(corpus):
     }
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any(5 in p for p in pairs)
+
+
+def test_minhash_recall_on_planted_exact_dups(spark):
+    # exact duplicates agree on every permutation, hence on every band:
+    # recall on planted exact dups must be 1.0 regardless of corpus
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    docs, planted = [], []
+    for i in range(40):
+        text = " ".join(rng.choice(vocab) for _ in range(30))
+        docs.append((2 * i, text))
+        if i % 4 == 0:
+            docs.append((2 * i + 1, text))
+            planted.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).coalesce(2).localCheckpoint()
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.99).collect()
+    }
+    assert set(planted) <= found
+    # and every reported pair genuinely meets the threshold (verification
+    # join is exact)
+    vals = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    assert all(v >= 0.5 for v in vals.values())
