@@ -143,3 +143,74 @@ def fake_media_table(spark, n: int = 32, kind: str = "image") -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).localCheckpoint()
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize plumbing: mapInPandas pass emitting fixed-dimension
+    payloads.  The pixel resample is a deterministic byte
+    truncation/padding stub (a real pipeline calls PIL/torchvision here);
+    the Spark-side contract — binary in, (id, w, h, binary) out, Arrow
+    batches, per-media_id balancing — is the real thing."""
+    n_out = (target_w * target_h) // 64  # stand-in payload size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                out = (b * (n_out // max(len(b), 1) + 1))[:n_out]
+                rows.append((media_id, target_w, target_h, out))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .repartition(F.col("media_id"))
+        .mapInPandas(batches, RESIZED_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, bytes_per_ms: int = 16) -> DataFrame:
+    """Audio feature plumbing: duration from byte length at a nominal
+    rate, RMS stand-in = mean byte value (a real pipeline decodes with
+    soundfile/librosa — absent in this environment by design)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                rms = sum(b) // len(b) if b else 0
+                rows.append((media_id, len(b), len(b) // bytes_per_ms, rms))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "duration_ms", "rms"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .repartition(F.col("media_id"))
+        .mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    )

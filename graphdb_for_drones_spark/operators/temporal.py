@@ -84,6 +84,47 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Point-in-interval range join, bucketized: intervals are exploded
+    onto the fixed time buckets they cover; points equi-join on their
+    single bucket; an exact containment filter finishes
+    (start <= ts < end).  Every matching (point, interval) pair meets on
+    exactly one bucket (the point's), so no dedup is needed.
+
+    This is the scalable formulation of the theta join
+    ``ON ts BETWEEN start AND end``: the equi-join shuffles on bucket
+    keys and the per-bucket work is bounded by interval span /
+    ``bucket_ms`` — never the O(points × intervals) nested loop a
+    BETWEEN join degenerates to.  All columns in epoch millis."""
+    b = F.lit(bucket_ms)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / b).cast("long"),
+                # end is exclusive: last covered bucket is (end-1)/bucket
+                ((F.col(end_col) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    pt = left.withColumn("__bucket", (F.col(left_ts) / b).cast("long"))
+    return (
+        pt.join(iv, "__bucket")
+        .filter(
+            (F.col(left_ts) >= F.col(start_col))
+            & (F.col(left_ts) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -307,6 +307,46 @@ FROM p
 """
 
 
+def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN: events against derived daily
+    maintenance windows (02:00-06:00 per day), bucketized equi-join
+    formulation (operators/temporal.range_join) — the oracle is the
+    plain BETWEEN theta join."""
+    from graphdb_for_drones_spark.operators.temporal import range_join
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "event_id", "event_type", F.unix_millis("ts").alias("tsm")
+    )
+    days = (
+        cat.events.select(
+            F.unix_millis(F.date_trunc("day", F.col("ts"))).alias("day_ms")
+        )
+        .distinct()
+    )
+    windows = days.select(
+        "day_ms",
+        (F.col("day_ms") + 2 * 3_600_000).alias("w_start"),
+        (F.col("day_ms") + 6 * 3_600_000).alias("w_end"),
+    )
+    joined = range_join(ev, windows, "tsm", "w_start", "w_end")
+    return joined.groupBy("day_ms", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+ORACLE_EVENTS_IN_WINDOWS = """
+WITH w AS (
+  SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS day_ms FROM events
+)
+SELECT w.day_ms, e.event_type, COUNT(*) AS n_events
+FROM events e JOIN w
+  ON epoch_ms(e.ts) >= w.day_ms + 2 * 3600000
+ AND epoch_ms(e.ts) <  w.day_ms + 6 * 3600000
+GROUP BY 1, 2
+"""
+
+
 def q_event_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) per group (two-phase distinct aggregation)."""
     cat = Catalog(spark, sf_dir)
@@ -684,6 +724,7 @@ EXTRA_QUERIES = {
     "user_sessions": q_user_sessions,
     "asof_signup_before_purchase": q_asof_signup_before_purchase,
     "event_user_distinct": q_event_user_distinct,
+    "events_in_windows": q_events_in_windows,
     "event_value_percentiles": q_event_value_percentiles,
     "nation_triangles": q_nation_triangles,
     "ivf_topk": q_ivf_topk,
@@ -704,6 +745,7 @@ EXTRA_ORACLES = {
     "user_sessions": ORACLE_USER_SESSIONS,
     "asof_signup_before_purchase": ORACLE_ASOF_SIGNUP_BEFORE_PURCHASE,
     "event_user_distinct": ORACLE_EVENT_USER_DISTINCT,
+    "events_in_windows": ORACLE_EVENTS_IN_WINDOWS,
     "event_value_percentiles": ORACLE_EVENT_VALUE_PERCENTILES,
     "nation_triangles": ORACLE_NATION_TRIANGLES,
     "ivf_topk": ORACLE_IVF_TOPK,

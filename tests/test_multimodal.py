@@ -40,3 +40,32 @@ def test_frame_sampling_fanout(spark):
     assert per == {0: 3, 1: 3, 2: 3, 3: 3}
     one = frames.filter((F.col("media_id") == 0) & (F.col("frame_idx") == 0)).first()
     assert len(one.frame) == 64
+
+
+def test_resize_images_contract(spark):
+    from graphdb_for_drones_spark.operators.multimodal import (
+        fake_media_table,
+        resize_images,
+    )
+
+    media = fake_media_table(spark, n=6, kind="image")
+    out = resize_images(media, target_w=32, target_h=32).collect()
+    assert len(out) == 6
+    n_out = (32 * 32) // 64
+    for r in out:
+        assert (r.width, r.height) == (32, 32)
+        assert len(r.content) == n_out
+
+
+def test_extract_audio_features(spark):
+    from graphdb_for_drones_spark.operators.multimodal import (
+        extract_audio_features,
+        fake_media_table,
+    )
+
+    media = fake_media_table(spark, n=4, kind="audio")
+    rows = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r.duration_ms == r.n_bytes // 16
+        assert 0 <= r.rms <= 255

@@ -78,3 +78,32 @@ def test_sessionize_single_event_user(spark):
         "event_id long, user_id string, ts timestamp",
     ).localCheckpoint()
     assert sessionize(ev).first().session_seq == 1
+
+
+def test_range_join_bucketized(spark):
+    from graphdb_for_drones_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 1_000), (2, 5_000), (3, 10_000), (4, 10_001)],
+        "pid long, tsm long",
+    ).localCheckpoint()
+    iv = spark.createDataFrame(
+        [("w1", 0, 5_000), ("w2", 4_000, 11_000)],
+        "wid string, s long, e long",
+    ).localCheckpoint()
+    got = sorted(
+        (r.pid, r.wid)
+        for r in range_join(pts, iv, "tsm", "s", "e", bucket_ms=1_000).collect()
+    )
+    # end exclusive: tsm=5000 not in w1 [0,5000); both 10000/10001 in w2
+    assert got == [(1, "w1"), (2, "w2"), (3, "w2"), (4, "w2")]
+
+
+def test_range_join_no_matches(spark):
+    from graphdb_for_drones_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame([(1, 100)], "pid long, tsm long").localCheckpoint()
+    iv = spark.createDataFrame(
+        [("w", 200, 300)], "wid string, s long, e long"
+    ).localCheckpoint()
+    assert range_join(pts, iv, "tsm", "s", "e", bucket_ms=50).count() == 0
