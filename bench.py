@@ -48,11 +48,15 @@ HEADLINE = [
     "events_sliding_windows",
     "user_sessions",
     "asof_signup_before_purchase",
+    "events_in_windows",
+    "user_event_hash_chain",
+    "min_price_supplier",
     "minhash_pairs",
     "ngram_jaccard",
     "doc_token_stats",
     "embedding_topk",
     "ann_topk",
+    "ivf_topk",
 ]
 
 
