@@ -46,7 +46,12 @@ def asof_join(
     (ts, side) — right rows sort before left rows at equal ts — and a
     running ``last(ignorenulls=True)`` per key.  Scales as one exchange
     on ``on`` + sort, regardless of how many right rows precede each
-    left row."""
+    left row.
+
+    Tie semantics: among right rows sharing the SAME (key, right_ts) the
+    carried value is arbitrary (sort is not stable across partitionings)
+    — deduplicate the right side first if that matters; distinct
+    timestamps per key are fully deterministic (property-tested)."""
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
     lcols = left.columns

@@ -107,3 +107,41 @@ def test_range_join_no_matches(spark):
         [("w", 200, 300)], "wid string, s long, e long"
     ).localCheckpoint()
     assert range_join(pts, iv, "tsm", "s", "e", bucket_ms=50).count() == 0
+
+
+def test_asof_join_property_random(spark):
+    # randomized check vs an independent reference: for each left row,
+    # asof value == right value at the greatest rts <= ts (distinct rts
+    # per key by construction)
+    import random
+
+    rng = random.Random(7)
+    keys = ["a", "b", "c"]
+    left_rows = [
+        (i, rng.choice(keys), rng.randrange(0, 1000)) for i in range(60)
+    ]
+    right_rows = [
+        (rng.choice(keys), 2 * j + 1, float(j)) for j in range(80)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id string, ts long"
+    ).localCheckpoint()
+    right = spark.createDataFrame(
+        right_rows, "user_id string, rts long, v double"
+    ).localCheckpoint()
+
+    def ref(k, ts):
+        elig = [(rts, v) for rk, rts, v in right_rows if rk == k and rts <= ts]
+        return max(elig)[1] if elig else None
+
+    from graphdb_for_drones_spark.operators.temporal import asof_join
+
+    got = {
+        r.event_id: r.asof_v
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            value_col="v",
+        ).collect()
+    }
+    for eid, k, ts in left_rows:
+        assert got[eid] == ref(k, ts), (eid, k, ts)
