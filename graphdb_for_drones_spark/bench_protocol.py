@@ -113,10 +113,15 @@ def sweep(
             )
 
     for n in scale_up_nodes:
-        chain_len = min(n, 200)  # reference sweeps path length, not nodes
-        wt = web_trust_chain(spark, n=chain_len)
-        edges = wt.selectExpr("from_did AS src", "to_did AS dst")
         for depth in depths:
+            # the reference sweeps PATH LENGTH (04_web_of_trust): size the
+            # chain so the anchor sits exactly `min(n, depth)` hops from the
+            # seed — every timed iteration is a SUCCESSFUL search of that
+            # length (a fixed 100+-node chain with depths <= 8 would only
+            # ever measure anchor-never-reached misses)
+            chain_len = min(n, depth)
+            wt = web_trust_chain(spark, n=chain_len)
+            edges = wt.selectExpr("from_did AS src", "to_did AS dst")
 
             def run_wot(edges=edges, depth=depth, chain_len=chain_len):
                 got = (
@@ -130,11 +135,8 @@ def sweep(
                     .first()
                     .path_count
                 )
-                assert got == (1 if depth >= chain_len else 0), (
-                    got,
-                    depth,
-                    chain_len,
-                )
+                # single linear path, anchor at distance chain_len <= depth
+                assert got == 1, (got, depth, chain_len)
 
             results.append(
                 benchmark_query(

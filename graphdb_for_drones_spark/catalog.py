@@ -10,6 +10,7 @@ and column pruning behave identically at any scale.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -31,14 +32,37 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # session-level relation cache: resolving a parquet relation costs a
 # driver round of file listing + footer reads (~100 ms each); a real
 # engine caches catalog metadata the same way.  DataFrames are immutable
-# plans, so sharing one per (session, path, table) is safe.
-_DF_CACHE: dict[tuple, DataFrame] = {}
+# plans, so sharing one per (session, path, table) is safe.  Keyed
+# weakly on the session OBJECT (not id(): a stopped session's id can be
+# reused by a new one, which would serve plans bound to a dead JVM
+# context); entries die with the session.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def invalidate_table(sf_dir: str | None = None, name: str | None = None) -> None:
+    """Drop cached relations whose files may have been rewritten.
+
+    Engine write paths that overwrite a catalog path (mutation snapshots,
+    TRUNCATE/overwrite sinks) call this so the next ``load_table`` re-lists
+    files and re-reads footers instead of serving a stale file listing.
+    ``None`` acts as a wildcard (``invalidate_table()`` clears everything).
+    """
+    for per_session in _DF_CACHE.values():
+        for key in [
+            k
+            for k in per_session
+            if (sf_dir is None or k[0] == sf_dir) and (name is None or k[1] == name)
+        ]:
+            del per_session[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    if key in _DF_CACHE:
-        return _DF_CACHE[key]
+    per_session = _DF_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in per_session:
+        return per_session[key]
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long (runtime-settable legacy conf)
@@ -52,7 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    _DF_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

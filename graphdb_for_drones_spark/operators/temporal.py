@@ -108,18 +108,23 @@ def range_join(
     keys and the per-bucket work is bounded by interval span /
     ``bucket_ms`` — never the O(points × intervals) nested loop a
     BETWEEN join degenerates to.  All columns in epoch millis."""
-    b = F.lit(bucket_ms)
-    iv = intervals.withColumn(
+    # `div` is floor-consistent integer division JVM-side; `/` would go
+    # through DOUBLE and cast('long') truncates toward zero — wrong bucket
+    # for negative epoch values.  Empty/inverted intervals (end <= start)
+    # are dropped BEFORE the explode: sequence(start, smaller_end) would
+    # otherwise generate a descending bucket array whose spurious candidate
+    # rows the containment filter hides from results but not from cost.
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(start_col) / b).cast("long"),
-                # end is exclusive: last covered bucket is (end-1)/bucket
-                ((F.col(end_col) - 1) / b).cast("long"),
+                F.expr(f"{start_col} div {bucket_ms}"),
+                # end is exclusive: last covered bucket is (end-1) div bucket
+                F.expr(f"({end_col} - 1) div {bucket_ms}"),
             )
         ),
     )
-    pt = left.withColumn("__bucket", (F.col(left_ts) / b).cast("long"))
+    pt = left.withColumn("__bucket", F.expr(f"{left_ts} div {bucket_ms}"))
     return (
         pt.join(iv, "__bucket")
         .filter(

@@ -35,7 +35,11 @@ RUNNING_OUT_SCHEMA = StructType(
     ]
 )
 RUNNING_STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("last", LongType())]
+    [
+        StructField("n", LongType()),
+        StructField("last", LongType()),
+        StructField("last_seq", LongType()),
+    ]
 )
 
 
@@ -46,18 +50,26 @@ def running_counts(grouped):
     Usage: ``stream.groupBy("key").applyInPandasWithState(... )`` via
     this wrapper: ``running_counts(stream.groupBy("key"))``.  Emits one
     row per key per micro-batch that touched it (update semantics).
+
+    ``last_value`` is the value at the maximum ``seq`` seen so far —
+    tracked as (max_seq, value_at_max_seq) across Arrow chunks AND across
+    micro-batches (the seq is persisted in state), because a key's rows
+    within one micro-batch may span multiple pandas chunks in no global
+    seq order, and a replayed/late micro-batch may carry lower seqs.
     """
 
     def fn(key, pdf_iter, state: GroupState):
-        n, last = state.get if state.exists else (0, None)
-        seq = None
+        n, last, last_seq = state.get if state.exists else (0, None, None)
         for pdf in pdf_iter:
-            pdf = pdf.sort_values("seq")
+            if not len(pdf):
+                continue
             n += len(pdf)
-            if len(pdf):
-                seq = int(pdf["seq"].iloc[-1])
-                last = int(pdf["value"].iloc[-1])
-        state.update((n, last))
+            i = pdf["seq"].idxmax()
+            chunk_seq = int(pdf["seq"].loc[i])
+            if last_seq is None or chunk_seq >= last_seq:
+                last_seq = chunk_seq
+                last = int(pdf["value"].loc[i])
+        state.update((n, last, last_seq))
         yield pd.DataFrame(
             {"key": [key[0]], "n_events": [n], "last_value": [last]}
         )

@@ -287,6 +287,7 @@ def reachable_counts(
     # kernel (one job per level, eager localCheckpoint, broadcast frontier
     # under threshold — see `reachable` for the measured rationale)
     edges = edges.persist()
+    seeded_from_df = False
     if local_rows or not isinstance(seeds, DataFrame):
         f_df = _local_df(
             spark,
@@ -296,21 +297,28 @@ def reachable_counts(
             "node string, cnt long",
         )
     else:
+        # seeds DataFrame too large for driver coordination: the frontier
+        # starts (and stays) executor-side
         col = seeds.columns[0]
         f_df = seeds.select(F.col(col).cast("string").alias("node")).groupBy(
             "node"
         ).agg((F.count(F.lit(1)) if mode == "path" else F.lit(1)).alias("cnt"))
-        if include_seed:
-            local_rows_df = f_df.select("node", F.lit(0).alias("level"), "cnt")
+        seeded_from_df = True
     f_df = f_df.localCheckpoint()
-    visited_df = (
-        _local_df(spark, [(n,) for n in sorted(visited)], "node string")
-        if mode == "node"
-        else None
-    )
     parts = [_local_df(spark, local_rows, out_schema)]
-    if mode == "node" and visited_df is None:
-        visited_df = f_df.select("node")
+    if seeded_from_df and include_seed:
+        # level-0 rows for distributed seeds (driver-coordinated seeds put
+        # theirs into local_rows above)
+        parts.append(
+            f_df.select("node", F.lit(0).alias("level"), F.col("cnt").cast("long"))
+        )
+    visited_df = None
+    if mode == "node":
+        visited_df = _local_df(spark, [(n,) for n in sorted(visited)], "node string")
+        if seeded_from_df:
+            # distributed seeds never entered the driver `visited` set; mark
+            # them so a cycle back to a seed is not re-reported at level>=1
+            visited_df = visited_df.unionByName(f_df.select("node"))
     for dl in range(lvl, max_depth + 1):
         n = f_df.count()
         if n == 0:

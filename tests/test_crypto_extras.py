@@ -72,6 +72,10 @@ def test_hybrid_envelope_roundtrip():
     env = hybrid_encrypt(b"vc payload bytes", rk.public_key())
     assert hybrid_decrypt(env, rk) == b"vc payload bytes"
     # tampered ciphertext fails authentication
-    bad = dict(env, ciphertext=env["ciphertext"][:-1] + b"\x00")
+    # flip a bit (never a no-op, unlike overwriting with a fixed byte)
+    bad = dict(
+        env,
+        ciphertext=env["ciphertext"][:-1] + bytes([env["ciphertext"][-1] ^ 1]),
+    )
     with pytest.raises(Exception):
         hybrid_decrypt(bad, rk)

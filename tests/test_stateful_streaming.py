@@ -138,3 +138,38 @@ def test_session_window_batch(spark):
         ("u1", b + 50 * 60 * 1000): 1,
         ("u2", b): 1,
     }
+
+
+@pytest.mark.slow
+def test_running_counts_unordered_chunks(spark, tmp_path):
+    # force 1-row Arrow chunks: last_value must follow max(seq), not the
+    # last chunk delivered (regression: per-chunk overwrite); a replayed
+    # lower-seq batch must not regress last_value either
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        sdir = _write_batches(
+            tmp_path,
+            [
+                [
+                    {"key": "a", "seq": 5, "value": 50},
+                    {"key": "a", "seq": 2, "value": 20},
+                    {"key": "a", "seq": 4, "value": 40},
+                ],
+                [
+                    {"key": "a", "seq": 1, "value": 10},  # late replay
+                ],
+            ],
+        )
+        stream = (
+            spark.readStream.schema(IN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(sdir))
+        )
+        rows = _drain(running_counts(stream.groupBy("key")), tmp_path, "update")
+        final = {}
+        for r in rows:
+            final[r.key] = (r.n_events, r.last_value)
+        assert final["a"] == (4, 50)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -145,3 +145,37 @@ def test_asof_join_property_random(spark):
     }
     for eid, k, ts in left_rows:
         assert got[eid] == ref(k, ts), (eid, k, ts)
+
+
+def test_range_join_negative_epochs_floor_bucket(spark):
+    # floor (not truncate-toward-zero) bucketing: ts=-1500 lives in bucket
+    # -2 with bucket_ms=1000; interval [-2000,-1000) covers exactly bucket
+    # -2, so the pair must meet (truncation would put the point in -1)
+    from graphdb_for_drones_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame([(1, -1500)], "pid long, tsm long")
+    iv = spark.createDataFrame(
+        [("w", -2000, -1000)], "wid string, s long, e long"
+    )
+    got = [
+        (r.pid, r.wid)
+        for r in range_join(pts, iv, "tsm", "s", "e", bucket_ms=1000).collect()
+    ]
+    assert got == [(1, "w")]
+
+
+def test_range_join_inverted_interval_dropped(spark):
+    # end <= start intervals contribute nothing (and generate no
+    # descending-sequence candidate explosion)
+    from graphdb_for_drones_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame([(1, 500)], "pid long, tsm long")
+    iv = spark.createDataFrame(
+        [("bad", 9_000, 0), ("empty", 500, 500), ("ok", 0, 1_000)],
+        "wid string, s long, e long",
+    )
+    got = sorted(
+        (r.pid, r.wid)
+        for r in range_join(pts, iv, "tsm", "s", "e", bucket_ms=100).collect()
+    )
+    assert got == [(1, "ok")]

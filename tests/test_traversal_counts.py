@@ -156,3 +156,43 @@ def test_mitm_multi_edge_multiplicity(spark):
         [("a", "b"), ("a", "b"), ("b", "c")], "src string, dst string"
     ).localCheckpoint()
     assert path_count_to_mitm(g, ["a"], "c", 2).first().path_count == 2
+
+
+def test_distributed_df_seeds_include_seed(spark, diamond):
+    # DataFrame seeds + collect_threshold=0 → distributed-from-start path;
+    # level-0 seed rows must survive (regression: they were dropped)
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = _as_map(
+        reachable_counts(
+            diamond, seeds, 3, mode="path", include_seed=True,
+            collect_threshold=0,
+        )
+    )
+    assert got == {
+        ("a", 0): 1,
+        ("b", 1): 1,
+        ("c", 1): 1,
+        ("d", 2): 2,
+        ("e", 3): 2,
+    }
+
+
+def test_distributed_df_seeds_cycle_node_mode(spark):
+    # cycle back to a DataFrame seed must not re-report it at level>=1
+    # (regression: distributed seeds were never marked visited)
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    ).localCheckpoint()
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = _as_map(
+        reachable_counts(cyc, seeds, 10, mode="node", collect_threshold=0)
+    )
+    assert got == {("b", 1): 1}
+
+
+def test_distributed_df_seeds_duplicates_path(spark, diamond):
+    seeds = spark.createDataFrame([("a",), ("a",)], "node string")
+    got = _as_map(
+        reachable_counts(diamond, seeds, 1, mode="path", collect_threshold=0)
+    )
+    assert got == {("b", 1): 2, ("c", 1): 2}
