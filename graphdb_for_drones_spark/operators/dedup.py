@@ -448,13 +448,96 @@ def simhash_md5(col, bits: int = 60):
     return total
 
 
+def band_layout(bits: int, bands: int) -> list[tuple[int, int]]:
+    """(shift_offset, width) per band, covering all ``bits`` bits with
+    widths as even as possible (the first ``bits % bands`` bands carry the
+    extra bit).  Shared with the SQL oracle generator so both engines band
+    identically."""
+    base, extra = divmod(bits, bands)
+    layout, off = [], 0
+    for b in range(bands):
+        w = base + (1 if b < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def resolve_bands(
+    max_hamming: int, bands: int | None, allow_partial_recall: bool = False
+) -> int:
+    """Enforce the pigeonhole contract: ``bands`` chunks guarantee that a
+    pair within hamming distance < bands shares >=1 chunk, so full recall
+    at ``max_hamming`` needs bands > max_hamming.  ``bands=None``
+    auto-derives the minimum sound value; an explicit under-provisioned
+    bands raises unless the caller opts into partial recall."""
+    if bands is None:
+        return max_hamming + 1
+    if max_hamming >= bands and not allow_partial_recall:
+        raise ValueError(
+            f"bands={bands} guarantees candidate recall only for hamming <"
+            f" {bands}, but max_hamming={max_hamming}: pairs at distance"
+            f" {bands}..{max_hamming} would be silently dropped unless they"
+            " happen to share a chunk.  Pass bands=None to auto-derive, a"
+            " larger bands, or allow_partial_recall=True."
+        )
+    return bands
+
+
+def _fp_chunks(fp_df: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(id, fp) → one row per (id, band, chunk) under ``band_layout``."""
+    return fp_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("chunk"),
+                    )
+                    for b, (off, w) in enumerate(band_layout(bits, bands))
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.chunk")
+
+
+def simhash_candidate_pairs(
+    fp_df: DataFrame,
+    max_hamming: int,
+    bands: int | None = None,
+    bits: int = 64,
+    allow_partial_recall: bool = False,
+) -> DataFrame:
+    """Banded-pigeonhole near-dup pairs over a precomputed (id, fp)
+    DataFrame: bucket-join on fingerprint chunks, verify with exact
+    popcount.  Recall within the hamming radius is EXACT (property-tested)
+    when ``bands > max_hamming`` — the pigeonhole guarantee — which
+    ``resolve_bands`` enforces."""
+    bands = resolve_bands(max_hamming, bands, allow_partial_recall)
+    cand = _bucket_pairs(_fp_chunks(fp_df, bits, bands), ["band", "chunk"])
+    cand = cand.join(
+        fp_df.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a"
+    ).join(
+        fp_df.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")), "id_b"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs_md5(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
-    bands: int = 4,
+    bands: int | None = None,
     bits: int = 60,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs over the md5 hash family — fully oracle-
     checkable (see ``simhash_md5``).  Same banded-pigeonhole candidate
@@ -462,31 +545,9 @@ def simhash_pairs_md5(
     base = _spread_input(df, id_col, text_col).select(
         F.col(id_col).alias("id"), simhash_md5(F.col(text_col), bits).alias("fp")
     )
-    width = bits // bands
-    chunks = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("fp"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.chunk")
-    cand = _bucket_pairs(chunks, ["band", "chunk"])
-    cand = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a"
-    ).join(base.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")), "id_b")
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.withColumn("hamming", hamming.cast("long")).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return simhash_candidate_pairs(
+        base, max_hamming, bands, bits, allow_partial_recall
+    )
 
 
 def simhash_pairs(
@@ -494,38 +555,16 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup candidates: band the 64-bit fingerprint into
-    ``bands`` 16-bit chunks; by pigeonhole, any pair within hamming
-    distance < bands must agree on ≥1 chunk → bucket-join on chunks,
-    verify with exact popcount."""
+    """SimHash near-dup pairs: 64-bit fingerprints banded into
+    ``max_hamming + 1`` chunks by default, so any pair within the hamming
+    radius must agree on >=1 chunk (pigeonhole) → bucket-join on chunks,
+    verify with exact popcount.  Full recall within the radius."""
     base = _spread_input(df, id_col, text_col).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp")
     )
-    width = 64 // bands
-    chunks = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("fp"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.chunk")
-    cand = _bucket_pairs(chunks, ["band", "chunk"])
-    fps = base
-    cand = cand.join(
-        fps.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")), "id_a"
-    ).join(fps.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")), "id_b")
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return simhash_candidate_pairs(
+        base, max_hamming, bands, 64, allow_partial_recall
+    )

@@ -147,7 +147,9 @@ def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs_md5(cat.documents, max_hamming=6)
 
 
-def _simhash_md5_oracle_sql(bits: int = 60, bands: int = 4, max_hamming: int = 6) -> str:
+def _simhash_md5_oracle_sql(
+    bits: int = 60, bands: int | None = None, max_hamming: int = 6
+) -> str:
     # 15 hex chars → BIGINT via integer shifts (no doubles: 16**k loses
     # exactness past 2^52)
     hex_to_int = (
@@ -160,8 +162,14 @@ def _simhash_md5_oracle_sql(bits: int = 60, bands: int = 4, max_hamming: int = 6
         f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
         for b in range(bits)
     )
-    width = bits // bands
-    mask = (1 << width) - 1
+    # same pigeonhole-sound band derivation + uneven-width layout as the
+    # engine (dedup.resolve_bands / dedup.band_layout) — both sides band
+    # identically by construction
+    bands = D.resolve_bands(max_hamming, bands)
+    layout_rows = ", ".join(
+        f"({b}, {off}, {(1 << w) - 1})"
+        for b, (off, w) in enumerate(D.band_layout(bits, bands))
+    )
     return rf"""
 WITH d AS (
   SELECT doc_id,
@@ -175,9 +183,10 @@ h AS (
 fp AS (
   SELECT doc_id, CAST({votes} AS BIGINT) AS fp FROM h
 ),
+layout(band, off, mask) AS (VALUES {layout_rows}),
 chunks AS (
-  SELECT doc_id, CAST(b AS INTEGER) AS band, (fp >> (b * {width})) & {mask} AS chunk
-  FROM fp CROSS JOIN range({bands}) t(b)
+  SELECT doc_id, band, (fp >> off) & mask AS chunk
+  FROM fp CROSS JOIN layout
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

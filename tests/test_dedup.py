@@ -136,3 +136,54 @@ def test_minhash_recall_on_planted_exact_dups(spark):
         for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
     }
     assert all(v >= 0.5 for v in vals.values())
+
+
+def test_simhash_candidate_recall_exact(spark):
+    # pigeonhole property: with bands > max_hamming (the enforced default)
+    # the banded candidate scheme equals brute force EXACTLY within the
+    # radius — plant pairs at controlled hamming distances and compare
+    import random
+
+    from graphdb_for_drones_spark.operators.dedup import (
+        resolve_bands,
+        simhash_candidate_pairs,
+    )
+
+    rng = random.Random(42)
+    max_h = 8
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    fps_u = [rng.getrandbits(64) for _ in range(40)]
+    # plant near-dups at distances 0..max_h (and one just outside)
+    for src, h in [(0, 0), (1, 1), (2, 4), (3, 8), (4, max_h + 1)]:
+        v = fps_u[src]
+        for b in rng.sample(range(64), h):
+            v ^= 1 << b
+        fps_u.append(v)
+    rows = [(f"d{i:03d}", signed(u)) for i, u in enumerate(fps_u)]
+    fp_df = spark.createDataFrame(rows, "id string, fp long").localCheckpoint()
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(fp_df, max_h).collect()
+    }
+    want = {}
+    for i in range(len(fps_u)):
+        for j in range(i + 1, len(fps_u)):
+            d = bin(fps_u[i] ^ fps_u[j]).count("1")
+            if d <= max_h:
+                want[(f"d{i:03d}", f"d{j:03d}")] = d
+    assert got == want  # full recall within radius, no extras, exact distances
+    assert ("d000", "d040") in got and got[("d000", "d040")] == 0
+    assert ("d003", "d043") in got and got[("d003", "d043")] == 8
+
+    # contract enforcement: under-provisioned bands raise...
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_bands(8, 4)
+    # ...unless partial recall is explicitly accepted
+    assert resolve_bands(8, 4, allow_partial_recall=True) == 4
+    assert resolve_bands(8, None) == 9
