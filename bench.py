@@ -53,6 +53,7 @@ HEADLINE = [
     "min_price_supplier",
     "minhash_pairs",
     "ngram_jaccard",
+    "ngram_jaccard_prefix",
     "doc_token_stats",
     "embedding_topk",
     "ann_topk",

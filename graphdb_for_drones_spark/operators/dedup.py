@@ -76,6 +76,52 @@ def shingles(col, n: int = 3):
     )
 
 
+def shingle_hash_array(col, n: int = 3):
+    """Word n-gram shingle HASHES (array<long>) without materializing
+    shingle strings: hash each word once, then fold the n word-hashes of
+    each window with nested ``xxhash64(a, b)`` via ``zip_with`` over
+    shifted slices.  Everything stays in whole-stage codegen and the
+    word-hash array is computed once (subexpression elimination applies —
+    the slices sit OUTSIDE lambda bodies; an ``element_at``-in-lambda
+    formulation re-evaluates the array per element, measured 10×
+    slower, and shingle-string building is ~5× slower).
+
+    The hash family differs from ``xxhash64(shingle string)``; set
+    semantics (jaccard, minhash, posting lists) only need a stable
+    injective-ish family, so consumers are drop-in.  Docs with fewer than
+    ``n`` words get one whole-text shingle, as ``shingles`` does."""
+    words = F.filter(F.split(normalize_text(col), " "), lambda w: w != F.lit(""))
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    m = F.size(wh) - n + 1  # shingle count when the doc has >= n words
+
+    def win(j):  # j-th shifted slice, exactly m elements
+        return F.slice(wh, j + 1, m)
+
+    acc = win(n - 1)
+    for j in range(n - 2, -1, -1):
+        acc = F.zip_with(win(j), acc, lambda a, b: F.xxhash64(a, b))
+    return F.when(
+        F.size(wh) < n, F.array(F.xxhash64(F.concat_ws(" ", words)))
+    ).otherwise(acc)
+
+
+def minhash_signature_from_hashes(hash_col, num_hashes: int = 32):
+    """MinHash signature over a precomputed shingle-hash array: each
+    8-byte hash re-hashes per permutation (``xxhash64(h, j)``) and an
+    aggregate folds the element-wise minimum in ONE pass.  All codegen."""
+    per_shingle = F.transform(
+        hash_col,
+        lambda h: F.array(*[F.xxhash64(h, F.lit(j)) for j in range(num_hashes)]),
+    )
+    max_long = (1 << 63) - 1
+    init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, h: F.zip_with(acc, h, lambda x, y: F.least(x, y)),
+    )
+
+
 def minhash_signature(shingle_col, num_hashes: int = 32):
     """MinHash signature: for permutation j, min over shingles of a
     j-seeded hash.  Array<long> of length num_hashes.
@@ -170,13 +216,11 @@ def minhash_lsh_pairs(
     same reused exchange rather than caching it: columnar caching of
     array columns measured ~20× slower than the recompute."""
     rows_per_band = num_hashes // bands
-    sh = shingles(F.col(text_col), shingle_n)
+    sh = shingle_hash_array(F.col(text_col), shingle_n)
     base = _spread_input(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(sh, lambda s: F.xxhash64(s))
-        ).alias("shingle_hashes"),
-        minhash_signature(sh, num_hashes).alias("sig"),
+        F.array_distinct(sh).alias("shingle_hashes"),
+        minhash_signature_from_hashes(sh, num_hashes).alias("sig"),
     )
 
     banded = base.select(
@@ -312,9 +356,9 @@ def ngram_jaccard_pairs(
     which is why it's a parameter and not a default)."""
     sh = _spread_input(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-        ).alias("hashes"),
+        F.array_distinct(shingle_hash_array(F.col(text_col), shingle_n)).alias(
+            "hashes"
+        ),
     )
     inv = sh.select("id", F.size("hashes").alias("n"), F.explode("hashes").alias("h"))
     if prefix_filter and max_df is None:

@@ -126,6 +126,18 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.1
 """
 
 
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact jaccard: identical RESULT to
+    ``ngram_jaccard`` (same oracle SQL proves it), but the inverted index
+    holds only each document's |X| - ceil(t|X|) + 1 rarest shingles — the
+    hot-shingle d² candidate blowup never enters the pair enumeration.
+    The scale path for exact all-pairs similarity."""
+    cat = Catalog(spark, sf_dir)
+    return D.ngram_jaccard_pairs(
+        cat.documents, threshold=0.1, prefix_filter=True
+    ).select("id_a", "id_b", "jaccard")
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-dups (rows-only: xxhash64-banded LSH is
     an engine-internal approximation, not SQL-reproducible)."""
@@ -649,6 +661,7 @@ LLM_QUERIES = {
     "doc_dedup_stats": q_doc_dedup_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "minhash_pairs": q_minhash_pairs,
     "minhash_pairs_md5": q_minhash_pairs_md5,
     "simhash_pairs": q_simhash_pairs,
@@ -669,6 +682,9 @@ LLM_ORACLES = {
     "doc_dedup_stats": ORACLE_DOC_DEDUP_STATS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
+    # the prefix filter is an exact optimization: result-identity with
+    # ngram_jaccard is asserted by sharing its oracle verbatim
+    "ngram_jaccard_prefix": ORACLE_NGRAM_JACCARD,
     "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
     "doc_quality": ORACLE_DOC_QUALITY,
     "media_feature_stats": ORACLE_MEDIA_FEATURE_STATS,
