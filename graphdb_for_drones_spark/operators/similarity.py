@@ -179,6 +179,63 @@ def cosine_pairs_blocked(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic sampled k-means centroids, engine-neutral so a SQL
+    oracle can reproduce them bit-for-bit:
+
+    * init — the ``k`` vectors with the smallest ``md5("{id}:{seed}")``
+      digest (id tiebreak): a seeded pseudo-random sample any engine can
+      replay; centroid id = the init vector's id;
+    * ``iters`` Lloyd rounds — cosine assignment (rounded 6dp, lowest-
+      centroid-id tiebreak, exactly ``ivf_index``'s rule), then per-
+      dimension means as DECIMAL(28,10) sums (order-independent, so the
+      same value on any partitioning or engine) divided by the member
+      count after a cast to double;
+    * empty clusters keep their previous centroid.
+
+    Scale shape: per round one broadcast of k·dim doubles into the
+    assignment scan + one (cluster, dim) groupBy; only k·dim rows ever
+    reach the driver.  Returns ``[(centroid_id, [float64]*dim)]``."""
+    rk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    init = (
+        embeddings.select(F.col(id_col), F.col(vec_col), rk.alias("rk"))
+        .orderBy("rk", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [(int(r[id_col]), [float(v) for v in r[vec_col]]) for r in init]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        asg = ivf_index(embeddings, cents, id_col, vec_col)
+        per_dim = (
+            asg.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(28,10)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in per_dim:
+            # cast-to-double THEN divide, same order as the SQL twin
+            means.setdefault(int(r.cluster), {})[int(r.pos)] = float(r.s) / r.n
+        cents = [
+            (cid, [means[cid][p] for p in range(dim)]) if cid in means else (cid, old)
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_index(
     embeddings: DataFrame,
     centroids: list,

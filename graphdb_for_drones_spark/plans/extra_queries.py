@@ -18,7 +18,11 @@ from pyspark.sql.window import Window
 
 from graphdb_for_drones_spark.catalog import Catalog
 from graphdb_for_drones_spark.operators.graph_algorithms import triangle_count
-from graphdb_for_drones_spark.operators.similarity import ivf_index, ivf_search
+from graphdb_for_drones_spark.operators.similarity import (
+    ivf_index,
+    ivf_search,
+    kmeans_centroids,
+)
 from graphdb_for_drones_spark.operators.temporal import asof_join, session_stats
 
 # --------------------------------------------------------------------- #
@@ -439,51 +443,107 @@ def _cos64(x: str, y: str) -> str:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-10: fixed centroids (vectors 1..8),
-    nearest-centroid assignment, 2-probe search.  Deterministic
-    (rounded-cosine, id tiebreak), so the whole index is oracle-checked
-    like ann_topk."""
+    """IVF-flat approximate top-10 with SAMPLED-K-MEANS centroids:
+    seeded deterministic init (k smallest md5("{id}:{seed}") digests),
+    2 Lloyd rounds with decimal-exact means, nearest-centroid
+    assignment, 2-probe search.  Every step is rounded/tiebroken
+    deterministically, so the whole index — k-means included — is
+    oracle-checked."""
     cat = Catalog(spark, sf_dir)
     emb = cat.embeddings
-    cent_rows = (
-        emb.filter(F.col("vec_id").between(1, 8))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = [(r.vec_id, [float(v) for v in r.embedding]) for r in cent_rows]
+    data = emb.filter(F.col("vec_id") != 0)
+    centroids = kmeans_centroids(data, k=8, iters=2, seed=42)
     q = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first().embedding
     ]
-    idx = ivf_index(emb.filter(F.col("vec_id") != 0), centroids)
+    idx = ivf_index(data, centroids)
     return ivf_search(idx, centroids, q, k=10, n_probe=2)
 
 
-ORACLE_IVF_TOPK = f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id BETWEEN 1 AND 8
-),
-asg AS (
+def _dot_ec(e: str, c: str) -> str:
+    # float data vector (cast per element) · double centroid list
+    return (
+        f"list_sum(list_transform(range(64), i -> "
+        f"CAST({e}.embedding[i+1] AS DOUBLE) * {c}.emb[i+1]))"
+    )
+
+
+def _cos_ec(e: str, c: str) -> str:
+    cc = f"list_sum(list_transform(range(64), i -> {c}.emb[i+1] * {c}.emb[i+1]))"
+    return f"ROUND({_dot_ec(e, c)} / (sqrt({_dot64(e, e)}) * sqrt({cc})), 6)"
+
+
+def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 2, seed: int = 42) -> str:
+    """ivf_topk oracle with the k-means derivation UNROLLED as CTEs —
+    init sample, per-round assignment + decimal-exact means — mirroring
+    ``operators.similarity.kmeans_centroids`` step for step."""
+    ctes = [
+        f"""c0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id
+  LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        p = f"c{it - 1}"
+        ctes.append(
+            f"""a{it} AS (
   SELECT vec_id, cid AS cluster FROM (
     SELECT e.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY {_cos64('e', 'c')} DESC, c.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN cents c
+             ORDER BY {_cos_ec('e', 'c')} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {p} c
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+s{it} AS (
+  SELECT a.cluster, t.i AS pos,
+         SUM(CAST(CAST(e.embedding[t.i+1] AS DOUBLE) AS DECIMAL(28,10))) AS s,
+         COUNT(*) AS n
+  FROM a{it} a JOIN embeddings e USING (vec_id) CROSS JOIN range(64) t(i)
+  GROUP BY 1, 2
+),
+m{it} AS (
+  SELECT cluster AS cid, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS emb
+  FROM s{it} GROUP BY cluster
+),
+c{it} AS (
+  SELECT p.cid, COALESCE(m.emb, p.emb) AS emb
+  FROM {p} p LEFT JOIN m{it} m USING (cid)
+)"""
+        )
+    cents = f"c{iters}"
+    ctes.append(
+        f"""asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_ec('e', 'c')} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {cents} c
     WHERE e.vec_id <> 0
   ) WHERE rn = 1
 ),
 qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 probes AS (
-  SELECT c.cid FROM cents c CROSS JOIN qv q
-  ORDER BY {_cos64('c', 'q')} DESC, c.cid ASC LIMIT 2
+  SELECT c.cid FROM {cents} c CROSS JOIN qv q
+  ORDER BY {_cos_ec('q', 'c')} DESC, c.cid ASC LIMIT 2
 ),
 cand AS (
   SELECT a.vec_id FROM asg a JOIN probes p ON a.cluster = p.cid
-)
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
 SELECT e.vec_id, {_cos64('e', 'q')} AS cosine
 FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q
 ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
 """
+
+
+ORACLE_IVF_TOPK = _ivf_kmeans_oracle_sql()
 
 
 def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
