@@ -166,12 +166,18 @@ def bench_recovery(spark: SparkSession, backlog: int = 5_000) -> dict:
 
 
 def main() -> None:
+    from graphdb_for_drones_spark.resource_monitor import ResourceMonitor
     from graphdb_for_drones_spark.session import get_spark
 
     spark = get_spark("cdc-protocol")
     spark.sparkContext.setLogLevel("ERROR")
     for fn in (bench_capture_apply, bench_e2e_latency, bench_recovery):
-        print(json.dumps(fn(spark), default=float))
+        # the reference's 1 Hz CPU%/RSS monitor thread wraps each bench
+        # (01_local_cdc_capture.py:17-26,138-145)
+        mon = ResourceMonitor().start()
+        out = fn(spark)
+        out["resources"] = mon.stop()
+        print(json.dumps(out, default=float))
 
 
 if __name__ == "__main__":

@@ -19,22 +19,86 @@ well-defined version — the §7.4-5 mutation-while-querying pin.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from itertools import chain as _ichain, count
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphdb_for_drones_spark.mutation import redelegate
 
+RANK_BUCKETS = 64
 
-def _chunk(keys: list, size: int) -> Iterator[list]:
-    for i in range(0, len(keys), size):
-        yield keys[i : i + size]
+
+_SNAPSHOT_COUNTER = count(1)
 
 
 def _snapshot(df: DataFrame) -> DataFrame:
     # commit point: materialize the round's state (≈ the reference's
-    # per-chunk COMMIT), keeping rounds independent of lineage depth
-    return df.localCheckpoint()
+    # per-chunk COMMIT), keeping rounds independent of lineage depth.
+    # Each snapshot carries a monotonically increasing version so timed
+    # reads can record WHICH committed state they measured (SURVEY
+    # §7.4-5: the reference interleaves committed chunked updates with
+    # timed reads; on a real cluster this is the Delta/Iceberg version
+    # pin).  localCheckpoint materializes the state, so later mutation
+    # rounds can never leak into an already-yielded snapshot.
+    out = df.localCheckpoint()
+    out.snapshot_version = next(_SNAPSHOT_COUNTER)
+    return out
+
+
+def ranked_keys(
+    current: DataFrame, key_col: str, buckets: int = RANK_BUCKETS
+) -> tuple[DataFrame, int]:
+    """Deterministic 0-based dense rank over the key set WITHOUT a
+    driver-side key list (the reference collects its id lists — S4 — and
+    so did earlier rounds here; at 100× the drone table that collect is a
+    driver OOM) and WITHOUT a single-partition global window:
+
+    * keys hash into ``buckets`` groups; ranks are per-group windows
+      (scalable: each window holds ~n/buckets rows);
+    * only the ``buckets`` group counts reach the driver, which turns
+      them into rank offsets inlined as a literal map.
+
+    The resulting order is bucket-major / key-minor — a fixed
+    deterministic permutation of the keys, which is exactly what the
+    workload's "first n_upd keys" selection and chunked commits need.
+    Returns (DataFrame(key_col, __rank), total_keys)."""
+    b = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(buckets))
+    keys = current.select(F.col(key_col), b.alias("__b"))
+    counts = {
+        r["__b"]: r["n"]
+        for r in keys.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if not counts:
+        spark = current.sparkSession
+        empty = spark.createDataFrame([], keys.schema).select(
+            key_col, F.lit(0).cast("int").alias("__rank")
+        )
+        return empty, 0
+    offsets, acc = {}, 0
+    for grp in sorted(counts):
+        offsets[grp] = acc
+        acc += counts[grp]
+    off_map = F.create_map(
+        *_ichain.from_iterable((F.lit(g), F.lit(o)) for g, o in offsets.items())
+    )
+    w = Window.partitionBy("__b").orderBy(key_col)
+    rank = off_map[F.col("__b")] + F.row_number().over(w) - 1
+    return keys.select(key_col, rank.alias("__rank")), total
+
+
+def _rank_chunks(
+    ranked: DataFrame, key_col: str, start: int, stop: int, chunk_size: int
+) -> Iterator[DataFrame]:
+    """Chunk the rank range [start, stop) into committed batches of
+    ``chunk_size`` keys — the reference's chunk loop, as DataFrames."""
+    for s in range(start, stop, chunk_size):
+        e = min(s + chunk_size, stop)
+        yield ranked.filter(
+            (F.col("__rank") >= s) & (F.col("__rank") < e)
+        ).select(key_col)
 
 
 def turn_taking(
@@ -47,13 +111,15 @@ def turn_taking(
     hq_col: str = "hq_id",
 ) -> Iterator[DataFrame]:
     """Yield one committed snapshot per round; round r re-points the first
-    ``update_ratio`` fraction of drones at ``hq_ids[r % len]``."""
+    ``update_ratio`` fraction of drones (under the deterministic
+    ``ranked_keys`` order) at ``hq_ids[r % len]``."""
     current = _snapshot(delegation)
-    keys = [r[0] for r in current.select(key_col).collect()]
-    n_upd = int(len(keys) * update_ratio)
+    ranked, total = ranked_keys(current, key_col)
+    ranked = ranked.localCheckpoint()  # selection frozen across rounds
+    n_upd = int(total * update_ratio)
     for r in range(rounds):
         target = hq_ids[r % len(hq_ids)]
-        for chunk in _chunk(keys[:n_upd], chunk_size):
+        for chunk in _rank_chunks(ranked, key_col, 0, n_upd, chunk_size):
             current = redelegate(current, chunk, target, key_col, hq_col)
         current = _snapshot(current)
         yield current
@@ -71,11 +137,15 @@ def chain_churn(
     """Per depth in the cycle: churn a ratio of drones round-robin across
     HQs, commit, and yield (depth, snapshot) for depth-d measurement."""
     current = _snapshot(delegation)
-    keys = [r[0] for r in current.select(key_col).collect()]
-    n_upd = int(len(keys) * update_ratio)
+    ranked, total = ranked_keys(current, key_col)
+    ranked = ranked.localCheckpoint()
+    n_upd = int(total * update_ratio)
     for i, depth in enumerate(depth_cycle):
         target = hq_ids[i % len(hq_ids)]
-        for chunk in _chunk(keys[i * n_upd % len(keys) : i * n_upd % len(keys) + n_upd], chunk_size):
+        start = (i * n_upd) % total if total else 0
+        for chunk in _rank_chunks(
+            ranked, key_col, start, min(start + n_upd, total), chunk_size
+        ):
             current = redelegate(current, chunk, target, key_col, hq_col)
         current = _snapshot(current)
         yield depth, current
@@ -95,17 +165,22 @@ def partition_reconcile(
     churn the island for ``churn_rounds``, then reconcile everyone back to
     the main HQ.  Returns (partitioned_snapshot, reconciled_snapshot)."""
     current = _snapshot(delegation)
-    keys = [r[0] for r in current.select(key_col).collect()]
-    island = keys[: int(len(keys) * split_ratio)]
-    for chunk in _chunk(island, chunk_size):
+    ranked, total = ranked_keys(current, key_col)
+    ranked = ranked.localCheckpoint()
+    n_island = int(total * split_ratio)
+
+    def island_chunks():
+        return _rank_chunks(ranked, key_col, 0, n_island, chunk_size)
+
+    for chunk in island_chunks():
         current = redelegate(current, chunk, island_hq, key_col, hq_col)
     current = _snapshot(current)
     partitioned = current
     for _ in range(churn_rounds):
-        for chunk in _chunk(island, chunk_size):
+        for chunk in island_chunks():
             current = redelegate(current, chunk, island_hq, key_col, hq_col)
         current = _snapshot(current)
-    for chunk in _chunk(island, chunk_size):
+    for chunk in island_chunks():
         current = redelegate(current, chunk, main_hq, key_col, hq_col)
     reconciled = _snapshot(current)
     return partitioned, reconciled
@@ -114,11 +189,14 @@ def partition_reconcile(
 def measure_under_workload(
     snapshots: Iterator,
     query: Callable[[DataFrame], DataFrame],
-) -> list[tuple[int, int]]:
+) -> list[tuple[int, int, int]]:
     """Run ``query`` against each committed snapshot (the reference's
-    measure-after-mutation loop); returns [(round, result_count)]."""
+    measure-after-mutation loop); returns
+    [(round, snapshot_version, result_count)] — every timed read records
+    which committed snapshot it measured."""
     out = []
     for i, snap in enumerate(snapshots):
         snap_df = snap[1] if isinstance(snap, tuple) else snap
-        out.append((i, query(snap_df).count()))
+        version = getattr(snap_df, "snapshot_version", -1)
+        out.append((i, version, query(snap_df).count()))
     return out

@@ -14,6 +14,14 @@ def test_benchmark_query_protocol():
     assert res.tps > 0
 
 
+COLUMNS = {
+    "scenario", "scale_up", "depth", "p50_ms", "p95_ms", "p99_ms", "tps",
+    # reference resource-usage metric (1 Hz CPU%/RSS, avg/max/p95)
+    "cpu_avg_pct", "cpu_max_pct", "cpu_p95_pct",
+    "rss_avg_mb", "rss_max_mb", "rss_p95_mb",
+}
+
+
 def test_csv_shape(tmp_path):
     res = benchmark_query(lambda: None, iterations=5, scenario="s", scale_up=100, depth=4)
     p = tmp_path / "out.csv"
@@ -21,7 +29,8 @@ def test_csv_shape(tmp_path):
     with open(p) as f:
         rows = list(csv.DictReader(f))
     assert rows[0]["scenario"] == "s"
-    assert set(rows[0]) == {"scenario", "scale_up", "depth", "p50_ms", "p95_ms", "p99_ms", "tps"}
+    assert set(rows[0]) == COLUMNS
+    assert float(rows[0]["rss_avg_mb"]) > 0  # monitor actually sampled
 
 
 def test_protocol_sweep_shapes(spark):
@@ -31,7 +40,6 @@ def test_protocol_sweep_shapes(spark):
     assert {r.scenario for r in rs} == {"flat_chain", "hierarchy", "wot_chain"}
     for r in rs:
         row = r.row()
-        assert set(row) == {
-            "scenario", "scale_up", "depth", "p50_ms", "p95_ms", "p99_ms", "tps",
-        }
+        assert set(row) == COLUMNS
         assert row["tps"] > 0
+        assert row["rss_avg_mb"] and row["rss_avg_mb"] > 0

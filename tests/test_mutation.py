@@ -60,3 +60,34 @@ def test_edge_delete_create_roundtrip(spark):
     redone = create_edges_from(cut, "HQ2", chunk)
     assert redone.count() == 10
     assert redone.filter((F.col("src") == "HQ2")).count() == 4
+
+
+def test_set_vertex_property_bulk(spark):
+    # M9: MATCH (d:Drone) SET d.hqId = 'HQ1'
+    # (reference 02_topology_dynamic/setup_scenario_c.py:103)
+    from graphdb_for_drones_spark.mutation import set_vertex_property
+
+    vertices = spark.createDataFrame(
+        [
+            ("D1", "Drone", "HQ_old"),
+            ("D2", "Drone", None),
+            ("HQ1", "HQ", None),
+        ],
+        "id string, label string, hqId string",
+    ).localCheckpoint()
+    out = set_vertex_property(vertices, "Drone", "hqId", "HQ1")
+    got = {r.id: r.hqId for r in out.collect()}
+    # every Drone updated (including null-valued), other labels untouched
+    assert got == {"D1": "HQ1", "D2": "HQ1", "HQ1": None}
+    assert out.count() == 3  # no rows created or dropped
+
+
+def test_set_vertex_property_new_column(spark):
+    from graphdb_for_drones_spark.mutation import set_vertex_property
+
+    vertices = spark.createDataFrame(
+        [("D1", "Drone"), ("HQ1", "HQ")], "id string, label string"
+    ).localCheckpoint()
+    out = set_vertex_property(vertices, "Drone", "hqId", "HQ1")
+    got = {r.id: r.hqId for r in out.collect()}
+    assert got == {"D1": "HQ1", "HQ1": None}  # new property born null elsewhere
