@@ -59,14 +59,42 @@ def _fake_decode(content: bytes) -> tuple[int, int]:
     return (64 + n % 512, 64 + (n // 7) % 512)
 
 
+def _real_image_features(b: bytes) -> tuple[int, int, int]:
+    """Pillow decode + 64-bit average-hash (the classic aHash: 8x8
+    grayscale downsample, bit = pixel > mean).  Raises
+    NotImplementedError when Pillow is absent (this container)."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - Pillow absent here
+        raise NotImplementedError(
+            "decode='real' requires Pillow (pip install pillow); use "
+            "decode='fake' in environments without it"
+        ) from e
+    img = Image.open(BytesIO(b))
+    w, h = img.size
+    small = img.convert("L").resize((8, 8))
+    px = list(small.getdata())
+    mean = sum(px) / 64
+    bits = 0
+    for i, v in enumerate(px):
+        if v > mean:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return w, h, bits
+
+
 def extract_image_features(
     media: DataFrame, decode: str = "fake"
 ) -> DataFrame:
     """Decode + feature-extract images via mapInPandas.
 
-    decode='fake': deterministic stand-in; decode='strict': raise where
-    the real decoder (PIL.Image.open) would run."""
-    if decode not in ("fake", "strict"):
+    decode='fake': deterministic stand-in; decode='real': Pillow decode +
+    average-hash (NotImplementedError when Pillow is absent);
+    decode='strict': raise where the real decoder would run."""
+    if decode not in ("fake", "strict", "real"):
         raise ValueError(decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -79,13 +107,18 @@ def extract_image_features(
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                w, h = _fake_decode(b)
-                # 64-bit perceptual-hash stand-in: stable hash of bytes
-                import hashlib
+                if decode == "real":
+                    w, h, ph = _real_image_features(b)
+                else:
+                    w, h = _fake_decode(b)
+                    # 64-bit perceptual-hash stand-in: stable byte hash
+                    import hashlib
 
-                ph = int.from_bytes(
-                    hashlib.blake2b(b, digest_size=8).digest(), "big", signed=True
-                )
+                    ph = int.from_bytes(
+                        hashlib.blake2b(b, digest_size=8).digest(),
+                        "big",
+                        signed=True,
+                    )
                 rows.append((media_id, w, h, len(b), ph))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_bytes", "phash"]
@@ -156,21 +189,41 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(
-    media: DataFrame, target_w: int = 224, target_h: int = 224
+    media: DataFrame, target_w: int = 224, target_h: int = 224,
+    decode: str = "fake",
 ) -> DataFrame:
     """Resize plumbing: mapInPandas pass emitting fixed-dimension
-    payloads.  The pixel resample is a deterministic byte
-    truncation/padding stub (a real pipeline calls PIL/torchvision here);
-    the Spark-side contract — binary in, (id, w, h, binary) out, Arrow
-    batches, per-media_id balancing — is the real thing."""
+    payloads.  decode='fake': deterministic byte truncation/padding stub;
+    decode='real': Pillow open → resize → PNG bytes (NotImplementedError
+    when Pillow is absent).  The Spark-side contract — binary in,
+    (id, w, h, binary) out, Arrow batches, per-media_id balancing — is
+    identical either way."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
     n_out = (target_w * target_h) // 64  # stand-in payload size
+
+    def _real_resize(b: bytes) -> bytes:
+        try:
+            from io import BytesIO
+
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - Pillow absent here
+            raise NotImplementedError(
+                "decode='real' requires Pillow; use decode='fake'"
+            ) from e
+        buf = BytesIO()
+        Image.open(BytesIO(b)).resize((target_w, target_h)).save(buf, "PNG")
+        return buf.getvalue()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                out = (b * (n_out // max(len(b), 1) + 1))[:n_out]
+                if decode == "real":
+                    out = _real_resize(b)
+                else:
+                    out = (b * (n_out // max(len(b), 1) + 1))[:n_out]
                 rows.append((media_id, target_w, target_h, out))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "content"]
@@ -193,18 +246,53 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def extract_audio_features(media: DataFrame, bytes_per_ms: int = 16) -> DataFrame:
-    """Audio feature plumbing: duration from byte length at a nominal
-    rate, RMS stand-in = mean byte value (a real pipeline decodes with
-    soundfile/librosa — absent in this environment by design)."""
+def _real_audio_features(b: bytes) -> tuple[int, int]:
+    """(duration_ms, rms) from a WAV payload via the stdlib ``wave``
+    module + numpy — a REAL decode path that needs no extra packages
+    (non-WAV formats would go through soundfile/librosa here)."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    with wave.open(BytesIO(b)) as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        frames = w.readframes(n)
+    duration_ms = int(n / rate * 1000)
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype("f8")
+    elif width == 1:
+        samples = np.frombuffer(frames, dtype="u1").astype("f8") - 128.0
+    else:
+        raise NotImplementedError(f"sample width {width} not supported")
+    rms = int(np.sqrt(np.mean(samples**2))) if len(samples) else 0
+    return duration_ms, rms
+
+
+def extract_audio_features(
+    media: DataFrame, bytes_per_ms: int = 16, decode: str = "fake"
+) -> DataFrame:
+    """Audio feature plumbing.  decode='fake': duration from byte length
+    at a nominal rate, RMS stand-in = mean byte value.  decode='real':
+    stdlib WAV decode (true frame count / sample RMS) — real decoding
+    without any optional dependency; other codecs would plug in
+    soundfile/librosa at the same seam."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                rms = sum(b) // len(b) if b else 0
-                rows.append((media_id, len(b), len(b) // bytes_per_ms, rms))
+                if decode == "real":
+                    duration_ms, rms = _real_audio_features(b)
+                else:
+                    duration_ms = len(b) // bytes_per_ms
+                    rms = sum(b) // len(b) if b else 0
+                rows.append((media_id, len(b), duration_ms, rms))
             yield pd.DataFrame(
                 rows, columns=["media_id", "n_bytes", "duration_ms", "rms"]
             )

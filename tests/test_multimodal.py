@@ -69,3 +69,89 @@ def test_extract_audio_features(spark):
     for r in rows.values():
         assert r.duration_ms == r.n_bytes // 16
         assert 0 <= r.rms <= 255
+
+
+def _wav_bytes(freq=440.0, ms=250, rate=8000):
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    buf = BytesIO()
+    n = rate * ms // 1000
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h", int(10000 * math.sin(2 * math.pi * freq * i / rate))
+                )
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_audio_real_decode_wav(spark):
+    # decode='real' through the stdlib WAV path: true duration + RMS
+    from graphdb_for_drones_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    rows = [(1, "audio", _wav_bytes(ms=250), "audio/wav", "s0"),
+            (2, "audio", _wav_bytes(ms=500), "audio/wav", "s0")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).localCheckpoint()
+    got = {r.media_id: r for r in extract_audio_features(media, decode="real").collect()}
+    assert got[1].duration_ms == 250 and got[2].duration_ms == 500
+    # RMS of a 10000-amplitude sine ~ 10000/sqrt(2) ~ 7071
+    assert 6800 < got[1].rms < 7300
+
+
+def test_image_real_decode_requires_pillow(spark):
+    # without Pillow decode='real' must fail loudly, not silently fake
+    import pytest
+
+    from graphdb_for_drones_spark.operators.multimodal import (
+        extract_image_features,
+        fake_media_table,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed: the strict-failure contract is moot")
+    except ImportError:
+        pass
+    media = fake_media_table(spark, n=2)
+    with pytest.raises(Exception):  # NotImplementedError via PythonException
+        extract_image_features(media, decode="real").collect()
+
+
+def test_image_real_decode_roundtrip(spark):
+    # runs only where Pillow exists: real decode + average-hash + resize
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    from io import BytesIO
+
+    from PIL import Image
+
+    from graphdb_for_drones_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        resize_images,
+    )
+
+    buf = BytesIO()
+    Image.new("RGB", (17, 9), (200, 10, 10)).save(buf, "PNG")
+    media = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), "image/png", "s0")], MEDIA_SCHEMA
+    ).localCheckpoint()
+    feat = extract_image_features(media, decode="real").first()
+    assert (feat.width, feat.height) == (17, 9)
+    rs = resize_images(media, 8, 8, decode="real").first()
+    out = Image.open(BytesIO(bytes(rs.content)))
+    assert out.size == (8, 8)
