@@ -251,12 +251,30 @@ def ivf_index(
 
     Returns (id, embedding, cluster).  Partition the output by cluster
     on disk and a probe reads only its clusters — the disk-level analogue
-    of the ANN band buckets."""
+    of the ANN band buckets.
+
+    Cost shape: centroid norms are row-constants computed driver-side
+    (same sequential fold + sqrt, so bit-identical to the in-plan value)
+    and the row norm is hoisted into one column instead of being
+    re-folded once per centroid — assignment work per row drops from
+    ~3k·dim to ~k·dim multiply-adds."""
+
+    def _norm_py(v) -> float:
+        s = 0.0
+        for x in v:
+            s += float(x) * float(x)
+        return s**0.5
+
+    withn = embeddings.withColumn("__n", norm2(F.col(vec_col)))
     best = F.array_max(
         F.array(
             *[
                 F.struct(
-                    F.round(cosine(F.col(vec_col), _vec_lit(v)), 6).alias("cos"),
+                    F.round(
+                        dot(F.col(vec_col), _vec_lit(v))
+                        / (F.col("__n") * F.lit(_norm_py(v))),
+                        6,
+                    ).alias("cos"),
                     # negative id: array_max picks the LOWEST id on a
                     # rounded-cosine tie
                     F.lit(-int(cid)).alias("neg_cid"),
@@ -265,7 +283,7 @@ def ivf_index(
             ]
         )
     )
-    return embeddings.select(
+    return withn.select(
         F.col(id_col), F.col(vec_col), (-best["neg_cid"]).alias("cluster")
     )
 

@@ -813,4 +813,8 @@ EXTRA_ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "min_price_supplier": ORACLE_MIN_PRICE_SUPPLIER,
     "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,
+    # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
+    # is approximate and its xxhash64 register family is engine-internal;
+    # tests/test_sketches.py pins the 5% accuracy envelope vs exact
+    # COUNT(DISTINCT), which is the meaningful correctness contract
 }
