@@ -152,6 +152,49 @@ def ann_search(
     )
 
 
+def ann_near_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-wide embedding near-duplicate pairs — the scale path for
+    embedding-cosine dedup: candidates are pairs sharing >=1 LSH band
+    bucket of the signed-projection index (posting-list pair enumeration
+    per bucket, the dedup.py pattern — one exchange on the bucket key,
+    no self-join), verified with exact rounded cosine >= threshold.
+
+    Deterministic given the seed, so the WHOLE pipeline (signatures,
+    buckets, candidates, verification) is oracle-checkable with the
+    planes inlined as SQL literals.  Identical vectors share every
+    bucket, so exact-duplicate recall is 1.0 by construction; near-dup
+    recall follows the standard banded-LSH S-curve — raise ``n_planes``
+    /band count at scale to move the knee."""
+    from graphdb_for_drones_spark.operators.dedup import _bucket_pairs
+
+    idx = ann_index(embeddings, dim, n_planes, bands, id_col, vec_col, seed)
+    keyed = idx.select(F.col(id_col).alias("id"), "band", "bucket")
+    cand = _bucket_pairs(keyed, ["band", "bucket"])
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col))
+    pairs = cand.join(
+        vecs.select(F.col("id").alias("id_a"), F.col(vec_col).alias("__va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col(vec_col).alias("__vb")),
+        "id_b",
+    )
+    score = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        pairs.withColumn("cosine", score)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_pairs_blocked(
     embeddings: DataFrame,
     block_col: str,

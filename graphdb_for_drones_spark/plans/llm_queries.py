@@ -602,6 +602,64 @@ SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 10
 ORACLE_ANN_TOPK = _ann_topk_oracle_sql()
 
 
+def q_ann_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-dup pairs via the banded LSH index
+    (bucket posting lists → map-side pair enumeration → exact cosine
+    verify) — the scale path beside the label-blocked exact variant."""
+    cat = Catalog(spark, sf_dir)
+    return S.ann_near_pairs(cat.embeddings, dim=64, threshold=0.3)
+
+
+def _ann_near_pairs_oracle_sql(
+    dim: int = 64, n_planes: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """ann_near_pairs twin: same seeded hyperplanes inlined as literals,
+    band-bucket candidate pairs, exact rounded-cosine verification."""
+    planes = S.hyperplanes(dim, n_planes, seed=42)
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in p))
+        for j, p in enumerate(planes)
+    )
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    band_match = " OR ".join(
+        f"((s1.sig >> {b * width}) & {mask}) = ((s2.sig >> {b * width}) & {mask})"
+        for b in range(bands)
+    )
+    cos = (
+        f"ROUND(list_sum(list_transform(range({dim}), "
+        f"i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform(range({dim}), "
+        f"i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform(range({dim}), "
+        f"i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES {rows}),
+sig AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range({dim}),
+                    i -> CAST(e.embedding[i+1] AS DOUBLE) * pl.p[i+1])) > 0
+               THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+cand AS (
+  SELECT s1.vec_id AS id_a, s2.vec_id AS id_b
+  FROM sig s1 JOIN sig s2 ON s1.vec_id < s2.vec_id
+  WHERE {band_match}
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+ORACLE_ANN_NEAR_PAIRS = _ann_near_pairs_oracle_sql()
+
+
 # --------------------------------------------------------------------- #
 # crypto (rows-only: Ed25519 is not expressible in DuckDB)
 # --------------------------------------------------------------------- #
@@ -675,6 +733,7 @@ LLM_QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk": q_ann_topk,
+    "ann_near_pairs": q_ann_near_pairs,
     "vc_verify_count": q_vc_verify_count,
 }
 
@@ -696,6 +755,7 @@ LLM_ORACLES = {
     "minhash_pairs_md5": ORACLE_MINHASH_PAIRS_MD5,
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,
     "ann_topk": ORACLE_ANN_TOPK,
+    "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
     "vc_verify_count": ORACLE_VC_VERIFY_COUNT,
     # minhash_pairs / simhash_pairs stay rows-only by design: their
     # xxhash64 family is the production fast path (not SQL-reproducible);

@@ -98,3 +98,27 @@ def test_ivf_self_query_top1(spark):
     hits = ivf_search(idx, centroids, [1.0, 0.05, 0.0], k=2, n_probe=1).collect()
     assert [r.vec_id for r in hits] == [3, 1] or [r.vec_id for r in hits] == [1, 3]
     assert all(r.cosine > 0.9 for r in hits)
+
+
+def test_ann_near_pairs_exact_dup_recall(spark):
+    # identical vectors share every band bucket → recall 1.0 for exact
+    # dups by construction; cosine of the planted pair is exactly 1.0
+    import random
+
+    from graphdb_for_drones_spark.operators.similarity import ann_near_pairs
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)
+    ]
+    rows.append((100, list(rows[0][1])))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in ann_near_pairs(emb, dim=64, threshold=0.9).collect()
+    }
+    assert got[(0, 100)] == 1.0
+    # every returned pair respects the verification threshold
+    assert all(c >= 0.9 for c in got.values())
