@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hll_build(
@@ -32,6 +33,84 @@ def hll_build(
     return df.groupBy(*keys).agg(
         F.hll_sketch_agg(F.col(distinct_col), F.lit(lgk)).alias("hll"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hist_build(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 200,
+) -> DataFrame:
+    """Mergeable QUANTILE sketch as a fixed-range histogram: per key, a
+    (bucket, cnt) table with ``buckets`` equal-width bins over [lo, hi)
+    (out-of-range values clamp to the edge bins).  Histograms merge by
+    summing bucket counts — the same continuous-aggregate algebra as the
+    HLL sketches — and, unlike t-digest/KLL, every step is plain integer
+    arithmetic, so quantile serving is EXACTLY reproducible in any SQL
+    engine (the oracle twin proves it).  Error is bounded by the bin
+    width (hi−lo)/buckets."""
+    width = (hi - lo) / buckets
+    b = F.least(
+        F.lit(buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    return df.groupBy(*keys, b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hist_rollup(hist: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge histogram sketches to a coarser grain: sum bucket counts."""
+    return hist.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    buckets: int = 200,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Serve quantiles from a histogram sketch without touching the
+    facts: per key, the q-quantile estimate is the UPPER EDGE of the
+    first bucket whose cumulative count reaches q·total (deterministic
+    rule; error <= one bin width).  One window pass + one grouped
+    conditional-min per quantile."""
+    width = (hi - lo) / buckets
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*keys)
+    cc = hist.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.col("total") * F.lit(q), F.col("bucket"))
+        ).alias(f"__b{i}")
+        for i, q in enumerate(qs)
+    ]
+    out = cc.groupBy(*keys).agg(*aggs)
+    return out.select(
+        *keys,
+        *[
+            (F.lit(lo) + (F.col(f"__b{i}") + 1) * F.lit(width)).alias(
+                f"p{int(q * 100)}"
+            )
+            for i, q in enumerate(qs)
+        ],
     )
 
 

@@ -717,6 +717,63 @@ def q_event_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup(hll_build(ev, ["event_type", "day"], "user_id"), ["event_type"])
 
 
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 1000.0, 200
+
+
+def q_event_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile serving from a mergeable histogram sketch: per
+    (event_type, day) histograms of ``value`` are ROLLED UP to per-type
+    (pure bucket-count sums — no fact rescan) and p50/p95/p99 are read
+    off the cumulative counts.  Every step is integer/fixed-grid
+    arithmetic, so unlike approx_percentile the whole sketch path is
+    oracle-checked exactly."""
+    from graphdb_for_drones_spark.operators.sketches import (
+        hist_build,
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.withColumn("day", F.to_date("ts"))
+    daily = hist_build(
+        ev, ["event_type", "day"], "value", HIST_LO, HIST_HI, HIST_BUCKETS
+    )
+    per_type = hist_rollup(daily, ["event_type"])
+    return hist_quantiles(
+        per_type, ["event_type"], HIST_LO, HIST_HI, HIST_BUCKETS
+    ).orderBy("event_type")
+
+
+_HW = (HIST_HI - HIST_LO) / HIST_BUCKETS
+ORACLE_EVENT_VALUE_HIST_QUANTILES = f"""
+WITH h AS (
+  SELECT event_type,
+         LEAST({HIST_BUCKETS - 1}, GREATEST(0,
+           CAST(FLOOR((value - {HIST_LO}) / {_HW}) AS INT))) AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM h
+),
+b AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= total * 0.5  THEN bucket END) AS b0,
+         MIN(CASE WHEN cum >= total * 0.95 THEN bucket END) AS b1,
+         MIN(CASE WHEN cum >= total * 0.99 THEN bucket END) AS b2
+  FROM c GROUP BY 1
+)
+SELECT event_type,
+       {HIST_LO} + (b0 + 1) * {_HW} AS p50,
+       {HIST_LO} + (b1 + 1) * {_HW} AS p95,
+       {HIST_LO} + (b2 + 1) * {_HW} AS p99
+FROM b ORDER BY event_type
+"""
+
+
 def q_user_event_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user tamper-evident hash chain over the event stream —
     the reference's hash-chain verification pattern
@@ -790,6 +847,7 @@ EXTRA_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
+    "event_value_hist_quantiles": q_event_value_hist_quantiles,
     "dedup_clusters": q_dedup_clusters,
     "min_price_supplier": q_min_price_supplier,
     "event_props_extract": q_event_props_extract,
@@ -810,6 +868,7 @@ EXTRA_ORACLES = {
     "nation_triangles": ORACLE_NATION_TRIANGLES,
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
+    "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "min_price_supplier": ORACLE_MIN_PRICE_SUPPLIER,
     "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,
