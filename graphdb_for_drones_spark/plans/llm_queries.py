@@ -660,6 +660,45 @@ WHERE {cos} >= {threshold}
 ORACLE_ANN_NEAR_PAIRS = _ann_near_pairs_oracle_sql()
 
 
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (md5-keyed, seed 42,
+    a pure projection — no shuffle, stable under reruns) with the
+    per-language QA rollup: (stratum, split, n_rows)."""
+    from graphdb_for_drones_spark.operators.split import stratified_counts
+
+    cat = Catalog(spark, sf_dir)
+    return stratified_counts(cat.documents, "doc_id", "lang")
+
+
+def _doc_split_oracle_sql(seed: int = 42, modulus: int = 10_000) -> str:
+    # identical 60-bit md5 slot arithmetic as operators/split.py (and the
+    # simhash oracle's hex_to_int trick)
+    hex_to_int = (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(h, i+1, 1)) - 1 AS BIGINT)"
+        " << ((14 - i) * 4))) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, md5(CAST(doc_id AS VARCHAR) || ':{seed}') AS h FROM documents
+),
+s AS (
+  SELECT lang, {hex_to_int} % {modulus} AS slot FROM d
+),
+labeled AS (
+  SELECT lang AS stratum,
+         CASE WHEN slot < {int(0.8 * modulus)} THEN 'train'
+              WHEN slot < {int(0.9 * modulus)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM s
+)
+SELECT stratum, split, COUNT(*) AS n_rows FROM labeled GROUP BY 1, 2
+"""
+
+
+ORACLE_DOC_SPLIT_COUNTS = _doc_split_oracle_sql()
+
+
 # --------------------------------------------------------------------- #
 # crypto (rows-only: Ed25519 is not expressible in DuckDB)
 # --------------------------------------------------------------------- #
@@ -734,6 +773,7 @@ LLM_QUERIES = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
+    "doc_split_counts": q_doc_split_counts,
     "vc_verify_count": q_vc_verify_count,
 }
 
@@ -756,6 +796,7 @@ LLM_ORACLES = {
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
+    "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,
     "vc_verify_count": ORACLE_VC_VERIFY_COUNT,
     # minhash_pairs / simhash_pairs stay rows-only by design: their
     # xxhash64 family is the production fast path (not SQL-reproducible);

@@ -1,0 +1,54 @@
+"""Deterministic hash splits: stability, coverage, ratio sanity."""
+
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators.split import (
+    hash_split,
+    stratified_counts,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(n)],
+        "doc_id long, lang string",
+    ).localCheckpoint()
+
+
+def test_split_total_coverage_and_ratios(spark):
+    df = _docs(spark)
+    out = hash_split(df, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row gets exactly one split
+    assert set(counts) == {"train", "val", "test"}
+    # hash split is ratio-accurate in expectation; generous envelope
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert 0.06 <= counts["val"] / 2000 <= 0.14
+    assert 0.06 <= counts["test"] / 2000 <= 0.14
+
+
+def test_split_stable_under_repartition_and_rerun(spark):
+    df = _docs(spark, 500)
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(17), "doc_id").collect()
+    }
+    assert a == b  # pure function of the key: no leakage across reruns
+
+
+def test_split_seed_changes_assignment(spark):
+    df = _docs(spark, 500)
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id", seed=1).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, "doc_id", seed=2).collect()}
+    assert a != b
+
+
+def test_stratified_counts_shape(spark):
+    df = _docs(spark, 900)
+    rows = stratified_counts(df, "doc_id", "lang").collect()
+    per_stratum = {}
+    for r in rows:
+        per_stratum.setdefault(r.stratum, 0)
+        per_stratum[r.stratum] += r.n_rows
+    assert per_stratum == {"en": 600, "de": 300}
