@@ -80,3 +80,31 @@ def test_partition_pruning_on_label(spark, tmp_path):
     pf = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "label" in pf, "label filter must prune partitions:\n" + plan
     assert scan.count() == 50
+
+
+def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
+    """Plan hygiene across the ENTIRE query catalog: no CartesianProduct
+    and no BroadcastNestedLoopJoin may appear in any physical plan —
+    at 100 TB either marker is a query-killer.  Whitelist: abac_check's
+    permission join constant-folds to a literal key (the top group id is
+    a fixture constant), degenerating into a 25x5 dimension NLJ — the
+    right plan at dimension size, impossible to hit at scale because the
+    group id column is non-constant on real data."""
+    from graphdb_for_drones_spark.plans import QUERIES
+
+    WHITELIST = {"abac_check"}
+    sf = "/root/testdata/sf0.001"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    flagged = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().explainString(mode)
+        hits = [
+            m
+            for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if m in plan
+        ]
+        if hits and name not in WHITELIST:
+            flagged[name] = hits
+    assert not flagged, flagged
