@@ -58,6 +58,8 @@ HEADLINE = [
     "embedding_topk",
     "ann_topk",
     "ivf_topk",
+    "event_value_hist_quantiles",
+    "doc_split_counts",
 ]
 
 
