@@ -52,3 +52,27 @@ def test_stratified_counts_shape(spark):
         per_stratum.setdefault(r.stratum, 0)
         per_stratum[r.stratum] += r.n_rows
     assert per_stratum == {"en": 600, "de": 300}
+
+
+def test_split_partitioned_write_prunes(spark, tmp_path):
+    # the split column is the partition column: reading one split is a
+    # directory-pruned scan (never lists the other splits' files)
+    from graphdb_for_drones_spark.sources.io import write_partitioned
+
+    df = _docs(spark, 300)
+    out = str(tmp_path / "corpus")
+    write_partitioned(hash_split(df, "doc_id"), out, ["split"])
+    back = spark.read.parquet(out)
+    train = back.filter(F.col("split") == "train")
+    plan = train._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and "split" in plan
+    # pruned read returns exactly the train rows
+    expected = {
+        r.doc_id
+        for r in hash_split(df, "doc_id").filter(F.col("split") == "train").collect()
+    }
+    assert {r.doc_id for r in train.collect()} == expected
