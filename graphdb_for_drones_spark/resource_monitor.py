@@ -114,7 +114,12 @@ class ResourceMonitor:
 
     def summary(self) -> dict:
         def p95(xs):
-            return statistics.quantiles(xs, n=100)[94] if len(xs) >= 2 else xs[0]
+            if len(xs) < 2:
+                return xs[0]
+            # quantiles() (exclusive method) extrapolates past the data
+            # range on small samples — a p95 above the observed max is
+            # nonsense for a resource report, so clamp
+            return min(statistics.quantiles(xs, n=100)[94], max(xs))
 
         cpu, rss = self.cpu_pct, self.rss_bytes
         mb = 1024 * 1024

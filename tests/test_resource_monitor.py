@@ -42,3 +42,14 @@ def test_monitor_sub_interval_run():
     stats = mon.stop()  # final take() still yields one CPU sample
     assert stats["samples"] >= 2
     assert stats["cpu_avg_pct"] is not None
+
+
+def test_p95_never_exceeds_max():
+    # statistics.quantiles extrapolates beyond the data on small samples;
+    # the summary must clamp (regression: cpu_p95 > cpu_max in reports)
+    mon = ResourceMonitor(interval=30.0)
+    mon.cpu_pct = [100.0, 900.0, 1780.0]  # skewed small sample
+    mon.rss_bytes = [1 << 30, 2 << 30, 3 << 30]
+    s = mon.summary()
+    assert s["cpu_p95_pct"] <= s["cpu_max_pct"]
+    assert s["rss_p95_mb"] <= s["rss_max_mb"]
