@@ -97,6 +97,48 @@ def redelegate(delegation: DataFrame, drone_keys, new_hq: str, key_col: str = "d
     return update_by_keys(delegation, drone_keys, key_col, {hq_col: new_hq})
 
 
+RANK_BUCKETS = 64
+
+
+def bucketed_rank(
+    df: DataFrame, key_col: str, buckets: int = RANK_BUCKETS
+) -> tuple[DataFrame, int]:
+    """Deterministic 0-based dense rank over a key column WITHOUT a
+    single-partition global window and WITHOUT a driver key list: keys
+    hash into ``buckets`` groups, ranks are per-group windows (each
+    ~n/buckets rows), and only the ``buckets`` group counts reach the
+    driver, where they become rank offsets inlined as a literal map.
+    The order is bucket-major / key-minor — a fixed deterministic
+    permutation.  Returns (DataFrame(key_col, __rank), total)."""
+    from itertools import chain as _ichain
+
+    from pyspark.sql.window import Window
+
+    b = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(buckets))
+    keys = df.select(F.col(key_col), b.alias("__b"))
+    counts = {
+        r["__b"]: r["n"]
+        for r in keys.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if not counts:
+        spark = df.sparkSession
+        empty = spark.createDataFrame([], keys.schema).select(
+            key_col, F.lit(0).cast("int").alias("__rank")
+        )
+        return empty, 0
+    offsets, acc = {}, 0
+    for grp in sorted(counts):
+        offsets[grp] = acc
+        acc += counts[grp]
+    off_map = F.create_map(
+        *_ichain.from_iterable((F.lit(g), F.lit(o)) for g, o in offsets.items())
+    )
+    w = Window.partitionBy("__b").orderBy(key_col)
+    rank = off_map[F.col("__b")] + F.row_number().over(w) - 1
+    return keys.select(key_col, rank.alias("__rank")), total
+
+
 def diff_as_changes(
     before: DataFrame, after: DataFrame, key_col: str, seq_start: int = 0
 ) -> DataFrame:
@@ -128,12 +170,17 @@ def diff_as_changes(
         | F.col("payload").isNull()
         & F.col("__old").isNotNull()
     ).drop("__old")
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("id")
-    return changes.withColumn(
-        "ts_ms", (F.row_number().over(w) + F.lit(seq_start)).cast("long")
-    )
+    # deterministic per-diff sequence WITHOUT a single-partition global
+    # window (a Window.orderBy with no partition funnels the whole diff
+    # through one task): materialize the diff once, then assign the
+    # bucketed distributed rank (ids are unique within a diff)
+    changes = changes.localCheckpoint()
+    ranked, _total = bucketed_rank(changes.select("id"), "id")
+    # plain equi join on id — AQE picks broadcast only when the diff is
+    # actually small (a full-table diff is not)
+    return changes.join(ranked, "id").withColumn(
+        "ts_ms", (F.col("__rank") + 1 + F.lit(seq_start)).cast("long")
+    ).drop("__rank")
 
 
 def set_vertex_property(vertices: DataFrame, label: str, prop_col: str, value) -> DataFrame:

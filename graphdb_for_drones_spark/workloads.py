@@ -19,15 +19,16 @@ well-defined version — the §7.4-5 mutation-while-querying pin.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from itertools import chain as _ichain, count
+from itertools import count
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from graphdb_for_drones_spark.mutation import redelegate
-
-RANK_BUCKETS = 64
+from graphdb_for_drones_spark.mutation import (
+    RANK_BUCKETS,
+    bucketed_rank,
+    redelegate,
+)
 
 
 _SNAPSHOT_COUNTER = count(1)
@@ -50,43 +51,15 @@ def _snapshot(df: DataFrame) -> DataFrame:
 def ranked_keys(
     current: DataFrame, key_col: str, buckets: int = RANK_BUCKETS
 ) -> tuple[DataFrame, int]:
-    """Deterministic 0-based dense rank over the key set WITHOUT a
-    driver-side key list (the reference collects its id lists — S4 — and
-    so did earlier rounds here; at 100× the drone table that collect is a
-    driver OOM) and WITHOUT a single-partition global window:
-
-    * keys hash into ``buckets`` groups; ranks are per-group windows
-      (scalable: each window holds ~n/buckets rows);
-    * only the ``buckets`` group counts reach the driver, which turns
-      them into rank offsets inlined as a literal map.
-
-    The resulting order is bucket-major / key-minor — a fixed
-    deterministic permutation of the keys, which is exactly what the
+    """Deterministic dense rank over the key set WITHOUT a driver-side
+    key list (the reference collects its id lists — S4 — and so did
+    earlier rounds here; at 100× the drone table that collect is a
+    driver OOM): delegates to ``mutation.bucketed_rank`` — hash-bucketed
+    per-group windows, only ``buckets`` counters reach the driver.  The
+    fixed bucket-major/key-minor permutation is exactly what the
     workload's "first n_upd keys" selection and chunked commits need.
     Returns (DataFrame(key_col, __rank), total_keys)."""
-    b = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(buckets))
-    keys = current.select(F.col(key_col), b.alias("__b"))
-    counts = {
-        r["__b"]: r["n"]
-        for r in keys.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    total = sum(counts.values())
-    if not counts:
-        spark = current.sparkSession
-        empty = spark.createDataFrame([], keys.schema).select(
-            key_col, F.lit(0).cast("int").alias("__rank")
-        )
-        return empty, 0
-    offsets, acc = {}, 0
-    for grp in sorted(counts):
-        offsets[grp] = acc
-        acc += counts[grp]
-    off_map = F.create_map(
-        *_ichain.from_iterable((F.lit(g), F.lit(o)) for g, o in offsets.items())
-    )
-    w = Window.partitionBy("__b").orderBy(key_col)
-    rank = off_map[F.col("__b")] + F.row_number().over(w) - 1
-    return keys.select(key_col, rank.alias("__rank")), total
+    return bucketed_rank(current.select(key_col), key_col, buckets)
 
 
 def _rank_chunks(
