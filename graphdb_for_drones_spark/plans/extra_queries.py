@@ -546,6 +546,39 @@ ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
 ORACLE_IVF_TOPK = _ivf_kmeans_oracle_sql()
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering for corpus curation (diversity sampling /
+    topic buckets): the seeded deterministic k-means from the IVF path,
+    served as (cluster id, member count) — the whole derivation is
+    hash-checked by the unrolled SQL twin."""
+    cat = Catalog(spark, sf_dir)
+    data = cat.embeddings.filter(F.col("vec_id") != 0)
+    centroids = kmeans_centroids(data, k=8, iters=2, seed=42)
+    asg = ivf_index(data, centroids)
+    return (
+        asg.groupBy(F.col("cluster").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cid")
+    )
+
+
+def _embedding_clusters_oracle_sql(k: int = 8, iters: int = 2, seed: int = 42) -> str:
+    # same unrolled k-means CTEs as the ivf_topk oracle, different final
+    # select: cluster membership counts
+    base = _ivf_kmeans_oracle_sql(k, iters, seed)
+    head, _tail = base.rsplit("SELECT e.vec_id,", 1)
+    # drop the probe/search CTEs (qv/probes/cand) — keep through `asg`
+    head = head.rsplit(",\nqv AS", 1)[0]
+    return (
+        head
+        + "\nSELECT cluster AS cid, COUNT(*) AS n_vectors FROM asg"
+        + " GROUP BY cluster ORDER BY cid"
+    )
+
+
+ORACLE_EMBEDDING_CLUSTERS = _embedding_clusters_oracle_sql()
+
+
 def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped argmin join: per part, the supplier offering the lowest
     average line price (window rank over a grouped aggregate; suppkey
@@ -848,6 +881,7 @@ EXTRA_QUERIES = {
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
     "event_value_hist_quantiles": q_event_value_hist_quantiles,
+    "embedding_clusters": q_embedding_clusters,
     "dedup_clusters": q_dedup_clusters,
     "min_price_supplier": q_min_price_supplier,
     "event_props_extract": q_event_props_extract,
@@ -869,6 +903,7 @@ EXTRA_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
+    "embedding_clusters": ORACLE_EMBEDDING_CLUSTERS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "min_price_supplier": ORACLE_MIN_PRICE_SUPPLIER,
     "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,
