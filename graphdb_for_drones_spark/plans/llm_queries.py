@@ -660,6 +660,88 @@ WHERE {cos} >= {threshold}
 ORACLE_ANN_NEAR_PAIRS = _ann_near_pairs_oracle_sql()
 
 
+def q_corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as one declarative plan —
+    quality gate (q >= 0.5) → exact-dedup keeper (min doc_id per
+    normalized-content md5) → deterministic train/val/test split →
+    per-split document and token counts.  Every stage reuses a
+    catalogued operator (text.quality_score, dedup.normalize_text,
+    split.hash_split) and the whole composition hash-matches one SQL
+    twin: the engine's pipeline-building story in a single query."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+    from graphdb_for_drones_spark.operators.split import hash_split
+    from graphdb_for_drones_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    scored = cat.documents.filter(quality_score(F.col("text")) >= 0.5)
+    keyed = scored.withColumn("__h", F.md5(normalize_text(F.col("text"))))
+    keepers = keyed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keepers, ["__h", "doc_id"], "left_semi")
+    return (
+        hash_split(kept, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def _corpus_curation_oracle_sql(seed: int = 42, modulus: int = 10_000) -> str:
+    hex_to_int = (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(hh, i+1, 1)) - 1 AS BIGINT)"
+        " << ((14 - i) * 4))) AS BIGINT)"
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+      AS n_tok,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        x -> x IN ('the','a','of','and','in','to','is')))
+    * 1.0 /
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))
+      AS sw_ratio,
+    (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+    * 1.0 / length(text) AS p_ratio
+  FROM documents
+),
+pass AS (
+  SELECT doc_id, text, n_tok FROM t
+  WHERE ROUND((LEAST(n_tok / 100.0, 1.0)
+               + LEAST(sw_ratio * 5, 1.0)
+               + GREATEST(1.0 - p_ratio * 4, 0.0)) / 3, 6) >= 0.5
+),
+keyed AS (
+  SELECT doc_id, n_tok,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM pass
+),
+keep AS (SELECT h, MIN(doc_id) AS doc_id FROM keyed GROUP BY h),
+kept AS (SELECT k.doc_id, k.n_tok FROM keyed k JOIN keep USING (h, doc_id)),
+s AS (
+  SELECT n_tok, md5(CAST(doc_id AS VARCHAR) || ':{seed}') AS hh FROM kept
+),
+labeled AS (
+  SELECT n_tok,
+         CASE WHEN {hex_to_int} % {modulus} < {int(0.8 * modulus)} THEN 'train'
+              WHEN {hex_to_int} % {modulus} < {int(0.9 * modulus)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM s
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY split ORDER BY split
+"""
+
+
+ORACLE_CORPUS_CURATION_STATS = _corpus_curation_oracle_sql()
+
+
 def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split (md5-keyed, seed 42,
     a pure projection — no shuffle, stable under reruns) with the
@@ -774,6 +856,7 @@ LLM_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
     "doc_split_counts": q_doc_split_counts,
+    "corpus_curation_stats": q_corpus_curation_stats,
     "vc_verify_count": q_vc_verify_count,
 }
 
@@ -797,6 +880,7 @@ LLM_ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
     "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,
+    "corpus_curation_stats": ORACLE_CORPUS_CURATION_STATS,
     "vc_verify_count": ORACLE_VC_VERIFY_COUNT,
     # minhash_pairs / simhash_pairs stay rows-only by design: their
     # xxhash64 family is the production fast path (not SQL-reproducible);
