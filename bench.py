@@ -60,6 +60,7 @@ HEADLINE = [
     "ivf_topk",
     "event_value_hist_quantiles",
     "doc_split_counts",
+    "corpus_curation_stats",
 ]
 
 
