@@ -122,3 +122,34 @@ def test_ann_near_pairs_exact_dup_recall(spark):
     assert got[(0, 100)] == 1.0
     # every returned pair respects the verification threshold
     assert all(c >= 0.9 for c in got.values())
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    # two far-apart blobs: 2-means must put each blob in one cluster,
+    # regardless of which sampled vectors seed the init
+    import random
+
+    from graphdb_for_drones_spark.operators.similarity import (
+        ivf_index,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(25):  # blob A: near +e1
+        rows.append((i, [1.0 + rng.uniform(-0.05, 0.05)] + [rng.uniform(-0.05, 0.05)] * 63))
+    for i in range(25, 50):  # blob B: near -e1
+        rows.append((i, [-1.0 + rng.uniform(-0.05, 0.05)] + [rng.uniform(-0.05, 0.05)] * 63))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    cents = kmeans_centroids(emb, k=2, iters=2, seed=7)
+    assert len(cents) == 2
+    asg = {r.vec_id: r.cluster for r in ivf_index(emb, cents).collect()}
+    blob_a = {asg[i] for i in range(25)}
+    blob_b = {asg[i] for i in range(25, 50)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+    # determinism: same seed → identical centroids
+    again = kmeans_centroids(emb, k=2, iters=2, seed=7)
+    assert again == cents
