@@ -95,10 +95,6 @@ def fingerprint(col: Column, modulus: int = 1_000_000_007) -> Column:
     cross-engine-checkable document fingerprint.  In production prefer
     ``F.xxhash64(col)`` (one codegen op); this variant exists because its
     value is reproducible in any engine, for oracle checks."""
-    codes = F.expr(
-        "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))"
-    ) if False else None
-    # expression built generically over `col` below
     chars = F.sequence(F.lit(1), F.length(col))
     return F.aggregate(
         chars,
