@@ -30,7 +30,10 @@ from graphdb_for_drones_spark.bench_utils import (
     benchmark_query,
     write_results_csv,
 )
+from pyspark.sql import functions as F
+
 from graphdb_for_drones_spark.fixtures import (
+    abac_tables,
     delegation_hierarchy,
     flat_delegation,
     web_trust_chain,
@@ -143,6 +146,51 @@ def sweep(
                     run_wot,
                     iterations=iterations,
                     scenario="wot_chain",
+                    scale_up=n,
+                    depth=depth,
+                )
+            )
+
+    for n in scale_up_nodes:
+        for depth in depths:
+            # 05_abac permission-check sweep: n users round-robin into a
+            # subgroup chain of depth+1 groups (top group reached at
+            # exactly `depth` hops and holds the permission), so every
+            # timed iteration is a SUCCESSFUL access check at that depth
+            t = abac_tables(spark, num_users=n, num_groups=depth + 1)
+            sub_edges = t.subgroup.selectExpr("from_id AS src", "to_id AS dst")
+            seed_group = (
+                t.member.filter(F.col("user_did") == "did:example:u0")
+                .select("group_id")
+                .first()
+                .group_id
+            )
+            perm = t.permission.localCheckpoint()
+
+            def run_abac(
+                sub_edges=sub_edges, seed_group=seed_group, perm=perm,
+                depth=depth,
+            ):
+                reached = reachable_counts(
+                    sub_edges,
+                    [seed_group],
+                    depth,
+                    mode="node",
+                    include_seed=True,
+                    collect_edges=True,
+                ).select(F.col("node").alias("group_id"))
+                allowed = (
+                    reached.join(perm, "group_id")
+                    .filter(F.col("resource_id") == "res0")
+                    .count()
+                )
+                assert allowed == 1, (allowed, depth)
+
+            results.append(
+                benchmark_query(
+                    run_abac,
+                    iterations=iterations,
+                    scenario="abac",
                     scale_up=n,
                     depth=depth,
                 )

@@ -136,11 +136,16 @@ class Abac:
     permission: DataFrame
 
 
-def abac_tables(spark: SparkSession, num_users: int = 100) -> Abac:
+def abac_tables(
+    spark: SparkSession, num_users: int = 100, num_groups: int | None = None
+) -> Abac:
     """A5 six-table ABAC schema (04_web_of_trust/setup_scenario_a.py:94-121):
     users round-robin into groups, linear subgroup chain, top group holds
-    every permission."""
-    num_groups = max(num_users // 10, 2)
+    every permission.  ``num_groups`` defaults to users/10 (the reference
+    ratio); pass it explicitly to pin the subgroup-chain length for
+    depth sweeps."""
+    if num_groups is None:
+        num_groups = max(num_users // 10, 2)
     users = [f"did:example:u{i}" for i in range(num_users)]
     groups = [f"g{i}" for i in range(num_groups)]
     resources = [f"res{i}" for i in range(num_groups)]

@@ -37,7 +37,9 @@ def test_protocol_sweep_shapes(spark):
     from graphdb_for_drones_spark.bench_protocol import sweep
 
     rs = sweep(spark, [50], [2], iterations=2)
-    assert {r.scenario for r in rs} == {"flat_chain", "hierarchy", "wot_chain"}
+    assert {r.scenario for r in rs} == {
+        "flat_chain", "hierarchy", "wot_chain", "abac",
+    }
     for r in rs:
         row = r.row()
         assert set(row) == COLUMNS
