@@ -57,6 +57,116 @@ def hash_split(
     )
 
 
+def _md5_60bit(col: Column) -> Column:
+    """First 15 hex chars of md5 as a signed-64-safe nonnegative long —
+    the engine-neutral hash used across the split/sampling family."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_rank(
+    df: DataFrame, key_col: str, buckets: int = 64, seed: int = 0
+) -> tuple["DataFrame", int]:
+    """Deterministic 0-based dense rank in md5 order, computed WITHOUT a
+    single-partition window: hash-bucketed per-group windows + driver-side
+    bucket offsets (the ``mutation.bucketed_rank`` pattern, but over an
+    ENGINE-NEUTRAL order — total order is (h % buckets, h, key) with
+    h = md5_60bit("{key}:r{seed}"), which a SQL twin reproduces as one
+    ROW_NUMBER).  Returns (DataFrame(key_col, __rank), total)."""
+    from itertools import chain as _ichain
+
+    from pyspark.sql.window import Window
+
+    h = _md5_60bit(F.concat(F.col(key_col).cast("string"), F.lit(f":r{seed}")))
+    keys = df.select(
+        F.col(key_col), h.alias("__h"), F.pmod(h, F.lit(buckets)).alias("__b")
+    )
+    counts = {
+        r["__b"]: r["n"]
+        for r in keys.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if not counts:
+        spark = df.sparkSession
+        empty = spark.createDataFrame([], keys.schema).select(
+            key_col, F.lit(0).cast("int").alias("__rank")
+        )
+        return empty, 0
+    offsets, acc = {}, 0
+    for grp in sorted(counts):
+        offsets[grp] = acc
+        acc += counts[grp]
+    off_map = F.create_map(
+        *_ichain.from_iterable((F.lit(g), F.lit(o)) for g, o in offsets.items())
+    )
+    w = Window.partitionBy("__b").orderBy("__h", key_col)
+    rank = off_map[F.col("__b")] + F.row_number().over(w) - 1
+    return keys.select(key_col, rank.alias("__rank")), total
+
+
+def negative_pairs(
+    ids: DataFrame,
+    key_col: str,
+    k: int = 2,
+    seed: int = 42,
+    positives: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic contrastive negative sampling: for every id, ``k``
+    pseudo-random partners drawn uniformly from the OTHER ids —
+    reproducible across runs/engines (md5 arithmetic end to end, so a
+    SQL twin hash-checks it) and never self-paired (the draw is over
+    n-1 slots, shifted past the id's own rank).
+
+    Shape at scale: one md5-ranked index (distributed rank, driver sees
+    only bucket counters), a k-way explode, and ONE equi join back on
+    rank — no shuffle of anything wider than (id, rank).  Pass
+    ``positives`` (id, partner id) to anti-join known positive pairs out
+    (both orientations), e.g. near-dup pairs from the dedup family.
+
+    Returns (key_col, neg_<key_col>, j) with j in [0, k)."""
+    idx, n = md5_rank(ids.select(key_col), key_col)
+    if n < 2:
+        spark = ids.sparkSession
+        kt = ids.schema[key_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{key_col} {kt}, neg_{key_col} {kt}, j int"
+        )
+    left = idx.select(
+        F.col(key_col),
+        F.col("__rank"),
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    )
+    draw = _md5_60bit(
+        F.concat(
+            F.col(key_col).cast("string"), F.lit(":"), F.col("j"), F.lit(f":{seed}")
+        )
+    )
+    slot = F.pmod(draw, F.lit(n - 1))
+    partner_rank = slot + (slot >= F.col("__rank")).cast("int")
+    pairs = (
+        left.withColumn("__pr", partner_rank)
+        .join(
+            idx.select(
+                F.col(key_col).alias(f"neg_{key_col}"),
+                F.col("__rank").alias("__pr"),
+            ),
+            "__pr",
+        )
+        .select(key_col, f"neg_{key_col}", "j")
+    )
+    if positives is not None:
+        a, b = positives.columns[:2]
+        fwd = positives.select(
+            F.col(a).alias(key_col), F.col(b).alias(f"neg_{key_col}")
+        )
+        rev = positives.select(
+            F.col(b).alias(key_col), F.col(a).alias(f"neg_{key_col}")
+        )
+        pairs = pairs.join(
+            fwd.unionByName(rev), [key_col, f"neg_{key_col}"], "left_anti"
+        )
+    return pairs
+
+
 def stratified_counts(
     df: DataFrame,
     key_col: str,

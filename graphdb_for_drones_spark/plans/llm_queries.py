@@ -660,6 +660,52 @@ WHERE {cos} >= {threshold}
 ORACLE_ANN_NEAR_PAIRS = _ann_near_pairs_oracle_sql()
 
 
+def q_doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling over the corpus: 2 deterministic
+    uniform non-self partners per document (md5 arithmetic end to end —
+    the SQL twin reproduces index, draws and shift exactly)."""
+    from graphdb_for_drones_spark.operators.split import negative_pairs
+
+    cat = Catalog(spark, sf_dir)
+    return negative_pairs(cat.documents.select("doc_id"), "doc_id", k=2)
+
+
+def _doc_negative_pairs_oracle_sql(k: int = 2, seed: int = 42, buckets: int = 64) -> str:
+    def md5i(expr: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(15), i -> "
+            f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i+1, 1)) - 1 AS BIGINT)"
+            " << ((14 - i) * 4))) AS BIGINT)"
+        )
+
+    h = md5i("CAST(doc_id AS VARCHAR) || ':r0'")
+    draw = md5i(f"CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':{seed}'")
+    return f"""
+WITH idx AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY ({h}) % {buckets}, {h}, doc_id) - 1
+           AS rnk
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+drawn AS (
+  SELECT i.doc_id, i.rnk, CAST(t.j AS INTEGER) AS j,
+         ({draw.replace('doc_id', 'i.doc_id')}) % (n.n - 1) AS slot
+  FROM idx i CROSS JOIN range({k}) t(j) CROSS JOIN n
+),
+shifted AS (
+  SELECT doc_id, j,
+         slot + (CASE WHEN slot >= rnk THEN 1 ELSE 0 END) AS pr
+  FROM drawn
+)
+SELECT s.doc_id, p.doc_id AS neg_doc_id, s.j
+FROM shifted s JOIN idx p ON p.rnk = s.pr
+"""
+
+
+ORACLE_DOC_NEGATIVE_PAIRS = _doc_negative_pairs_oracle_sql()
+
+
 def q_corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation pipeline as one declarative plan —
     quality gate (q >= 0.5) → exact-dedup keeper (min doc_id per
@@ -857,6 +903,7 @@ LLM_QUERIES = {
     "ann_near_pairs": q_ann_near_pairs,
     "doc_split_counts": q_doc_split_counts,
     "corpus_curation_stats": q_corpus_curation_stats,
+    "doc_negative_pairs": q_doc_negative_pairs,
     "vc_verify_count": q_vc_verify_count,
 }
 
@@ -881,6 +928,7 @@ LLM_ORACLES = {
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
     "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,
     "corpus_curation_stats": ORACLE_CORPUS_CURATION_STATS,
+    "doc_negative_pairs": ORACLE_DOC_NEGATIVE_PAIRS,
     "vc_verify_count": ORACLE_VC_VERIFY_COUNT,
     # minhash_pairs / simhash_pairs stay rows-only by design: their
     # xxhash64 family is the production fast path (not SQL-reproducible);

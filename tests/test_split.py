@@ -76,3 +76,35 @@ def test_split_partitioned_write_prunes(spark, tmp_path):
         for r in hash_split(df, "doc_id").filter(F.col("split") == "train").collect()
     }
     assert {r.doc_id for r in train.collect()} == expected
+
+
+def test_negative_pairs_contract(spark):
+    from graphdb_for_drones_spark.operators.split import negative_pairs
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long"
+    ).localCheckpoint()
+    out = negative_pairs(ids, "doc_id", k=3).collect()
+    assert len(out) == 150  # exactly k per id
+    assert all(r.doc_id != r.neg_doc_id for r in out)  # never self
+    # deterministic across invocations
+    again = negative_pairs(ids, "doc_id", k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # seed changes the draw
+    other = negative_pairs(ids, "doc_id", k=3, seed=7).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_negative_pairs_excludes_positives(spark):
+    from graphdb_for_drones_spark.operators.split import negative_pairs
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    ).localCheckpoint()
+    base = negative_pairs(ids, "doc_id", k=2).collect()
+    # declare every sampled pair a known positive: all must be excluded
+    pos = spark.createDataFrame(
+        [(r.doc_id, r.neg_doc_id) for r in base], "a long, b long"
+    )
+    filtered = negative_pairs(ids, "doc_id", k=2, positives=pos).collect()
+    assert filtered == []
