@@ -19,9 +19,9 @@ from pyspark.sql.window import Window
 from graphdb_for_drones_spark.catalog import Catalog
 from graphdb_for_drones_spark.operators.graph_algorithms import triangle_count
 from graphdb_for_drones_spark.operators.similarity import (
-    ivf_index,
+    ivf_open,
+    ivf_path_for,
     ivf_search,
-    kmeans_centroids,
 )
 from graphdb_for_drones_spark.operators.temporal import asof_join, session_stats
 
@@ -442,22 +442,41 @@ def _cos64(x: str, y: str) -> str:
     )
 
 
+def _ivf_open_for_sf(spark: SparkSession, sf_dir: str):
+    """Materialized IVF index for this scale factor's embeddings: built
+    (seeded k-means, 2 Lloyd rounds) on first touch, persisted partitioned
+    by cluster, probe-only afterwards.  The fingerprinted path makes a
+    rewritten source rebuild automatically."""
+    import os as _os
+
+    cat = Catalog(spark, sf_dir)
+    data = cat.embeddings.filter(F.col("vec_id") != 0)
+    path = ivf_path_for(
+        _os.path.join(sf_dir, "embeddings.parquet"), k=8, iters=2, seed=42
+    )
+    return ivf_open(spark, data, path, k=8, iters=2, seed=42)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-10 with SAMPLED-K-MEANS centroids:
     seeded deterministic init (k smallest md5("{id}:{seed}") digests),
     2 Lloyd rounds with decimal-exact means, nearest-centroid
     assignment, 2-probe search.  Every step is rounded/tiebroken
     deterministically, so the whole index — k-means included — is
-    oracle-checked."""
+    oracle-checked.
+
+    The query PROBES a materialized index (``_ivf_open_for_sf``): the
+    Lloyd iterations run once offline, and the probe's ``cluster IN``
+    filter prunes to the 2 probed cluster directories on disk — at scale
+    the scan never lists the other clusters.  The oracle twin keeps the
+    full unrolled-k-means formulation, which also hash-checks the
+    persisted index contents."""
     cat = Catalog(spark, sf_dir)
-    emb = cat.embeddings
-    data = emb.filter(F.col("vec_id") != 0)
-    centroids = kmeans_centroids(data, k=8, iters=2, seed=42)
+    idx, centroids = _ivf_open_for_sf(spark, sf_dir)
     q = [
         float(v)
-        for v in emb.filter(F.col("vec_id") == 0).first().embedding
+        for v in cat.embeddings.filter(F.col("vec_id") == 0).first().embedding
     ]
-    idx = ivf_index(data, centroids)
     return ivf_search(idx, centroids, q, k=10, n_probe=2)
 
 
@@ -550,13 +569,12 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering for corpus curation (diversity sampling /
     topic buckets): the seeded deterministic k-means from the IVF path,
     served as (cluster id, member count) — the whole derivation is
-    hash-checked by the unrolled SQL twin."""
-    cat = Catalog(spark, sf_dir)
-    data = cat.embeddings.filter(F.col("vec_id") != 0)
-    centroids = kmeans_centroids(data, k=8, iters=2, seed=42)
-    asg = ivf_index(data, centroids)
+    hash-checked by the unrolled SQL twin.  Shares the materialized IVF
+    index with ``ivf_topk``; the count touches only the partition column,
+    so the scan reads directory metadata, not vectors."""
+    asg, _cents = _ivf_open_for_sf(spark, sf_dir)
     return (
-        asg.groupBy(F.col("cluster").alias("cid"))
+        asg.groupBy(F.col("cluster").cast("int").alias("cid"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cid")
     )

@@ -153,3 +153,40 @@ def test_kmeans_separates_planted_clusters(spark):
     # determinism: same seed → identical centroids
     again = kmeans_centroids(emb, k=2, iters=2, seed=7)
     assert again == cents
+
+
+def test_ivf_persisted_index_roundtrip(spark, tmp_path, monkeypatch):
+    # build-once/probe-many lifecycle: ivf_open persists the index
+    # (parquet partitioned by cluster + centroids.json) and a second open
+    # must NOT rerun k-means; the persisted probe matches the fresh plan
+    # and its scan is partition-pruned to the probed clusters.
+    import random
+
+    import graphdb_for_drones_spark.operators.similarity as sim
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    path = str(tmp_path / "ivf-test")
+
+    idx1, cents1 = sim.ivf_open(spark, emb, path, k=4, iters=1, seed=3)
+    q = rows[5][1]
+    fresh = sim.ivf_index(emb, cents1)
+    expect = sim.ivf_search(fresh, cents1, q, k=5, n_probe=2).collect()
+    got1 = sim.ivf_search(idx1, cents1, q, k=5, n_probe=2).collect()
+    assert got1 == expect
+
+    # second open: loads from disk — fail loudly if it tries to rebuild
+    def _boom(*a, **kw):  # pragma: no cover - the assertion is the point
+        raise AssertionError("k-means re-ran on a warm ivf_open")
+
+    monkeypatch.setattr(sim, "kmeans_centroids", _boom)
+    idx2, cents2 = sim.ivf_open(spark, emb, path, k=4, iters=1, seed=3)
+    assert cents2 == cents1
+    assert sim.ivf_search(idx2, cents2, q, k=5, n_probe=2).collect() == expect
+
+    probe = idx2.filter(idx2.cluster.isin([int(cents1[0][0])]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
