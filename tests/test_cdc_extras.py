@@ -76,3 +76,23 @@ def test_cdc_protocol_benches(spark):
     assert survivors[99] == "item-99"
     r = bench_recovery(spark, backlog=200)
     assert r["batches"] == 1 and r["drain_ev_s"] > 0
+
+
+def test_stats_distributed_scalar_only(spark):
+    # engine-side stat aggregation: one scalar row reaches the driver and
+    # the values agree with hand-computed ground truth
+    import statistics
+
+    from graphdb_for_drones_spark.cdc_protocol import _stats_distributed
+
+    xs = [float(x) for x in [3, 1, 4, 1, 5, 9, 2, 6, 5]]
+    df = spark.createDataFrame([(x,) for x in xs], "lat double")
+    got = _stats_distributed(df, "lat")
+    assert got["count"] == 9
+    assert got["avg"] == statistics.mean(xs)
+    assert (got["min"], got["max"]) == (1.0, 9.0)
+    assert abs(got["stddev"] - statistics.stdev(xs)) < 1e-12
+    assert got["p50"] == 4.0  # exact median, odd n
+    assert got["p99"] <= got["max"]
+    empty = spark.createDataFrame([], "lat double")
+    assert _stats_distributed(empty, "lat") == {"count": 0}
