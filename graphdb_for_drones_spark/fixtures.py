@@ -126,6 +126,93 @@ def web_trust_chain(spark: SparkSession, n: int = 30, anchor: str = "did:example
     return _df(spark, rows, "from_did string, to_did string")
 
 
+# --------------------------------------------------------------------- #
+# Engine-side twins of the protocol fixtures.  Row-identical to the
+# driver-built versions above (asserted by tests/test_fixtures_dist.py)
+# but generated with spark.range — no driver materialization, so the
+# scale-up sweep can build 10^6-node graphs the same way a cluster
+# would.  ``partitions`` sizes the layout: 1 for dimension-sized tables,
+# more for graphs the distributed kernel should scan in parallel.
+# --------------------------------------------------------------------- #
+
+
+def _parts_for(n: int) -> int:
+    return 1 if n <= 10_000 else 32
+
+
+def flat_delegation_dist(
+    spark: SparkSession, n: int, hq_id: str = "HQ1", partitions: int | None = None
+) -> DataFrame:
+    """A3 star, engine-side: every drone points at one HQ."""
+    p = partitions or _parts_for(n)
+    return (
+        spark.range(0, n, 1, p)
+        .selectExpr("id AS drone_id", f"'{hq_id}' AS hq_id")
+        .localCheckpoint()
+    )
+
+
+def web_trust_chain_dist(
+    spark: SparkSession,
+    n: int,
+    anchor: str = "did:example:anchor",
+    partitions: int | None = None,
+) -> DataFrame:
+    """A4 linear chain e0→e1→…→e(n-1)→anchor, engine-side."""
+    p = partitions or _parts_for(n)
+    return (
+        spark.range(0, n, 1, p)
+        .selectExpr(
+            "concat('did:example:e', id) AS from_did",
+            f"CASE WHEN id < {n - 1} THEN concat('did:example:e', id + 1) "
+            f"ELSE '{anchor}' END AS to_did",
+        )
+        .localCheckpoint()
+    )
+
+
+def delegation_hierarchy_edges_dist(
+    spark: SparkSession,
+    num_regional: int,
+    num_unit: int,
+    num_squad: int,
+    drones_per_squad: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The ``delegation_relation`` edge table of ``delegation_hierarchy``,
+    engine-side (same round-robin parents, same id formats)."""
+    n_drone = num_squad * drones_per_squad
+    p = partitions or _parts_for(num_regional + num_unit + num_squad + n_drone)
+    reg = spark.range(num_regional).selectExpr(
+        "'HQ1' AS parent_id",
+        "format_string('R%03d', id) AS child_id",
+        "'Regional' AS child_type",
+    )
+    unit = spark.range(num_unit).selectExpr(
+        f"format_string('R%03d', pmod(id, {num_regional})) AS parent_id",
+        "format_string('U%04d', id) AS child_id",
+        "'Unit' AS child_type",
+    )
+    squad = spark.range(num_squad).selectExpr(
+        f"format_string('U%04d', pmod(id, {num_unit})) AS parent_id",
+        "format_string('S%05d', id) AS child_id",
+        "'Squad' AS child_type",
+    )
+    drone = spark.range(0, n_drone, 1, p).selectExpr(
+        f"format_string('S%05d', id DIV {drones_per_squad}) AS parent_id",
+        f"format_string('D%05d_%02d', id DIV {drones_per_squad}, "
+        f"pmod(id, {drones_per_squad})) AS child_id",
+        "'Drone' AS child_type",
+    )
+    return (
+        reg.unionByName(unit)
+        .unionByName(squad)
+        .unionByName(drone)
+        .repartition(p)
+        .localCheckpoint()
+    )
+
+
 @dataclass
 class Abac:
     user: DataFrame
@@ -168,6 +255,46 @@ def abac_tables(
             [(groups[-1], r) for r in resources],
             "group_id string, resource_id string",
         ),
+    )
+
+
+def abac_tables_dist(
+    spark: SparkSession,
+    num_users: int,
+    num_groups: int | None = None,
+    partitions: int | None = None,
+) -> Abac:
+    """Engine-side twin of ``abac_tables`` — row-identical, spark.range
+    generated, so the user/member tables scale without a driver loop."""
+    if num_groups is None:
+        num_groups = max(num_users // 10, 2)
+    p = partitions or _parts_for(num_users)
+    top = f"g{num_groups - 1}"
+    users = spark.range(0, num_users, 1, p).selectExpr(
+        "concat('did:example:u', id) AS did"
+    )
+    return Abac(
+        user=users.localCheckpoint(),
+        group=spark.range(num_groups)
+        .selectExpr("concat('g', id) AS id")
+        .localCheckpoint(),
+        resource=spark.range(num_groups)
+        .selectExpr("concat('res', id) AS id")
+        .localCheckpoint(),
+        member=spark.range(0, num_users, 1, p)
+        .selectExpr(
+            "concat('did:example:u', id) AS user_did",
+            f"concat('g', pmod(id, {num_groups})) AS group_id",
+        )
+        .localCheckpoint(),
+        subgroup=spark.range(max(num_groups - 1, 0))
+        .selectExpr(
+            "concat('g', id) AS from_id", "concat('g', id + 1) AS to_id"
+        )
+        .localCheckpoint(),
+        permission=spark.range(num_groups)
+        .selectExpr(f"'{top}' AS group_id", "concat('res', id) AS resource_id")
+        .localCheckpoint(),
     )
 
 
