@@ -44,18 +44,32 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
 def invalidate_table(sf_dir: str | None = None, name: str | None = None) -> None:
     """Drop cached relations whose files may have been rewritten.
 
-    Engine write paths that overwrite a catalog path (mutation snapshots,
-    TRUNCATE/overwrite sinks) call this so the next ``load_table`` re-lists
-    files and re-reads footers instead of serving a stale file listing.
-    ``None`` acts as a wildcard (``invalidate_table()`` clears everything).
+    Engine write paths that overwrite a parquet path (the CDC state sink
+    ``streaming.cdc.start_cdc_apply``, ``sources.io.write_partitioned``)
+    call ``invalidate_path`` — which resolves here — so the next
+    ``load_table`` re-lists files and re-reads footers instead of serving
+    a stale file listing.  ``None`` acts as a wildcard
+    (``invalidate_table()`` clears everything).
     """
+    sf_norm = None if sf_dir is None else os.path.abspath(sf_dir)
     for per_session in _DF_CACHE.values():
         for key in [
             k
             for k in per_session
-            if (sf_dir is None or k[0] == sf_dir) and (name is None or k[1] == name)
+            if (sf_norm is None or os.path.abspath(k[0]) == sf_norm)
+            and (name is None or k[1] == name)
         ]:
             del per_session[key]
+
+
+def invalidate_path(path: str) -> None:
+    """Writer-facing invalidation: given the on-disk path a sink just
+    overwrote, drop any cached relation serving it.  Inverse of
+    ``load_table``'s ``<sf_dir>/<name>.parquet`` layout; paths outside
+    that layout have no cache entry and are a no-op."""
+    base = os.path.basename(path.rstrip("/"))
+    if base.endswith(".parquet"):
+        invalidate_table(os.path.dirname(os.path.abspath(path.rstrip("/"))), base[: -len(".parquet")])
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

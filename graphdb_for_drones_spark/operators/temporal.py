@@ -108,23 +108,27 @@ def range_join(
     keys and the per-bucket work is bounded by interval span /
     ``bucket_ms`` — never the O(points × intervals) nested loop a
     BETWEEN join degenerates to.  All columns in epoch millis."""
-    # `div` is floor-consistent integer division JVM-side; `/` would go
-    # through DOUBLE and cast('long') truncates toward zero — wrong bucket
-    # for negative epoch values.  Empty/inverted intervals (end <= start)
-    # are dropped BEFORE the explode: sequence(start, smaller_end) would
-    # otherwise generate a descending bucket array whose spurious candidate
-    # rows the containment filter hides from results but not from cost.
+    # Spark's `div` (IntegralDivide) truncates toward zero, not floor —
+    # bucket 0 spans (-bucket_ms, bucket_ms) for negative epochs.  That is
+    # still correct here because what the join needs is CONSISTENCY, not a
+    # particular rounding: both sides bucket with the same monotone
+    # function, so an interval's bucket sequence always covers every
+    # bucket its points land in, and the exact containment filter decides
+    # membership.  Empty/inverted intervals (end <= start) are dropped
+    # BEFORE the explode: sequence(start, smaller_end) would otherwise
+    # generate a descending bucket array whose spurious candidate rows the
+    # containment filter hides from results but not from cost.
     iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.expr(f"{start_col} div {bucket_ms}"),
+                F.expr(f"`{start_col}` div {bucket_ms}"),
                 # end is exclusive: last covered bucket is (end-1) div bucket
-                F.expr(f"({end_col} - 1) div {bucket_ms}"),
+                F.expr(f"(`{end_col}` - 1) div {bucket_ms}"),
             )
         ),
     )
-    pt = left.withColumn("__bucket", F.expr(f"{left_ts} div {bucket_ms}"))
+    pt = left.withColumn("__bucket", F.expr(f"`{left_ts}` div {bucket_ms}"))
     return (
         pt.join(iv, "__bucket")
         .filter(

@@ -77,3 +77,6 @@ def write_partitioned(
     let alone reads, other partitions.  Verified by
     tests/test_plan_shape.py::test_partition_pruning_on_label."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    from graphdb_for_drones_spark.catalog import invalidate_path
+
+    invalidate_path(path)

@@ -253,6 +253,10 @@ def start_cdc_apply(
         new_state.write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
         staged.write.mode("overwrite").parquet(state_path)
+        # drop any cached relation serving the rewritten snapshot
+        from graphdb_for_drones_spark.catalog import invalidate_path
+
+        invalidate_path(state_path)
 
     writer = changes_stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_path

@@ -18,6 +18,10 @@ sources give effectively-once for availableNow drains).
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,15 +34,34 @@ def _merge_and_overwrite(
     merged = batch_rollup if existing is None else merge_fn(
         existing.unionByName(batch_rollup)
     )
-    # materialize BEFORE overwriting the path the plan reads from
-    merged.localCheckpoint().write.mode("overwrite").parquet(state_dir)
+    # Commit via temp-dir + rename swap so a reader (or a crash) never
+    # observes a partially written state dir: write the merged rollup
+    # beside the live one, move the live one aside, move the new one in.
+    # The exposure window is two directory renames, not a full rewrite;
+    # _read_state recovers the `.old` dir if a crash lands inside it.
+    # (A transactional table format — e.g. Delta — would make this a
+    # real atomic commit; plain parquet gets the rename discipline.)
+    tmp = f"{state_dir}.tmp.{os.getpid()}"
+    merged.localCheckpoint().write.mode("overwrite").parquet(tmp)
+    old = f"{state_dir}.old.{os.getpid()}"
+    if os.path.exists(state_dir):
+        os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(state_dir)
-    except Exception:
-        return None  # first batch: no state yet
+    """None ONLY for the genuine first batch (no state committed yet).
+    A corrupt or partially readable state dir raises — silently treating
+    a read failure as 'first batch' would replace the accumulated rollup
+    with just the current batch."""
+    if not os.path.exists(state_dir):
+        leftover = sorted(glob.glob(state_dir + ".old.*"))
+        if not leftover:
+            return None  # first batch
+        # a swap was interrupted between its two renames: recover
+        os.rename(leftover[-1], state_dir)
+    return spark.read.parquet(state_dir)
 
 
 def start_hll_continuous_rollup(

@@ -12,6 +12,13 @@ Scale notes: state lives in the state store keyed by the grouping key —
 shuffle is one exchange on the key, state size is O(distinct keys);
 watermarks bound it for session windows.  Arrow moves each group's rows
 as pandas batches (never row-at-a-time Python).
+
+State-schema compatibility: RUNNING_STATE_SCHEMA widened from
+(n, last) to (n, last, last_seq) — there is no migration path for
+checkpoints written under the old schema, so restarting an existing
+query after upgrading requires a NEW checkpoint directory (acceptable
+for this bench harness; a production rollout would version the state
+and migrate on read).
 """
 
 from __future__ import annotations

@@ -134,7 +134,12 @@ def test_image_real_decode_roundtrip(spark):
     # runs only where Pillow exists: real decode + average-hash + resize
     import pytest
 
-    PIL = pytest.importorskip("PIL")  # noqa: N806
+    PIL = pytest.importorskip(  # noqa: N806
+        "PIL",
+        reason="Pillow not installed in this container; the real-decode "
+        "path is exercised wherever Pillow exists (the fake-decode twin "
+        "covers the Spark plumbing here)",
+    )
     from io import BytesIO
 
     from PIL import Image
