@@ -29,20 +29,28 @@ from graphdb_for_drones_spark.mutation import (
     bucketed_rank,
     redelegate,
 )
+from graphdb_for_drones_spark.snapshots import SnapshotStore
 
 
 _SNAPSHOT_COUNTER = count(1)
 
 
-def _snapshot(df: DataFrame) -> DataFrame:
+def _snapshot(df: DataFrame, store: SnapshotStore | None = None) -> DataFrame:
     # commit point: materialize the round's state (≈ the reference's
     # per-chunk COMMIT), keeping rounds independent of lineage depth.
     # Each snapshot carries a monotonically increasing version so timed
     # reads can record WHICH committed state they measured (SURVEY
     # §7.4-5: the reference interleaves committed chunked updates with
-    # timed reads; on a real cluster this is the Delta/Iceberg version
-    # pin).  localCheckpoint materializes the state, so later mutation
-    # rounds can never leak into an already-yielded snapshot.
+    # timed reads).  Default: in-session localCheckpoint + counter.
+    # With ``store``, the round commits to the on-disk versioned parquet
+    # store instead — the version pin survives a session restart and the
+    # yielded DataFrame READS BACK from the committed files (so what the
+    # measurement sees is exactly what a post-restart reader would see).
+    if store is not None:
+        version = store.commit(df)
+        out = store.read(df.sparkSession, version)
+        out.snapshot_version = version
+        return out
     out = df.localCheckpoint()
     out.snapshot_version = next(_SNAPSHOT_COUNTER)
     return out
@@ -82,11 +90,13 @@ def turn_taking(
     chunk_size: int = 500,
     key_col: str = "drone_id",
     hq_col: str = "hq_id",
+    store: SnapshotStore | None = None,
 ) -> Iterator[DataFrame]:
     """Yield one committed snapshot per round; round r re-points the first
     ``update_ratio`` fraction of drones (under the deterministic
-    ``ranked_keys`` order) at ``hq_ids[r % len]``."""
-    current = _snapshot(delegation)
+    ``ranked_keys`` order) at ``hq_ids[r % len]``.  With ``store`` each
+    round is a durable on-disk version (see ``_snapshot``)."""
+    current = _snapshot(delegation, store)
     ranked, total = ranked_keys(current, key_col)
     ranked = ranked.localCheckpoint()  # selection frozen across rounds
     n_upd = int(total * update_ratio)
@@ -94,7 +104,7 @@ def turn_taking(
         target = hq_ids[r % len(hq_ids)]
         for chunk in _rank_chunks(ranked, key_col, 0, n_upd, chunk_size):
             current = redelegate(current, chunk, target, key_col, hq_col)
-        current = _snapshot(current)
+        current = _snapshot(current, store)
         yield current
 
 
@@ -106,10 +116,11 @@ def chain_churn(
     chunk_size: int = 500,
     key_col: str = "drone_id",
     hq_col: str = "hq_id",
+    store: SnapshotStore | None = None,
 ) -> Iterator[tuple[int, DataFrame]]:
     """Per depth in the cycle: churn a ratio of drones round-robin across
     HQs, commit, and yield (depth, snapshot) for depth-d measurement."""
-    current = _snapshot(delegation)
+    current = _snapshot(delegation, store)
     ranked, total = ranked_keys(current, key_col)
     ranked = ranked.localCheckpoint()
     n_upd = int(total * update_ratio)
@@ -120,7 +131,7 @@ def chain_churn(
             ranked, key_col, start, min(start + n_upd, total), chunk_size
         ):
             current = redelegate(current, chunk, target, key_col, hq_col)
-        current = _snapshot(current)
+        current = _snapshot(current, store)
         yield depth, current
 
 
