@@ -130,14 +130,99 @@ def extract_image_features(
     return balanced.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def _avi_raw_frames(b: bytes) -> list[bytes]:
+    """Pure-stdlib RIFF/AVI walk: return the payloads of uncompressed
+    (``00db``-style) video frame chunks, in stream order.  Mirrors the
+    WAV path for audio — a REAL container decode with no optional
+    dependency.  Returns [] when the AVI holds only codec-compressed
+    (``..dc``) frames; those need ffmpeg."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end:
+            fourcc = b[off : off + 4]
+            size = int.from_bytes(b[off + 4 : off + 8], "little")
+            start = off + 8
+            if fourcc == b"LIST":
+                walk(start + 4, start + size)
+            elif fourcc[2:4] == b"db":  # uncompressed DIB frame chunk
+                frames.append(b[start : start + size])
+            off = start + size + (size & 1)  # chunks are even-aligned
+
+    walk(12, len(b))
+    return frames
+
+
+def _ffmpeg_frames(b: bytes, max_frames: int) -> list[bytes]:
+    """Frame extraction via an ffmpeg subprocess (any container/codec):
+    decode up to ``max_frames`` frames to PNG files in a temp dir and
+    return their bytes.  Raises NotImplementedError when the binary is
+    absent (this container)."""
+    import glob
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("ffmpeg") is None:  # pragma: no cover - absent here
+        raise NotImplementedError(
+            "decode='real' for codec-compressed video requires ffmpeg on "
+            "PATH; use decode='fake' in environments without it"
+        )
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in.bin")
+        with open(src, "wb") as fh:
+            fh.write(b)
+        subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", src, "-frames:v",
+             str(max_frames), os.path.join(td, "f_%05d.png")],
+            check=True,
+            capture_output=True,
+        )
+        return [
+            open(p, "rb").read()
+            for p in sorted(glob.glob(os.path.join(td, "f_*.png")))
+        ]
+
+
+def _real_video_frames(b: bytes, max_frames: int) -> list[tuple[int, bytes]]:
+    """(source_frame_idx, frame_bytes) pairs, uniformly sampled down to
+    ``max_frames``.  Uncompressed AVI decodes in-process via the stdlib
+    RIFF walk; anything else goes through ffmpeg."""
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        frames = _avi_raw_frames(b)
+        if not frames:  # compressed payload → needs a codec
+            frames = _ffmpeg_frames(b, max_frames)
+            return list(enumerate(frames))
+    else:
+        return list(enumerate(_ffmpeg_frames(b, max_frames)))
+    if len(frames) <= max_frames:
+        return list(enumerate(frames))
+    # uniform temporal sample, keeping the SOURCE index
+    idxs = [i * len(frames) // max_frames for i in range(max_frames)]
+    return [(i, frames[i]) for i in idxs]
+
+
 def sample_frames(
-    media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
+    media: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    decode: str = "fake",
 ) -> DataFrame:
-    """Video frame-sampling plumbing: emits (media_id, frame_idx,
-    frame_bytes) rows.  The 'frame' extraction is a deterministic byte
-    slice (stub for an ffmpeg keyframe pull); the row-explosion shape —
-    one input row fanning out to N output rows through mapInPandas — is
-    the real thing."""
+    """Video frame-sampling: emits (media_id, frame_idx, frame_bytes)
+    rows — one input row fanning out to ≤``max_frames`` output rows
+    through mapInPandas.
+
+    decode='fake': deterministic byte slices (stub).  decode='real':
+    uncompressed AVI decodes via a pure-stdlib RIFF walk (exercised
+    in-container, like the WAV audio path); other containers/codecs run
+    through an ffmpeg subprocess (NotImplementedError when the binary is
+    absent).  ``frame_idx`` is the SOURCE frame index under real decode,
+    so a sampled row names the frame it came from."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -151,8 +236,17 @@ def sample_frames(
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
-                    rows.append((media_id, i, b[i * every_n_bytes : (i + 1) * every_n_bytes]))
+                if decode == "real":
+                    for i, frame in _real_video_frames(b, max_frames):
+                        rows.append((media_id, i, frame))
+                else:
+                    for i in range(
+                        min(max_frames, max(len(b) // every_n_bytes, 1))
+                    ):
+                        rows.append(
+                            (media_id, i,
+                             b[i * every_n_bytes : (i + 1) * every_n_bytes])
+                        )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return (
@@ -160,6 +254,40 @@ def sample_frames(
         .repartition(F.col("media_id"))
         .mapInPandas(batches, out_schema)
     )
+
+
+def synthetic_avi(
+    n_frames: int = 6, width: int = 4, height: int = 3, seed: int = 0
+) -> tuple[bytes, list[bytes]]:
+    """Minimal uncompressed AVI (RIFF → hdrl(avih) + movi(00db…)) built
+    with struct only — a REAL container for the stdlib decode path.
+    Returns (avi_bytes, raw_frame_payloads)."""
+    import struct
+
+    frame_size = width * height * 3  # RGB24
+    frames = [
+        bytes((seed * 31 + f * 7 + i) % 256 for i in range(frame_size))
+        for f in range(n_frames)
+    ]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def list_chunk(list_type: bytes, payload: bytes) -> bytes:
+        data = list_type + payload
+        return b"LIST" + struct.pack("<I", len(data)) + data
+
+    avih = (
+        struct.pack(
+            "<10I", 33333, 0, 0, 0, n_frames, 0, 1, frame_size, width, height
+        )
+        + b"\x00" * 16
+    )
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload, frames
 
 
 def fake_media_table(spark, n: int = 32, kind: str = "image") -> DataFrame:
