@@ -78,16 +78,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in per_session:
         return per_session[key]
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long (runtime-settable legacy conf)
-        # and normalize to a microsecond TimestampType column
+        # Depending on the generator version, events.parquet carries either
+        # TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so read
+        # nanos as long (runtime-settable legacy conf) and normalize — or a
+        # native TIMESTAMP(MICROS) column that needs no conversion.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer division: `/` would go through DOUBLE, whose 52-bit
-        # mantissa cannot represent epoch-nanos exactly (±1 µs drift)
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            # integer division: `/` would go through DOUBLE, whose 52-bit
+            # mantissa cannot represent epoch-nanos exactly (±1 µs drift)
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # native TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ; with the
+            # session tz pinned to UTC (session.py) the cast reinterprets
+            # the same micros as the TimestampType every consumer
+            # (unix_millis, window ranges, the DuckDB oracle compare)
+            # has been checked against since round 1.
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     per_session[key] = df
