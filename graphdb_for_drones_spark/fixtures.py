@@ -372,3 +372,55 @@ def vc_tables(spark: SparkSession, num_subjects: int = 50) -> VcTables:
         ),
         issuer_pubkey=pk,
     )
+
+
+def skewed_corpus_dist(
+    spark: SparkSession,
+    n_docs: int,
+    boilerplate_words: int = 8,
+    unique_words: int = 40,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Power-law shingle-df corpus for the PPJoin prefix-filter crossover.
+
+    Every document opens with the SAME ``boilerplate_words``-word template
+    (think license headers / scraped-page chrome), so its 3-gram shingles
+    have document frequency ``n_docs`` — the d² candidate-blowup worst
+    case for a plain inverted-index join.  The remainder is
+    ``unique_words`` words private to the document, except that odd docs
+    reuse their predecessor's tail (a planted near-dup pair at jaccard
+    ≈ 0.88).  Shingle df is therefore two-point power-law:
+    ``boilerplate_words - 2`` shingles at df=n and the rest at df≤2 — the
+    skew regime where indexing only each doc's rarest prefix shingles
+    (PPJoin) must beat enumerating C(n,2) pairs per hot shingle.
+
+    Defaults size the boilerplate so an UNRELATED pair's jaccard
+    (≈ (b−2) / (2·(b+u−2) − (b−2)) ≈ 0.068) stays below the 0.1 working
+    threshold: the result set is the ~n_docs/2 planted pairs at every
+    threshold, while the candidate space the counting plan enumerates is
+    still Θ(n²) per hot shingle — output size and candidate blowup are
+    deliberately decoupled.
+
+    Built engine-side (``spark.range`` + string exprs, no driver rows);
+    schema matches the ``documents`` table (doc_id, text).
+    """
+    p = partitions or _parts_for(n_docs)
+    boiler = " ".join(f"tmpl{i}" for i in range(boilerplate_words))
+    # odd doc 2k+1 copies doc 2k's unique words except the last one →
+    # shared shingles ≫ threshold while staying distinct documents.
+    uniq = ", ".join(
+        f"concat('u', base, 'w{j}')" for j in range(unique_words - 1)
+    )
+    return (
+        spark.range(0, n_docs, 1, p)
+        .selectExpr(
+            "id AS doc_id",
+            f"CAST(id - id % 2 AS STRING) AS base",
+            "id % 2 AS parity",
+        )
+        .selectExpr(
+            "doc_id",
+            f"concat('{boiler} ', concat_ws(' ', {uniq}), "
+            "' tail', base, 'p', parity) AS text",
+        )
+    )
