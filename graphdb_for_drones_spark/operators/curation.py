@@ -1,0 +1,213 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Beyond dedup/similarity (operators/dedup.py, operators/similarity.py),
+a production pretraining pipeline needs:
+
+* **benchmark decontamination** — find training documents that overlap an
+  evaluation set (n-gram jaccard across two corpora, not a self-join);
+* **sequence packing** — assign documents to fixed-token-budget training
+  sequences deterministically;
+* **domain mixture weights** — per-source sampling weights that reshape
+  the observed token distribution into a target mixture;
+* **repetition scoring** — the Gopher-style within-document duplicate
+  n-gram ratio used as a quality gate.
+
+All four are pure DataFrame compositions (codegen expressions, bucketed
+joins, windowed aggregation) — no Python on the row path — and each has
+an exact ANSI-SQL twin in plans/curation_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphdb_for_drones_spark.operators.dedup import shingle_hash_array
+from graphdb_for_drones_spark.operators.text import token_count
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus exact n-gram jaccard: (train_id, eval_id, jaccard)
+    for every train document sharing ≥ ``threshold`` jaccard with an
+    eval document.
+
+    Same inverted-index discipline as ``dedup.ngram_jaccard_pairs`` but
+    across two corpora: each side explodes its distinct shingle hashes,
+    the equi join on the shingle meets only documents that share one,
+    and the pair count recovers |A∩B| — never an all-pairs product.
+    At scale the eval set is typically tiny (benchmarks): Catalyst's
+    size estimate then broadcasts the exploded eval side, making this a
+    map-side join against the training corpus.
+
+    ``max_df`` (train-side document frequency cap) drops boilerplate
+    shingles before the join — the same hot-shingle blowup control as
+    the self-join dedup path.
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(name),
+            F.array_distinct(
+                shingle_hash_array(F.col(text_col), shingle_n)
+            ).alias("hashes"),
+        ).select(
+            name,
+            F.size("hashes").alias(f"n_{name}"),
+            F.explode("hashes").alias("h"),
+        )
+
+    tr = side(train, "train_id")
+    ev = side(eval_set, "eval_id")
+    if max_df is not None:
+        keep = tr.groupBy("h").agg(F.count(F.lit(1)).alias("dfc")).filter(
+            F.col("dfc") <= max_df
+        )
+        tr = tr.join(keep.select("h"), "h", "left_semi")
+        sizes = tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("n2"))
+        tr = tr.drop("n_train_id").join(sizes, "train_id").withColumnRenamed(
+            "n2", "n_train_id"
+        )
+    common = (
+        tr.join(ev, "h")
+        .groupBy("train_id", "n_train_id", "eval_id", "n_eval_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (
+        F.col("n_train_id") + F.col("n_eval_id") - F.col("inter")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("train_id", "eval_id", "jaccard")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    group_cols: tuple[str, ...] = ("lang",),
+    shard_size: int = 1_000,
+) -> DataFrame:
+    """Deterministic sequence packing by token offset.
+
+    Documents are laid out in ``id_col`` order within each
+    (group, shard) stream; a document belongs to the pack where its
+    first token lands: ``pack_id = (cumsum_tokens - tokens) div budget``.
+    Token-offset binning (rather than greedy reset-on-overflow) keeps
+    the assignment a single window cumsum — expressible in any engine,
+    order-independent given the sort key, and each pack holds ~``budget``
+    tokens.
+
+    The window partitions on (group_cols…, shard) where
+    ``shard = id div shard_size`` — cumulative sums never run over an
+    unbounded partition, so the plan scales with corpus size instead of
+    degrading to one task per group.  Returns one row per document:
+    (group_cols…, shard, pack_id, doc_id, n_tokens).
+    """
+    toks = df.select(
+        *group_cols,
+        F.col(id_col).alias("doc_id"),
+        # integer division (not `/`-then-cast: stays exact for any id)
+        F.expr(f"`{id_col}` div {int(shard_size)}").alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(*group_cols, "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    return cum.select(
+        *group_cols,
+        "shard",
+        F.expr(f"(cum - n_tokens) div {int(budget)}").alias("pack_id"),
+        "doc_id",
+        "n_tokens",
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    budget: int = 512,
+    group_cols: tuple[str, ...] = ("lang",),
+    **kwargs,
+) -> DataFrame:
+    """Per-pack rollup of ``pack_sequences``: docs and tokens per pack."""
+    packed = pack_sequences(df, budget=budget, group_cols=group_cols, **kwargs)
+    return packed.groupBy(*group_cols, "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain sampling weights to hit a target token mixture.
+
+    ``weight = target_share / observed_token_share``: sampling each
+    domain's documents proportionally to its weight yields the target
+    mixture in expectation.  Default target is uniform over observed
+    domains.  Shares and totals are computed with window aggregates over
+    the per-domain rollup (domain cardinality, not corpus cardinality —
+    nothing returns to the driver).
+    """
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    if target is None:
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        tgt = mapping[F.col(domain_col)]
+    return per.select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        (tgt / share).alias("weight"),
+    )
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Gopher-style duplicate n-gram ratio: 1 − distinct/total word
+    n-grams (0 = no repetition).  Hashed n-grams (codegen xxhash64, the
+    shared shingle kernel) — exact modulo 64-bit collisions."""
+    grams = shingle_hash_array(col, n)
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    )
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document repetition quality signal: (doc_id, n_grams,
+    rep_ratio)."""
+    grams = shingle_hash_array(F.col(text_col), n)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).cast("long").alias("n_grams"),
+        repetition_ratio(F.col(text_col), n).alias("rep_ratio"),
+    )

@@ -18,9 +18,23 @@ from graphdb_for_drones_spark.plans.extra_queries import (
     EXTRA_QUERIES,
     EXTRA_ORACLES,
 )
+from graphdb_for_drones_spark.plans.curation_queries import (
+    CURATION_QUERIES,
+    CURATION_ORACLES,
+)
 
-_MERGED_QUERIES = {**_BASE_QUERIES, **LLM_QUERIES, **EXTRA_QUERIES}
-_MERGED_ORACLES = {**_BASE_ORACLES, **LLM_ORACLES, **EXTRA_ORACLES}
+_MERGED_QUERIES = {
+    **_BASE_QUERIES,
+    **LLM_QUERIES,
+    **EXTRA_QUERIES,
+    **CURATION_QUERIES,
+}
+_MERGED_ORACLES = {
+    **_BASE_ORACLES,
+    **LLM_ORACLES,
+    **EXTRA_ORACLES,
+    **CURATION_ORACLES,
+}
 
 # Queries promoted to the head of the gate window this round.  Order within
 # the first 50 does not matter; membership does.
@@ -40,6 +54,11 @@ _GATE_FIRST = [
     "events_in_windows",
     "event_value_percentiles",
     "nation_triangles",
+    # New in round 4 (training-pipeline curation ops) — never checked:
+    "contamination_check",
+    "doc_pack_stats",
+    "mixture_weights",
+    "doc_repetition",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

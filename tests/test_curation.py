@@ -1,0 +1,132 @@
+"""Unit semantics for operators/curation.py (the catalog queries are
+oracle-checked in tests/test_queries_oracle.py; these pin the operator
+contracts on controlled inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators import curation
+
+
+def _docs(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    return df.localCheckpoint()
+
+
+def test_contamination_finds_planted_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "train"),
+            (2, "one two three four five six seven", "en", "train"),
+        ],
+    )
+    ev = _docs(
+        spark,
+        [
+            (100, "alpha beta gamma delta epsilon eta", "en", "eval"),
+            (101, "unrelated words entirely different here", "en", "eval"),
+        ],
+    )
+    out = curation.contamination_pairs(train, ev, threshold=0.3).collect()
+    assert len(out) == 1
+    row = out[0]
+    # shingle sets: train doc 1 has 4 trigrams, eval 100 has 4, 3 shared
+    assert (row.train_id, row.eval_id) == (1, 100)
+    assert row.jaccard == pytest.approx(3 / 5)
+
+
+def test_contamination_is_directional_no_self_pairs(spark):
+    docs = _docs(spark, [(1, "a b c d e", "en", "s")])
+    out = curation.contamination_pairs(docs, docs, threshold=0.1).collect()
+    # same doc on both sides: legitimate (train_id=eval_id) full overlap
+    assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def test_contamination_max_df_drops_boilerplate(spark):
+    # boilerplate trigram in every train doc; with max_df=1 it cannot
+    # generate candidates
+    train = _docs(
+        spark,
+        [
+            (1, "tmpl a b c same same same", "en", "t"),
+            (2, "tmpl a b c other other other", "en", "t"),
+        ],
+    )
+    ev = _docs(spark, [(9, "tmpl a b c nothing else here", "en", "e")])
+    with_df = curation.contamination_pairs(train, ev, threshold=0.01)
+    without = curation.contamination_pairs(train, ev, threshold=0.01, max_df=1)
+    assert with_df.count() > 0
+    assert without.count() == 0
+
+
+def test_pack_sequences_offset_binning(spark):
+    # 5 docs x 200 tokens, budget 512: first-token offsets 0,200,400,600,
+    # 800 -> packs 0,0,0,1,1
+    rows = [(i, " ".join(f"w{j}" for j in range(200)), "en", "s") for i in range(5)]
+    out = (
+        curation.pack_sequences(_docs(spark, rows), budget=512)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.pack_id for r in out] == [0, 0, 0, 1, 1]
+    assert all(r.n_tokens == 200 for r in out)
+    assert all(r.shard == 0 for r in out)
+
+
+def test_pack_sequences_sharding_bounds_windows(spark):
+    rows = [(i, "a b c", "en", "s") for i in (0, 999, 1000, 2500)]
+    out = curation.pack_sequences(
+        _docs(spark, rows), budget=4, shard_size=1000
+    ).collect()
+    shards = {r.doc_id: r.shard for r in out}
+    assert shards == {0: 0, 999: 0, 1000: 1, 2500: 2}
+    # cumsum restarts per shard: doc 1000 starts pack 0 of shard 1
+    packs = {r.doc_id: r.pack_id for r in out}
+    assert packs[1000] == 0
+
+
+def test_mixture_weights_uniform_target(spark):
+    rows = [
+        (1, "a b c d", "en", "big"),  # 4 tokens
+        (2, "a b c d", "en", "big"),  # 4 tokens
+        (3, "a b", "en", "small"),  # 2 tokens
+    ]
+    out = {r.source: r for r in curation.mixture_weights(_docs(spark, rows)).collect()}
+    assert out["big"].token_share == pytest.approx(0.8)
+    assert out["small"].token_share == pytest.approx(0.2)
+    # uniform target 0.5 each: big undersampled, small oversampled
+    assert out["big"].weight == pytest.approx(0.5 / 0.8)
+    assert out["small"].weight == pytest.approx(0.5 / 0.2)
+
+
+def test_mixture_weights_explicit_target(spark):
+    rows = [(1, "a b", "en", "x"), (2, "a b", "en", "y")]
+    out = {
+        r.source: r
+        for r in curation.mixture_weights(
+            _docs(spark, rows), target={"x": 0.9, "y": 0.1}
+        ).collect()
+    }
+    assert out["x"].weight == pytest.approx(0.9 / 0.5)
+    assert out["y"].weight == pytest.approx(0.1 / 0.5)
+
+
+def test_repetition_scores(spark):
+    rows = [
+        (1, "a b a b a b", "en", "s"),  # bigrams: ab ba ab ba ab -> 2/5 distinct
+        (2, "a b c d e", "en", "s"),  # all distinct
+        (3, "solo", "en", "s"),  # single word -> one 1-gram shingle
+    ]
+    out = {r.doc_id: r for r in curation.repetition_scores(_docs(spark, rows)).collect()}
+    assert out[1].rep_ratio == pytest.approx(1 - 2 / 5)
+    assert out[2].rep_ratio == 0.0
+    assert out[3].rep_ratio == 0.0
+
+
+def test_repetition_no_python_udfs(spark):
+    rows = [(1, "a b c", "en", "s")]
+    plan = curation.repetition_scores(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
