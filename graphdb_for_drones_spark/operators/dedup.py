@@ -173,26 +173,62 @@ def pairs_from_sorted_ids(ids_col):
     )
 
 
+# posting lists at or below this size enumerate their C(d,2) pairs as one
+# map-side array; above it, a single array would hold C(d,2) structs
+# (d=8,000 → 32M ≈ heap-killing in one task), so hot lists stream
+# through a per-key self-join instead
+HOT_POSTING_SIZE = 1024
+
+
+def posting_pairs(posting: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Posting lists (key_cols…, ids: sorted array, size ≥ 2) → one row
+    per ordered pair (id_a, id_b) per list — skew-adaptively.
+
+    Lists up to ``HOT_POSTING_SIZE`` enumerate pairs map-side from the
+    array (``pairs_from_sorted_ids`` — zero join, one exchange total).
+    Hotter lists re-explode and self-join on the posting key: the
+    sort-merge join STREAMS the C(d,2) output through downstream partial
+    aggregation instead of materializing it as a single in-task array —
+    the difference between "slow but finishes" and an executor OOM when
+    a boilerplate shingle appears in 100k documents.  Pair orientation
+    (element order ascending) is identical on both paths.
+
+    Duplicate pairs across lists are preserved; callers count or
+    ``dropDuplicates`` as their semantics require."""
+    small = posting.filter(F.size("ids") <= HOT_POSTING_SIZE)
+    hot = posting.filter(F.size("ids") > HOT_POSTING_SIZE)
+    small_pairs = small.select(
+        F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p")
+    ).select("p.id_a", "p.id_b")
+    ex = hot.select(*key_cols, F.explode("ids").alias("v"))
+    left = ex.select(*key_cols, F.col("v").alias("id_a"))
+    right = ex.select(*key_cols, F.col("v").alias("id_b"))
+    hot_pairs = (
+        left.join(right, list(key_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return small_pairs.unionByName(hot_pairs)
+
+
 def _bucket_pairs(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
     """(id, key...) → distinct candidate pairs (id_a, id_b) sharing a key.
 
     One exchange on the bucket key builds the posting lists; pairs are
-    enumerated map-side from each list (``pairs_from_sorted_ids``) —
-    versus the classic inverted-index SELF-JOIN, which shuffles the index
-    twice and materializes the join hash relation.  Measured ~2× on the
-    documents corpus.  A bucket of d docs still yields O(d²) pairs — that
-    blowup is inherent to the candidate semantics; cost knobs (``max_df``,
-    band width) belong to the callers."""
+    enumerated skew-adaptively (``posting_pairs``) — map-side from each
+    list for normal buckets (vs the classic inverted-index SELF-JOIN,
+    which shuffles the index twice and materializes the join hash
+    relation; measured ~2× on the documents corpus), streamed through a
+    per-key join for degenerate hot buckets.  A bucket of d docs still
+    yields O(d²) pairs — that blowup is inherent to the candidate
+    semantics; cost knobs (``max_df``, band width) belong to the
+    callers."""
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    return (
-        buckets.select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return posting_pairs(buckets, key_cols).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_lsh_pairs(
@@ -385,13 +421,7 @@ def ngram_jaccard_pairs(
             .agg(F.sort_array(F.collect_list("id")).alias("ids"))
             .filter(F.size("ids") >= 2)
         )
-        cand = (
-            posting.select(
-                F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p")
-            )
-            .select("p.id_a", "p.id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        cand = posting_pairs(posting, ["h"]).dropDuplicates(["id_a", "id_b"])
         sets = sh
         pairs = cand.join(
             sets.select(F.col("id").alias("id_a"), F.col("hashes").alias("ha")),
@@ -416,12 +446,15 @@ def ngram_jaccard_pairs(
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
         inv = inv.drop("n").join(sizes, "id")
 
-    # posting lists per shingle → map-side pair enumeration → count common
-    # shingles per pair.  vs the classic inverted-index self-join: one
-    # exchange of (h, id) instead of two and no join build.  The per-doc
-    # set size rides INSIDE the posting-list struct, so the jaccard
-    # denominator needs no size join at all and the base projection is
-    # consumed exactly once (no second shingle computation).
+    # posting lists per shingle → skew-adaptive pair enumeration → count
+    # common shingles per pair.  vs the classic inverted-index self-join:
+    # one exchange of (h, id) instead of two and no join build for normal
+    # shingles; degenerate hot shingles stream through a per-key join
+    # (posting_pairs) so no task materializes a C(df,2) array.  The
+    # per-doc set size rides INSIDE the posting-list struct, so the
+    # jaccard denominator needs no size join at all and the base
+    # projection is consumed exactly once (no second shingle
+    # computation).
     posting = (
         inv.select(F.struct("id", "n").alias("s"), "h")
         .groupBy("h")
@@ -429,12 +462,12 @@ def ngram_jaccard_pairs(
         .filter(F.size("ids") >= 2)
     )
     common = (
-        posting.select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        posting_pairs(posting, ["h"])
         .groupBy(
-            F.col("p.id_a.id").alias("id_a"),
-            F.col("p.id_a.n").alias("na"),
-            F.col("p.id_b.id").alias("id_b"),
-            F.col("p.id_b.n").alias("nb"),
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_a.n").alias("na"),
+            F.col("id_b.id").alias("id_b"),
+            F.col("id_b.n").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -187,3 +187,39 @@ def test_simhash_candidate_recall_exact(spark):
     # ...unless partial recall is explicitly accepted
     assert resolve_bands(8, 4, allow_partial_recall=True) == 4
     assert resolve_bands(8, None) == 9
+
+
+def test_posting_pairs_hot_path_equivalence(spark, corpus, monkeypatch):
+    """Skew-adaptive pair enumeration: forcing every posting list down
+    the streamed self-join path (HOT_POSTING_SIZE=0 ≈ all hot) must give
+    the identical jaccard result as the map-side array path."""
+    from graphdb_for_drones_spark.operators import dedup as D
+
+    baseline = D.ngram_jaccard_pairs(corpus, threshold=0.1).collect()
+    monkeypatch.setattr(D, "HOT_POSTING_SIZE", 0)
+    hot = D.ngram_jaccard_pairs(corpus, threshold=0.1).collect()
+    assert sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in baseline) == sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 12)) for r in hot
+    )
+
+
+def test_posting_pairs_mixed_paths(spark, monkeypatch):
+    """A posting table that straddles the hot threshold: both paths fire
+    in one plan and the union holds exactly the expected pairs."""
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "HOT_POSTING_SIZE", 3)
+    posting = spark.createDataFrame(
+        [("small", [1, 2]), ("hot", [10, 11, 12, 13])],
+        "h string, ids array<int>",
+    ).localCheckpoint()
+    got = sorted(
+        (r.id_a, r.id_b) for r in D.posting_pairs(posting, ["h"]).collect()
+    )
+    expect = sorted(
+        [(1, 2)]
+        + [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    )
+    assert got == expect
