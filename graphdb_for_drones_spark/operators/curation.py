@@ -52,20 +52,43 @@ def contamination_pairs(
     shingles before the join — the same hot-shingle blowup control as
     the self-join dedup path.
     """
-    def side(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(name),
-            F.array_distinct(
-                shingle_hash_array(F.col(text_col), shingle_n)
-            ).alias("hashes"),
-        ).select(
-            name,
-            F.size("hashes").alias(f"n_{name}"),
-            F.explode("hashes").alias("h"),
-        )
+    tr = shingle_index(train, "train_id", text_col, id_col, shingle_n)
+    ev = shingle_index(eval_set, "eval_id", text_col, id_col, shingle_n)
+    return contamination_pairs_from_index(tr, ev, threshold, max_df)
 
-    tr = side(train, "train_id")
-    ev = side(eval_set, "eval_id")
+
+def shingle_index(
+    df: DataFrame,
+    name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exploded distinct-shingle inverted index for one corpus side:
+    (``name``, ``n_<name>`` set size, ``h`` shingle hash).  For a static
+    eval set, build once and reuse (e.g. ``localCheckpoint`` it for the
+    streaming guard)."""
+    return df.select(
+        F.col(id_col).alias(name),
+        F.array_distinct(
+            shingle_hash_array(F.col(text_col), shingle_n)
+        ).alias("hashes"),
+    ).select(
+        name,
+        F.size("hashes").alias(f"n_{name}"),
+        F.explode("hashes").alias("h"),
+    )
+
+
+def contamination_pairs_from_index(
+    tr: DataFrame,
+    ev: DataFrame,
+    threshold: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """`contamination_pairs` over prebuilt ``shingle_index`` sides —
+    the streaming guard rebuilds only the (small) batch side per
+    micro-batch."""
     if max_df is not None:
         keep = tr.groupBy("h").agg(F.count(F.lit(1)).alias("dfc")).filter(
             F.col("dfc") <= max_df

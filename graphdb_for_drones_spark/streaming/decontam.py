@@ -1,0 +1,67 @@
+"""Streaming benchmark-decontamination guard.
+
+Batch decontamination (operators/curation.contamination_pairs) sweeps a
+finished corpus; a 100 TB pipeline with continuous ingestion wants the
+same check ON THE WAY IN — every arriving micro-batch of documents is
+compared against the held-out eval set's shingle index, and flagged
+(train_id, eval_id, jaccard) rows append to a quarantine table before
+the documents ever reach a training shard.
+
+Shape: the eval index is STATIC and small (benchmarks are thousands of
+docs, not billions) — built once, ``localCheckpoint``-pinned, and
+re-joined against each micro-batch's freshly shingled side inside
+``foreachBatch``.  Per-batch cost is one broadcastable join of batch
+shingles against the eval index; nothing is quadratic in corpus size
+and no state accumulates beyond the appended flags.  Checkpointed
+sources + availableNow drains give effectively-once appends (same
+contract as streaming/continuous_agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdb_for_drones_spark.operators import curation
+
+
+def start_contamination_guard(
+    stream_docs: DataFrame,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.1,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Flag streaming documents overlapping the eval set.
+
+    ``stream_docs``: a streaming DataFrame with (id_col, text_col).
+    Flags append to ``out_dir`` as (train_id, eval_id, jaccard).
+    """
+    ev = curation.shingle_index(
+        eval_docs, "eval_id", text_col, id_col, shingle_n
+    ).localCheckpoint()
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        tr = curation.shingle_index(
+            batch_df, "train_id", text_col, id_col, shingle_n
+        )
+        flagged = curation.contamination_pairs_from_index(
+            tr, ev, threshold=threshold
+        )
+        flagged.write.mode("append").parquet(out_dir)
+
+    writer = stream_docs.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The appended flag table: every (incoming doc, eval doc) overlap
+    the guard has seen."""
+    return spark.read.parquet(out_dir)
