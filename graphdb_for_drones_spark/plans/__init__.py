@@ -59,6 +59,7 @@ _GATE_FIRST = [
     "doc_pack_stats",
     "mixture_weights",
     "doc_repetition",
+    "embedding_dup_clusters",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -138,11 +138,74 @@ FROM b
 """
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate CLUSTERS: label-blocked cosine
+    pairs (>= 0.3) as an undirected graph, connected components by
+    min-label propagation, per-cluster sizes.  The text-side twin is
+    `dedup_clusters`; this closes the modality gap (embedding cosine is
+    the near-dup signal a text-shingle pipeline cannot see)."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        connected_components,
+    )
+    from graphdb_for_drones_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = cosine_pairs_blocked(
+        cat.embeddings, block_col="label", threshold=0.3
+    ).select(
+        F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("component").cast("long").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > 1)
+    )
+
+
+ORACLE_EMBEDDING_DUP_CLUSTERS = """
+WITH RECURSIVE n AS (
+  SELECT vec_id, SUM(v * v) AS nrm FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+  ) GROUP BY vec_id
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(len(a.embedding)),
+      i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+    )) AS dot, na.nrm AS nrm_a, nb.nrm AS nrm_b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+),
+e0 AS (
+  SELECT id_a, id_b FROM p
+  WHERE ROUND(dot / (sqrt(nrm_a) * sqrt(nrm_b)), 6) >= 0.3
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM e0
+  UNION ALL SELECT id_b, id_a FROM e0
+),
+closure AS (
+  SELECT DISTINCT src AS node, src AS r FROM e
+  UNION
+  SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM closure GROUP BY node)
+SELECT cluster_id, COUNT(*) AS n_vecs
+FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
     "mixture_weights": q_mixture_weights,
     "doc_repetition": q_doc_repetition,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
 }
 
 CURATION_ORACLES = {
@@ -150,4 +213,5 @@ CURATION_ORACLES = {
     "doc_pack_stats": ORACLE_DOC_PACK_STATS,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "doc_repetition": ORACLE_DOC_REPETITION,
+    "embedding_dup_clusters": ORACLE_EMBEDDING_DUP_CLUSTERS,
 }
