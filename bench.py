@@ -61,6 +61,11 @@ HEADLINE = [
     "event_value_hist_quantiles",
     "doc_split_counts",
     "corpus_curation_stats",
+    # round-4 curation family
+    "contamination_check",
+    "doc_pack_stats",
+    "mixture_weights",
+    "doc_repetition",
 ]
 
 
