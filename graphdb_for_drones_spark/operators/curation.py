@@ -12,9 +12,13 @@ a production pretraining pipeline needs:
 * **repetition scoring** — the Gopher-style within-document duplicate
   n-gram ratio used as a quality gate.
 
-All four are pure DataFrame compositions (codegen expressions, bucketed
-joins, windowed aggregation) — no Python on the row path — and each has
-an exact ANSI-SQL twin in plans/curation_queries.py.
+All of the above are pure DataFrame compositions (codegen expressions,
+bucketed joins, windowed aggregation) — no Python on the row path — and
+each has an exact ANSI-SQL twin in plans/curation_queries.py.  The one
+deliberate exception is ``pack_sequences_greedy``: first-fit-decreasing
+bin packing is a per-shard state machine no ANSI window can express, so
+it runs as ``applyInPandas`` over the same bounded shards and is pinned
+by invariant tests instead of an oracle.
 """
 
 from __future__ import annotations
@@ -234,3 +238,73 @@ def repetition_scores(
         F.size(grams).cast("long").alias("n_grams"),
         repetition_ratio(F.col(text_col), n).alias("rep_ratio"),
     )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    group_cols: tuple[str, ...] = ("lang",),
+    shard_size: int = 1_000,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing (the bin-packing heuristic a
+    production packer actually runs), per (group, shard) stream.
+
+    Unlike ``pack_sequences``'s token-offset binning — a pure window
+    cumsum, SQL-expressible, but it lets a document straddle pack
+    boundaries — FFD never splits a document: within each shard,
+    documents are taken longest-first (doc_id tiebreak) and placed into
+    the first open pack with room; a document longer than ``budget``
+    gets a pack of its own.  Inherently sequential per shard, so it runs
+    as ``applyInPandas`` over the same bounded (group, shard) partitions
+    the window variant uses — state is one open-pack list of ≤ shard
+    docs, never corpus-sized.  Deterministic for a given shard content;
+    rows-only (no SQL twin — the per-pack state machine is exactly what
+    ANSI SQL cannot express; invariants are pinned in tests instead).
+
+    Returns (group_cols…, shard, pack_id, doc_id, n_tokens).
+    """
+    toks = df.select(
+        *group_cols,
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"`{id_col}` div {int(shard_size)}").alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    key_cols = [*group_cols, "shard"]
+    out_fields = ", ".join(
+        f"`{c}` {t}"
+        for c, t in zip(
+            [*key_cols, "pack_id", "doc_id", "n_tokens"],
+            [
+                *[dict(toks.dtypes)[c] for c in key_cols],
+                "long",
+                "long",
+                "long",
+            ],
+        )
+    )
+
+    def ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        opens: list[int] = []  # remaining capacity per pack
+        assign: list[int] = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            for i, cap in enumerate(opens):
+                if t <= cap:
+                    opens[i] = cap - t
+                    assign.append(i)
+                    break
+            else:
+                opens.append(max(0, budget - t))
+                assign.append(len(opens) - 1)
+        out = pdf[[*key_cols, "doc_id", "n_tokens"]].copy()
+        out.insert(len(key_cols), "pack_id", pd.Series(assign, dtype="int64"))
+        return out
+
+    return toks.groupBy(*key_cols).applyInPandas(ffd, schema=out_fields)

@@ -60,6 +60,7 @@ _GATE_FIRST = [
     "mixture_weights",
     "doc_repetition",
     "embedding_dup_clusters",
+    "doc_pack_greedy_stats",  # rows-only by design (FFD state machine)
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -200,12 +200,31 @@ FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1
 """
 
 
+
+def q_doc_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing rollup (rows-only: the per-shard
+    FFD state machine is not ANSI-SQL-expressible; invariants — budget
+    respected except singleton oversize, determinism, shard bounds —
+    are pinned in tests/test_curation.py).  Compare with
+    `doc_pack_stats`' token-offset binning: FFD never splits a document
+    across packs."""
+    cat = Catalog(spark, sf_dir)
+    packed = curation.pack_sequences_greedy(
+        cat.documents, budget=512, group_cols=("lang",), shard_size=1_000
+    )
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
     "mixture_weights": q_mixture_weights,
     "doc_repetition": q_doc_repetition,
     "embedding_dup_clusters": q_embedding_dup_clusters,
+    "doc_pack_greedy_stats": q_doc_pack_greedy_stats,
 }
 
 CURATION_ORACLES = {

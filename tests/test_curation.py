@@ -130,3 +130,52 @@ def test_repetition_no_python_udfs(spark):
     rows = [(1, "a b c", "en", "s")]
     plan = curation.repetition_scores(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ffd_packing_invariants(spark):
+    # 7 docs with sizes that force first-fit-decreasing behaviour
+    sizes = {1: 300, 2: 300, 3: 200, 4: 200, 5: 100, 6: 600, 7: 12}
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), "en", "s")
+        for i, n in sizes.items()
+    ]
+    out = curation.pack_sequences_greedy(_docs(spark, rows), budget=512).collect()
+    assert {r.doc_id for r in out} == set(sizes)
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pack, members in by_pack.items():
+        total = sum(r.n_tokens for r in members)
+        # a pack only exceeds the budget when it holds a single oversized doc
+        assert total <= 512 or (
+            len(members) == 1 and members[0].n_tokens > 512
+        ), (pack, members)
+    # FFD on these sizes: [600] alone, [300+200(+12)], [300+200+100]-ish —
+    # never more packs than the naive one-doc-per-pack bound, and at least
+    # the LP lower bound ceil(total/budget)
+    total = sum(sizes.values())
+    assert (total + 511) // 512 <= len(by_pack) <= len(sizes)
+    # oversized doc isolated
+    pack_of_6 = next(r.pack_id for r in out if r.doc_id == 6)
+    assert [r.doc_id for r in out if r.pack_id == pack_of_6] == [6]
+
+
+def test_ffd_deterministic_and_sharded(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(50 + (i % 7) * 30)), "en", "s")
+        for i in range(40)
+    ] + [
+        (1005, " ".join(f"w{j}" for j in range(100)), "en", "s")
+    ]
+    df = _docs(spark, rows)
+    a = sorted(
+        (r.doc_id, r.shard, r.pack_id)
+        for r in curation.pack_sequences_greedy(df, budget=512).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard, r.pack_id)
+        for r in curation.pack_sequences_greedy(df, budget=512).collect()
+    )
+    assert a == b
+    shards = {d: s for d, s, _ in a}
+    assert shards[1005] == 1 and shards[39] == 0
