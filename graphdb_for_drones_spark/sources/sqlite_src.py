@@ -1,11 +1,14 @@
 """SQLite wallet source/sink (S6) on the stdlib ``sqlite3`` driver.
 
 The reference keeps per-drone wallet state (DIDs, VCs, keys) in
-SQLite/SQLCipher files (reference: demo_offline/01_offline_did/
-wallet_store.py — table-per-wallet, rowid-keyed).  The container has no
-JDBC jar, so ``io.read_jdbc_table`` stayed an API shape; this module is
-the *real*, tested path: a distributed read where each Spark task opens
-the database file itself (read-only URI) and scans one rowid range.
+SQLite/SQLCipher files (reference: demo_offline/05_sqlite/02initdb.py:13-44
+— ``did_document`` / ``verifiable_credential`` / ``private_keys`` tables,
+AUTOINCREMENT-rowid-keyed, behind ``PRAGMA key``; demo_sqlite_cdc/
+01_unit_test/03_test_sqlite.py for the unencrypted variant).  The
+container has no JDBC jar, so ``io.read_jdbc_table`` stayed an API shape;
+this module is the *real*, tested path: a distributed read where each
+Spark task opens the database file itself (read-only URI) and scans one
+rowid range.
 
 Scale model: SQLite is a single-file store, so the file must be visible
 to executors (shared FS / distributed cache — same requirement a JDBC
@@ -18,9 +21,11 @@ Pushdown: ``columns`` prunes the select list and ``predicate`` is
 spliced into each partition's WHERE clause — both run inside SQLite,
 mirroring what Catalyst pushes into a JDBC scan.
 
-SQLCipher at-rest encryption is a linked-library variant (PRAGMA key
-before first read); the container ships no SQLCipher build, so
-``read_sqlcipher`` gates on the optional import and otherwise raises.
+SQLCipher at-rest encryption is a linked-library variant (``PRAGMA key``
+before first read, exactly the reference's per-connection pattern —
+demo_offline/05_sqlite/03did_vc_pk.py:13); the container ships no
+SQLCipher build, so ``read_sqlcipher`` gates on the optional import and
+otherwise raises.
 """
 
 from __future__ import annotations
@@ -108,7 +113,7 @@ def read_sqlite(
         )
     )
 
-    where = f"rowid BETWEEN ? AND ?" + (f" AND ({predicate})" if predicate else "")
+    where = "rowid BETWEEN ? AND ?" + (f" AND ({predicate})" if predicate else "")
     sql = f"SELECT {sel} FROM {_qident(table)} WHERE {where}"
     names = [f.name for f in schema.fields]
 
