@@ -117,3 +117,31 @@ def test_poll_is_incremental(spark, cdc_db):
     rows = log.collect()
     assert [r.change_id for r in rows] == [2]
     assert rows[0].operation == "INSERT" and rows[0].new_name == "Two"
+
+
+def test_sqlite_changes_survive_envelope_roundtrip(spark, cdc_db):
+    """Full reference topology: SQLite triggers -> change_log -> Debezium
+    envelopes (the Kafka producer's payload) -> parse -> apply.  The
+    envelope hop must be lossless: applying the decoded events gives the
+    same state as applying the raw change rows."""
+    from graphdb_for_drones_spark.streaming.cdc import (
+        apply_cdc_batch,
+        encode_envelope,
+        parse_envelope,
+    )
+
+    with sqlite3.connect(cdc_db) as conn:
+        conn.execute("INSERT INTO items(name) VALUES ('Alpha')")
+        conn.execute("INSERT INTO items(name) VALUES ('Beta')")
+        conn.execute("UPDATE items SET name='Beta2' WHERE name='Beta'")
+        conn.execute("DELETE FROM items WHERE name='Alpha'")
+
+    log = sqlite_cdc.read_change_log(spark, cdc_db, last_id=0)
+    changes = sqlite_cdc.changes_to_cdc(log).localCheckpoint()
+    wire = encode_envelope(changes)
+    decoded = parse_envelope(wire)
+
+    empty = spark.createDataFrame([], STATE_SCHEMA).localCheckpoint()
+    via_wire = apply_cdc_batch(empty, decoded)
+    direct = apply_cdc_batch(empty, changes)
+    assert _spark_items(via_wire) == _spark_items(direct) == _sqlite_items(cdc_db)
