@@ -308,3 +308,28 @@ def pack_sequences_greedy(
         return out
 
     return toks.groupBy(*key_cols).applyInPandas(ffd, schema=out_fields)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    prob_col: Column,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Quality-weighted (importance) subsampling as a pure projection:
+    keep a row iff ``u(key) < prob`` where ``u`` is the md5-60-bit
+    uniform of "{key}:{seed}" scaled to [0, 1).
+
+    Properties a corpus pipeline needs and rejection-by-rand() lacks:
+    deterministic (rerun/repartition/engine-stable — the same doc is
+    kept everywhere), shuffle-free, and exactly reproducible by any
+    engine that can md5 (the split/sampling family's shared trick).
+    ``prob_col`` is any Column in [0, 1] — e.g. a quality score — so
+    expected kept-token share per domain is Σ p·tokens, the knob
+    importance resampling turns."""
+    from graphdb_for_drones_spark.operators.split import _md5_60bit
+
+    u = _md5_60bit(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
+    ) / F.lit(float(1 << 60))
+    return df.filter(u < prob_col)

@@ -218,6 +218,46 @@ def q_doc_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_doc_quality_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling rollup: keep each document with probability
+    min(1, n_tokens/100) — a transparent quality proxy (longer docs kept
+    preferentially) — via the deterministic md5-uniform; per-source kept
+    doc and token counts.  The DuckDB twin reproduces the md5 60-bit
+    arithmetic exactly (same trick as the simhash/split oracles)."""
+    cat = Catalog(spark, sf_dir)
+    from graphdb_for_drones_spark.operators.text import token_count
+
+    docs = cat.documents.withColumn("n_tokens", token_count(F.col("text")))
+    prob = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+    kept = curation.deterministic_sample(docs, prob)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+
+
+_MD5_60 = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), i+1, 1)) - 1 AS BIGINT)"
+    " << ((14 - i) * 4))) AS BIGINT)"
+)
+
+ORACLE_DOC_QUALITY_SAMPLE_STATS = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter({_WORDS}, x -> x <> '')) AS n_tokens,
+         {_MD5_60} * 1.0 / 1152921504606846976 AS u
+  FROM documents
+)
+SELECT source, COUNT(*) AS kept_docs,
+       SUM(n_tokens) AS kept_tokens
+FROM t
+WHERE u < LEAST(1.0, n_tokens / 100.0)
+GROUP BY source
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -225,6 +265,7 @@ CURATION_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "doc_pack_greedy_stats": q_doc_pack_greedy_stats,
+    "doc_quality_sample_stats": q_doc_quality_sample_stats,
 }
 
 CURATION_ORACLES = {
@@ -233,4 +274,5 @@ CURATION_ORACLES = {
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "embedding_dup_clusters": ORACLE_EMBEDDING_DUP_CLUSTERS,
+    "doc_quality_sample_stats": ORACLE_DOC_QUALITY_SAMPLE_STATS,
 }

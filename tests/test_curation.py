@@ -179,3 +179,20 @@ def test_ffd_deterministic_and_sharded(spark):
     assert a == b
     shards = {d: s for d, s, _ in a}
     assert shards[1005] == 1 and shards[39] == 0
+
+
+def test_deterministic_sample_is_stable_and_prob_monotone(spark):
+    rows = [(i, " ".join("w" for _ in range(i % 120 + 1)), "en", "s") for i in range(400)]
+    df = _docs(spark, rows)
+    p_half = curation.deterministic_sample(df, F.lit(0.5))
+    a = sorted(r.doc_id for r in p_half.collect())
+    b = sorted(r.doc_id for r in p_half.collect())
+    assert a == b  # rerun-stable
+    n_all = curation.deterministic_sample(df, F.lit(1.0)).count()
+    n_none = curation.deterministic_sample(df, F.lit(0.0)).count()
+    assert n_all == 400 and n_none == 0
+    # keep rate tracks probability (md5 uniform: loose 3-sigma bounds)
+    assert 140 <= len(a) <= 260
+    # monotone: the p=0.25 keep set is a subset of the p=0.5 keep set
+    quarter = {r.doc_id for r in curation.deterministic_sample(df, F.lit(0.25)).collect()}
+    assert quarter <= set(a)
