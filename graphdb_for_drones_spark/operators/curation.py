@@ -39,6 +39,7 @@ def contamination_pairs(
     shingle_n: int = 3,
     threshold: float = 0.1,
     max_df: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Cross-corpus exact n-gram jaccard: (train_id, eval_id, jaccard)
     for every train document sharing ≥ ``threshold`` jaccard with an
@@ -58,7 +59,7 @@ def contamination_pairs(
     """
     tr = shingle_index(train, "train_id", text_col, id_col, shingle_n)
     ev = shingle_index(eval_set, "eval_id", text_col, id_col, shingle_n)
-    return contamination_pairs_from_index(tr, ev, threshold, max_df)
+    return contamination_pairs_from_index(tr, ev, threshold, max_df, metric)
 
 
 def shingle_index(
@@ -89,10 +90,16 @@ def contamination_pairs_from_index(
     ev: DataFrame,
     threshold: float = 0.1,
     max_df: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """`contamination_pairs` over prebuilt ``shingle_index`` sides —
     the streaming guard rebuilds only the (small) batch side per
-    micro-batch."""
+    micro-batch.
+
+    ``metric='jaccard'`` scores symmetric overlap; ``'containment'``
+    scores |A∩B| / |eval| — the asymmetric measure decontamination
+    actually gates on (a short benchmark prompt quoted inside a long
+    training document has low jaccard but containment ≈ 1)."""
     if max_df is not None:
         keep = tr.groupBy("h").agg(F.count(F.lit(1)).alias("dfc")).filter(
             F.col("dfc") <= max_df
@@ -107,13 +114,18 @@ def contamination_pairs_from_index(
         .groupBy("train_id", "n_train_id", "eval_id", "n_eval_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (
-        F.col("n_train_id") + F.col("n_eval_id") - F.col("inter")
-    )
+    if metric == "containment":
+        score = F.col("inter") / F.col("n_eval_id")
+    elif metric == "jaccard":
+        score = F.col("inter") / (
+            F.col("n_train_id") + F.col("n_eval_id") - F.col("inter")
+        )
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
     return (
-        common.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("train_id", "eval_id", "jaccard")
+        common.withColumn(metric, score)
+        .filter(F.col(metric) >= threshold)
+        .select("train_id", "eval_id", metric)
     )
 
 

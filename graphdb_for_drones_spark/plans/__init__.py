@@ -62,6 +62,7 @@ _GATE_FIRST = [
     "embedding_dup_clusters",
     "doc_pack_greedy_stats",  # rows-only by design (FFD state machine)
     "doc_quality_sample_stats",
+    "contamination_containment",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -258,6 +258,47 @@ GROUP BY source
 """
 
 
+
+def q_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-metric decontamination: |train ∩ eval| / |eval| >= 0.5
+    — the asymmetric gate that catches a short benchmark prompt quoted
+    inside a long training document (low jaccard, containment ≈ 1)."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    return curation.contamination_pairs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        threshold=0.5,
+        metric="containment",
+    )
+
+
+ORACLE_CONTAMINATION_CONTAINMENT = rf"""
+WITH d AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)]
+         END AS sh
+  FROM d
+),
+ds AS (SELECT doc_id, source, len(list_distinct(sh)) AS n,
+              list_distinct(sh) AS sh FROM s),
+inv AS (SELECT doc_id, source, n, unnest(sh) AS g FROM ds),
+c AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         b.n AS nb, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g
+  WHERE a.source <> 'src0' AND b.source = 'src0'
+  GROUP BY 1, 2, 3
+)
+SELECT train_id, eval_id, inter * 1.0 / nb AS containment
+FROM c WHERE inter * 1.0 / nb >= 0.5
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -266,6 +307,7 @@ CURATION_QUERIES = {
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "doc_pack_greedy_stats": q_doc_pack_greedy_stats,
     "doc_quality_sample_stats": q_doc_quality_sample_stats,
+    "contamination_containment": q_contamination_containment,
 }
 
 CURATION_ORACLES = {
@@ -275,4 +317,5 @@ CURATION_ORACLES = {
     "doc_repetition": ORACLE_DOC_REPETITION,
     "embedding_dup_clusters": ORACLE_EMBEDDING_DUP_CLUSTERS,
     "doc_quality_sample_stats": ORACLE_DOC_QUALITY_SAMPLE_STATS,
+    "contamination_containment": ORACLE_CONTAMINATION_CONTAINMENT,
 }

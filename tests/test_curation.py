@@ -196,3 +196,21 @@ def test_deterministic_sample_is_stable_and_prob_monotone(spark):
     # monotone: the p=0.25 keep set is a subset of the p=0.5 keep set
     quarter = {r.doc_id for r in curation.deterministic_sample(df, F.lit(0.25)).collect()}
     assert quarter <= set(a)
+
+
+def test_containment_catches_quoted_prompt(spark):
+    # a short eval prompt quoted verbatim inside a long train doc: low
+    # jaccard, containment 1.0 — the case the asymmetric metric exists for
+    filler = " ".join(f"f{i}" for i in range(60))
+    train = _docs(spark, [(1, filler + " the secret eval prompt here", "en", "t")])
+    ev = _docs(spark, [(9, "the secret eval prompt here", "en", "e")])
+    cont = curation.contamination_pairs(train, ev, threshold=0.9, metric="containment").collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    jac = curation.contamination_pairs(train, ev, threshold=0.2, metric="jaccard").collect()
+    assert jac == []  # jaccard misses it at any reasonable threshold
+
+
+def test_contamination_unknown_metric_raises(spark):
+    docs = _docs(spark, [(1, "a b c d e", "en", "s")])
+    with pytest.raises(ValueError, match="unknown metric"):
+        curation.contamination_pairs(docs, docs, metric="dice").collect()
