@@ -63,9 +63,13 @@ HEADLINE = [
     "corpus_curation_stats",
     # round-4 curation family
     "contamination_check",
+    "contamination_containment",
     "doc_pack_stats",
+    "doc_pack_greedy_stats",
     "mixture_weights",
     "doc_repetition",
+    "doc_quality_sample_stats",
+    "embedding_dup_clusters",
 ]
 
 
