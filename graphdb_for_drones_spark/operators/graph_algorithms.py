@@ -83,13 +83,67 @@ def pagerank(
     return ranks
 
 
+# edge sets at or below this size resolve driver-side: near-dup pair
+# graphs are usually dimension-sized (pairs above a high threshold),
+# and a union-find over one collect beats O(diameter) Spark supersteps
+# whose per-iteration job overhead dominates tiny graphs.  Same
+# threshold-guarded adaptive pattern as the traversal kernel's driver
+# strategies (traversal.py): the distributed loop remains the
+# continuation for anything larger.
+SMALL_GRAPH_EDGES = 500_000
+
+
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected dimension-sized edge list; identical
+    output contract to the distributed loop (component = min reachable
+    node id, per min-label propagation's fixpoint)."""
+    from graphdb_for_drones_spark.traversal import _local_df
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.select("src", "dst").collect():
+        for n in (r.src, r.dst):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(r.src), find(r.dst)
+        if ra != rb:
+            # union by min: keep the smaller label as root so the final
+            # root IS the min of the component
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    src_type = dict(edges.dtypes)["src"]
+    return _local_df(
+        edges.sparkSession, rows, f"id {src_type}, component {src_type}"
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, cache_edges: bool = True
+    edges: DataFrame,
+    max_iterations: int = 20,
+    cache_edges: bool = True,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Label-propagation connected components (undirected): every node
     repeatedly adopts the min component id among itself and its
     neighbors; converges in O(diameter) supersteps with an early-exit
-    convergence check.  Returns (id, component)."""
+    convergence check.  Returns (id, component).
+
+    Edge sets ≤ ``small_graph_edges`` short-circuit to a driver
+    union-find (threshold-guarded, like the traversal kernel's driver
+    strategies) — identical result, none of the per-superstep job
+    overhead that dominates dimension-sized pair graphs."""
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        return _components_driver(edges)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -209,18 +209,32 @@ def cosine_pairs_blocked(
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking key (e.g. an LSH
     bucket or a label partition): the join is per-block, never all-pairs."""
-    a = embeddings.select(
+    # hoist the per-row norm out of the pair join: cosine() would re-fold
+    # both vectors' norms once per PAIR (O(pairs·dim) extra) — computing
+    # sqrt(Σx²) per ROW first is the same double arithmetic (fold, sqrt,
+    # multiply) so results are bit-identical, at O(rows·dim)
+    withn = embeddings.select(
         F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm2(F.col(vec_col)).alias("nrm"),
     )
-    b = embeddings.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+    a = withn.select(
+        "blk",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        "blk",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
-    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    score = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         pairs.select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -90,3 +90,22 @@ def test_triangle_count_none(spark):
         [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
     ).localCheckpoint()
     assert triangle_count(chain).first().n_triangles == 0
+
+
+def test_connected_components_driver_vs_distributed_identical(spark):
+    # forest: chain 0-1-2-3, pair 10-11, isolated-by-edge 20-21, triangle 30-31-32
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (31, 32), (30, 32)]
+    e = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    ).localCheckpoint()
+    via_driver = {
+        (r.id, r.component)
+        for r in connected_components(e).collect()  # small: driver path
+    }
+    via_loop = {
+        (r.id, r.component)
+        for r in connected_components(e, small_graph_edges=0).collect()
+    }
+    assert via_driver == via_loop
+    comp = dict(via_driver)
+    assert comp["3"] == "0" and comp["11"] == "10" and comp["32"] == "30"
