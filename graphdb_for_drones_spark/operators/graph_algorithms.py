@@ -142,8 +142,14 @@ def connected_components(
     union-find (threshold-guarded, like the traversal kernel's driver
     strategies) — identical result, none of the per-superstep job
     overhead that dominates dimension-sized pair graphs."""
-    if small_graph_edges and edges.count() <= small_graph_edges:
-        return _components_driver(edges)
+    if small_graph_edges:
+        # materialize once BEFORE the size probe: edges are typically an
+        # expensive pair-join output, and both the probe and whichever
+        # path wins would otherwise re-execute that plan (scalar-typed
+        # rows — the no-array-cache rule doesn't apply)
+        edges = edges.select("src", "dst").localCheckpoint()
+        if edges.count() <= small_graph_edges:
+            return _components_driver(edges)
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
