@@ -129,6 +129,22 @@ def contamination_pairs_from_index(
     )
 
 
+def _shard_col(df: DataFrame, id_col: str, shard_size: int, num_shards):
+    """Bounded-shard key: dense integral ids bin by ``id div shard_size``
+    (≤ shard_size docs per shard); non-integral ids (string DIDs, UUIDs)
+    hash-shard into ``num_shards`` buckets via xxhash64 — the caller sizes
+    num_shards ≈ corpus/shard_size since no count is taken here."""
+    dtype = dict(df.dtypes)[id_col]
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return F.expr(f"`{id_col}` div {int(shard_size)}")
+    if num_shards is None:
+        raise TypeError(
+            f"id_col {id_col!r} has type {dtype}: div-sharding needs an "
+            "integral id — pass num_shards to hash-shard instead"
+        )
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(num_shards)))
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",
@@ -136,6 +152,7 @@ def pack_sequences(
     budget: int = 512,
     group_cols: tuple[str, ...] = ("lang",),
     shard_size: int = 1_000,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing by token offset.
 
@@ -157,7 +174,7 @@ def pack_sequences(
         *group_cols,
         F.col(id_col).alias("doc_id"),
         # integer division (not `/`-then-cast: stays exact for any id)
-        F.expr(f"`{id_col}` div {int(shard_size)}").alias("shard"),
+        _shard_col(df, id_col, shard_size, num_shards).alias("shard"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
     w = (
@@ -203,6 +220,11 @@ def mixture_weights(
     domains.  Shares and totals are computed with window aggregates over
     the per-domain rollup (domain cardinality, not corpus cardinality —
     nothing returns to the driver).
+
+    An explicit ``target`` is validated driver-side (shares must be
+    non-negative with a positive sum; they are normalized to 1) and an
+    observed domain absent from it gets weight 0.0 — "sample none of it"
+    — rather than a silent NULL that drops the domain downstream.
     """
     per = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -213,10 +235,15 @@ def mixture_weights(
     if target is None:
         tgt = F.lit(1.0) / F.count(F.lit(1)).over(w)
     else:
+        if any(v < 0 for v in target.values()):
+            raise ValueError(f"negative target share in {target!r}")
+        total = sum(target.values())
+        if total <= 0:
+            raise ValueError(f"target shares must sum > 0: {target!r}")
         mapping = F.create_map(
-            *[F.lit(x) for kv in target.items() for x in kv]
+            *[F.lit(x) for k, v in target.items() for x in (k, v / total)]
         )
-        tgt = mapping[F.col(domain_col)]
+        tgt = F.coalesce(mapping[F.col(domain_col)], F.lit(0.0))
     return per.select(
         domain_col,
         "n_docs",
@@ -259,6 +286,7 @@ def pack_sequences_greedy(
     budget: int = 512,
     group_cols: tuple[str, ...] = ("lang",),
     shard_size: int = 1_000,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """First-fit-decreasing sequence packing (the bin-packing heuristic a
     production packer actually runs), per (group, shard) stream.
@@ -280,19 +308,22 @@ def pack_sequences_greedy(
     toks = df.select(
         *group_cols,
         F.col(id_col).alias("doc_id"),
-        F.expr(f"`{id_col}` div {int(shard_size)}").alias("shard"),
+        _shard_col(df, id_col, shard_size, num_shards).alias("shard"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
     key_cols = [*group_cols, "shard"]
+    dtypes = dict(toks.dtypes)
     out_fields = ", ".join(
         f"`{c}` {t}"
         for c, t in zip(
             [*key_cols, "pack_id", "doc_id", "n_tokens"],
             [
-                *[dict(toks.dtypes)[c] for c in key_cols],
+                *[dtypes[c] for c in key_cols],
                 "long",
-                "long",
-                "long",
+                # doc_id/n_tokens pass through the pandas frame unchanged:
+                # derive their types (a string id_col must stay string)
+                dtypes["doc_id"],
+                dtypes["n_tokens"],
             ],
         )
     )

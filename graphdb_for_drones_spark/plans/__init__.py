@@ -5,9 +5,10 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-4 rotation: the 13 queries that sat beyond the 50-row cap in round 3
-(8 of which never had a driver row in any round) lead the dict; the
-rotated-out tail stays covered by the local oracle replica
+Round-5 rotation: the 3 curation queries whose round-4 driver rows failed on
+oracle typing (HUGEINT vs long — fixed by CAST AS BIGINT this round) plus the
+21 queries last driver-checked in rounds 1-3 lead the dict; the rotated-out
+r4 window stays covered by the local oracle replica
 (``tests/test_queries_oracle.py`` runs every oracle-paired query).
 """
 
@@ -39,30 +40,35 @@ _MERGED_ORACLES = {
 # Queries promoted to the head of the gate window this round.  Order within
 # the first 50 does not matter; membership does.
 _GATE_FIRST = [
-    # Never driver-checked through round 3 (VERDICT r3 "What's missing" #1):
-    "ivf_topk",
-    "min_price_supplier",
-    "user_event_hash_chain",
-    "event_props_extract",
-    "dedup_clusters",
-    "embedding_clusters",
-    "event_value_hist_quantiles",
-    "event_hll_rollup",  # rows-only by design (HLL estimate is engine-specific)
-    # Last checked in round 2, rotated out by the r3 catalog growth:
-    "asof_signup_before_purchase",
-    "event_user_distinct",
-    "events_in_windows",
-    "event_value_percentiles",
-    "nation_triangles",
-    # New in round 4 (training-pipeline curation ops) — never checked:
-    "contamination_check",
+    # Round-4 driver hash FAILs, root-caused to un-cast SUM(BIGINT) in the
+    # DuckDB oracles (HUGEINT vs long); oracles fixed this round — these
+    # three MUST get a green driver row in round 5:
     "doc_pack_stats",
     "mixture_weights",
-    "doc_repetition",
-    "embedding_dup_clusters",
-    "doc_pack_greedy_stats",  # rows-only by design (FFD state machine)
     "doc_quality_sample_stats",
-    "contamination_containment",
+    # Last driver-checked in rounds 1-3, rotated out by the r4 window
+    # (VERDICT r4 "Next round" #2 — sweep the tail back in):
+    "doc_token_stats",
+    "doc_lang_summary",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "embedding_topk",
+    "embedding_near_pairs",
+    "ann_topk",
+    "vc_verify_count",  # rows-only (driver compares row count only)
+    "doc_quality",
+    "media_feature_stats",
+    "shipping_priority",
+    "region_volume",
+    "customers_without_orders",
+    "customers_with_orders",
+    "orders_rollup",
+    "events_sliding_windows",
+    "user_sessions",
+    "ann_near_pairs",
+    "doc_split_counts",
+    "corpus_curation_stats",
+    "doc_negative_pairs",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

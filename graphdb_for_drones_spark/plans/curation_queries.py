@@ -85,8 +85,8 @@ c AS (
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )
-SELECT lang, shard, (cum - n_tokens) // 512 AS pack_id,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+SELECT lang, shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM c GROUP BY 1, 2, 3
 """
 
@@ -101,7 +101,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MIXTURE_WEIGHTS = rf"""
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len(list_filter({_WORDS}, x -> x <> ''))) AS n_tokens
+         CAST(SUM(len(list_filter({_WORDS}, x -> x <> ''))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
@@ -251,7 +251,7 @@ WITH t AS (
   FROM documents
 )
 SELECT source, COUNT(*) AS kept_docs,
-       SUM(n_tokens) AS kept_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
 FROM t
 WHERE u < LEAST(1.0, n_tokens / 100.0)
 GROUP BY source

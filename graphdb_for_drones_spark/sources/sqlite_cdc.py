@@ -36,16 +36,25 @@ def read_change_log(
     last_id: int = 0,
     table: str = "change_log",
     num_partitions: int = 4,
+    upper_id: int | None = None,
 ) -> DataFrame:
     """Incremental poll of the trigger-maintained change_log: only rows
     with ``change_id > last_id``, filtered inside SQLite (the predicate
-    rides the partition queries), exactly the reference's poll loop."""
+    rides the partition queries), exactly the reference's poll loop.
+
+    ``upper_id`` closes the window on the right (``change_id <= upper_id``)
+    so a batch stays deterministic under a concurrent writer: every action
+    re-reads the SQLite file, and an unbounded predicate would pull in rows
+    appended after the high-water mark was computed."""
+    pred = f"change_id > {int(last_id)}"
+    if upper_id is not None:
+        pred += f" AND change_id <= {int(upper_id)}"
     return read_sqlite(
         spark,
         db_path,
         table,
         num_partitions=num_partitions,
-        predicate=f"change_id > {int(last_id)}",
+        predicate=pred,
     )
 
 
@@ -80,12 +89,21 @@ def poll_and_apply(
     into the state snapshot, return (next_state, next_last_id).
 
     The high-water mark is the max change_id of the polled batch — a
-    one-row aggregate, not a log materialization."""
+    one-row aggregate, not a log materialization.  The batch that feeds
+    the apply is then re-read with BOTH bounds
+    (``last_id < change_id <= hwm``): under a concurrent writer (the
+    reference's topology) a one-sided predicate would lazily pull rows
+    past the returned high-water mark into this batch on every later
+    action AND re-poll them next round — double-apply and
+    action-to-action non-determinism unless the caller checkpoints."""
     from graphdb_for_drones_spark.streaming.cdc import apply_cdc_batch
 
     log = read_change_log(spark, db_path, last_id, table)
     hwm = log.agg(F.max("change_id").alias("m")).first().m
     if hwm is None:
         return state, last_id
-    changes = changes_to_cdc(log)
+    bounded = read_change_log(
+        spark, db_path, last_id, table, upper_id=int(hwm)
+    )
+    changes = changes_to_cdc(bounded)
     return apply_cdc_batch(state, changes, seq_col="ts_ms"), int(hwm)

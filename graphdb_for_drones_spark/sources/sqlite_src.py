@@ -87,7 +87,18 @@ def read_sqlite(
     [AND predicate]`` — an index-range scan on SQLite's clustered rowid
     btree.  Ranges split [min_rowid, max_rowid] evenly; rowid gaps only
     skew partition sizes, never drop rows.
+
+    ``predicate`` is TRUSTED SQL spliced verbatim into each partition's
+    WHERE clause (same contract as JDBC's ``predicates`` option): it must
+    come from the calling program, never from end-user data.  As a
+    tripwire, statement separators and comment tokens are rejected.
     """
+    if predicate is not None and any(
+        tok in predicate for tok in (";", "--", "/*")
+    ):
+        raise ValueError(
+            f"predicate must be a single trusted expression: {predicate!r}"
+        )
     schema = sqlite_table_schema(db_path, table)
     if columns is not None:
         schema = T.StructType([schema[c] for c in columns])
@@ -142,6 +153,8 @@ def write_sqlite(
     memory, never a full collect) into one INSERT transaction.  That is
     the honest shape: a distributed ``foreachPartition`` writer would
     serialize on SQLite's file lock anyway.  Returns rows written."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     schema = df.schema
     cols = ", ".join(_qident(f.name) for f in schema.fields)
     decls = ", ".join(

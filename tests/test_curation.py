@@ -214,3 +214,50 @@ def test_contamination_unknown_metric_raises(spark):
     docs = _docs(spark, [(1, "a b c d e", "en", "s")])
     with pytest.raises(ValueError, match="unknown metric"):
         curation.contamination_pairs(docs, docs, metric="dice").collect()
+
+
+def test_mixture_weights_missing_domain_gets_zero_weight(spark):
+    # domain absent from an explicit target: weight 0.0 ("sample none"),
+    # never a silent NULL that drops the domain downstream
+    rows = [(1, "a b", "en", "x"), (2, "a b", "en", "y"), (3, "a b", "en", "z")]
+    out = {
+        r.source: r
+        for r in curation.mixture_weights(
+            _docs(spark, rows), target={"x": 0.5, "y": 0.5}
+        ).collect()
+    }
+    assert set(out) == {"x", "y", "z"}
+    assert out["z"].weight == 0.0 and out["z"].weight is not None
+
+
+def test_mixture_weights_target_validated_and_normalized(spark):
+    rows = [(1, "a b", "en", "x"), (2, "a b", "en", "y")]
+    df = _docs(spark, rows)
+    with pytest.raises(ValueError, match="negative"):
+        curation.mixture_weights(df, target={"x": -0.1, "y": 1.1})
+    with pytest.raises(ValueError, match="sum"):
+        curation.mixture_weights(df, target={"x": 0.0})
+    # un-normalized shares are scaled to 1: {9, 1} == {0.9, 0.1}
+    out = {
+        r.source: r
+        for r in curation.mixture_weights(df, target={"x": 9, "y": 1}).collect()
+    }
+    assert out["x"].weight == pytest.approx(0.9 / 0.5)
+    assert out["y"].weight == pytest.approx(0.1 / 0.5)
+
+
+def test_ffd_packing_string_doc_ids(spark):
+    # a non-long id column must flow through applyInPandas unchanged
+    # (output dtype is derived, not hardcoded long)
+    df = spark.createDataFrame(
+        [("d-1", "a b c", "en"), ("d-2", "a b c d e", "en")],
+        "name string, text string, lang string",
+    ).localCheckpoint()
+    with pytest.raises(TypeError, match="num_shards"):
+        curation.pack_sequences_greedy(df, id_col="name", budget=8)
+    out = curation.pack_sequences_greedy(
+        df, id_col="name", budget=8, num_shards=4
+    )
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = sorted((r.doc_id, r.n_tokens) for r in out.collect())
+    assert rows == [("d-1", 3), ("d-2", 5)]

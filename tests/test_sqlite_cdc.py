@@ -145,3 +145,23 @@ def test_sqlite_changes_survive_envelope_roundtrip(spark, cdc_db):
     via_wire = apply_cdc_batch(empty, decoded)
     direct = apply_cdc_batch(empty, changes)
     assert _spark_items(via_wire) == _spark_items(direct) == _sqlite_items(cdc_db)
+
+
+def test_poll_batch_bounded_under_concurrent_writer(spark, cdc_db):
+    """Rows appended AFTER the high-water mark is computed must not bleed
+    into the already-returned batch (lazy re-reads are bounded by
+    change_id <= hwm) — they arrive in the NEXT poll."""
+    with sqlite3.connect(cdc_db) as conn:
+        conn.execute("INSERT INTO items(name) VALUES ('One')")
+    state = spark.createDataFrame([], STATE_SCHEMA).localCheckpoint()
+    state, last = sqlite_cdc.poll_and_apply(spark, cdc_db, state, 0)
+    # concurrent writer lands between poll and the state's first action
+    with sqlite3.connect(cdc_db) as conn:
+        conn.execute("INSERT INTO items(name) VALUES ('Late')")
+    assert last == 1
+    assert [p for _, p in _spark_items(state)] == ["One"]
+    # re-collecting is deterministic (no unbounded re-read)
+    assert [p for _, p in _spark_items(state)] == ["One"]
+    state2, last2 = sqlite_cdc.poll_and_apply(spark, cdc_db, state, last)
+    assert last2 == 2
+    assert [p for _, p in _spark_items(state2)] == ["One", "Late"]

@@ -122,3 +122,19 @@ def test_write_roundtrip(spark, tmp_path, wallet_db):
 def test_sqlcipher_gated(spark, wallet_db):
     with pytest.raises(NotImplementedError, match="SQLCipher"):
         sqlite_src.read_sqlcipher(spark, wallet_db, "vc_store", key="k")
+
+
+def test_predicate_tripwire_rejects_suspicious_tokens(spark, wallet_db):
+    from graphdb_for_drones_spark.sources.sqlite_src import read_sqlite
+
+    for bad in ("1=1; DROP TABLE items", "1=1 -- comment", "1=1 /* x */"):
+        with pytest.raises(ValueError, match="trusted"):
+            read_sqlite(spark, wallet_db, "items", predicate=bad)
+
+
+def test_write_mode_validated(spark, tmp_path):
+    from graphdb_for_drones_spark.sources.sqlite_src import write_sqlite
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="mode"):
+        write_sqlite(df, str(tmp_path / "w.db"), "t", mode="overwite")
