@@ -23,17 +23,27 @@ _WORDS = (
 )
 
 
+# train-side document-frequency cap for the contamination entries: a
+# shingle appearing in more than this many TRAIN docs is boilerplate and
+# is dropped before the join (per-doc set sizes are recomputed after the
+# cap, mirrored exactly in the oracles) — the hot-key bound that keeps
+# the inverted-index join from exploding on one template 3-gram shared
+# by millions of training documents
+MAX_TRAIN_DF = 100
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (source <> 'src0')
     overlapping the held-out eval slice (source = 'src0') at word-3-gram
-    jaccard >= 0.1.  Cross-corpus inverted-index join — the eval side is
-    small and broadcasts."""
+    jaccard >= 0.1 over df-capped train shingles.  Cross-corpus
+    inverted-index join — the eval side is small and broadcasts."""
     cat = Catalog(spark, sf_dir)
     docs = cat.documents
     return curation.contamination_pairs(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
         threshold=0.1,
+        max_df=MAX_TRAIN_DF,
     )
 
 
@@ -48,14 +58,28 @@ s AS (
          END AS sh
   FROM d
 ),
-ds AS (SELECT doc_id, source, len(list_distinct(sh)) AS n,
-              list_distinct(sh) AS sh FROM s),
-inv AS (SELECT doc_id, source, n, unnest(sh) AS g FROM ds),
+ds AS (SELECT doc_id, source, list_distinct(sh) AS sh FROM s),
+inv AS (SELECT doc_id, source, unnest(sh) AS g FROM ds),
+-- train-side df cap (mirrors MAX_TRAIN_DF): drop boilerplate shingles,
+-- then recompute per-doc set sizes over the KEPT shingles
+dfc AS (
+  SELECT g, COUNT(*) AS c FROM inv WHERE source <> 'src0' GROUP BY g
+),
+tr AS (
+  SELECT i.doc_id, i.g FROM inv i JOIN dfc ON dfc.g = i.g
+  WHERE i.source <> 'src0' AND dfc.c <= {MAX_TRAIN_DF}
+),
+tn AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY doc_id),
+ev AS (
+  SELECT doc_id, g FROM inv WHERE source = 'src0'
+),
+en AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
 c AS (
-  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
-         a.n AS na, b.n AS nb, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.g = b.g
-  WHERE a.source <> 'src0' AND b.source = 'src0'
+  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+         tn.n AS na, en.n AS nb, COUNT(*) AS inter
+  FROM tr JOIN ev ON tr.g = ev.g
+  JOIN tn ON tn.doc_id = tr.doc_id
+  JOIN en ON en.doc_id = ev.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT train_id, eval_id, inter * 1.0 / (na + nb - inter) AS jaccard
@@ -262,7 +286,9 @@ GROUP BY source
 def q_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment-metric decontamination: |train ∩ eval| / |eval| >= 0.5
     — the asymmetric gate that catches a short benchmark prompt quoted
-    inside a long training document (low jaccard, containment ≈ 1)."""
+    inside a long training document (low jaccard, containment ≈ 1).
+    Train shingles are df-capped like the jaccard entry (the containment
+    denominator |eval| is unaffected by the cap)."""
     cat = Catalog(spark, sf_dir)
     docs = cat.documents
     return curation.contamination_pairs(
@@ -270,6 +296,7 @@ def q_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         threshold=0.5,
         metric="containment",
+        max_df=MAX_TRAIN_DF,
     )
 
 
@@ -284,14 +311,24 @@ s AS (
          END AS sh
   FROM d
 ),
-ds AS (SELECT doc_id, source, len(list_distinct(sh)) AS n,
-              list_distinct(sh) AS sh FROM s),
-inv AS (SELECT doc_id, source, n, unnest(sh) AS g FROM ds),
+ds AS (SELECT doc_id, source, list_distinct(sh) AS sh FROM s),
+inv AS (SELECT doc_id, source, unnest(sh) AS g FROM ds),
+dfc AS (
+  SELECT g, COUNT(*) AS c FROM inv WHERE source <> 'src0' GROUP BY g
+),
+tr AS (
+  SELECT i.doc_id, i.g FROM inv i JOIN dfc ON dfc.g = i.g
+  WHERE i.source <> 'src0' AND dfc.c <= {MAX_TRAIN_DF}
+),
+ev AS (
+  SELECT doc_id, g FROM inv WHERE source = 'src0'
+),
+en AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
 c AS (
-  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
-         b.n AS nb, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.g = b.g
-  WHERE a.source <> 'src0' AND b.source = 'src0'
+  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+         en.n AS nb, COUNT(*) AS inter
+  FROM tr JOIN ev ON tr.g = ev.g
+  JOIN en ON en.doc_id = ev.doc_id
   GROUP BY 1, 2, 3
 )
 SELECT train_id, eval_id, inter * 1.0 / nb AS containment

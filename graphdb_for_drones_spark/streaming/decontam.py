@@ -34,12 +34,18 @@ def start_contamination_guard(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    metric: str = "jaccard",
 ):
     """Flag streaming documents overlapping the eval set.
 
     ``stream_docs``: a streaming DataFrame with (id_col, text_col).
-    Flags append to ``out_dir`` as (train_id, eval_id, jaccard).
-    """
+    Flags append to ``out_dir`` as (train_id, eval_id, <metric>).
+
+    ``metric`` matches the batch gate's choices: ``'jaccard'``
+    (symmetric overlap) or ``'containment'`` (|batch ∩ eval| / |eval| —
+    the asymmetric gate that catches a short benchmark prompt quoted
+    inside a long incoming document, which jaccard dilutes below any
+    workable threshold)."""
     ev = curation.shingle_index(
         eval_docs, "eval_id", text_col, id_col, shingle_n
     ).localCheckpoint()
@@ -49,7 +55,7 @@ def start_contamination_guard(
             batch_df, "train_id", text_col, id_col, shingle_n
         )
         flagged = curation.contamination_pairs_from_index(
-            tr, ev, threshold=threshold
+            tr, ev, threshold=threshold, metric=metric
         )
         flagged.write.mode("append").parquet(out_dir)
 

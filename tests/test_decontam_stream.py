@@ -98,3 +98,43 @@ def test_stream_guard_restart_does_not_duplicate(spark, tmp_path):
     run()  # second drain from the same checkpoint: no new input, no new rows
     rows = read_quarantine(spark, str(tmp_path / "quarantine")).collect()
     assert len(rows) == 2
+
+
+def test_stream_guard_containment_catches_quoted_prompt(spark, tmp_path):
+    """A short eval prompt quoted inside a long incoming document: the
+    jaccard guard dilutes it below threshold, the containment guard
+    (metric passed through to the batch kernel) flags it."""
+    prompt = "the secret benchmark prompt goes here"
+    filler = " ".join(f"f{i}" for i in range(80))
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    (sdir / "b0.json").write_text(
+        json.dumps({"doc_id": 7, "text": filler + " " + prompt})
+    )
+    ev = spark.createDataFrame([(200, prompt)], DOC_SCHEMA).localCheckpoint()
+
+    def drain(metric, sub):
+        stream = spark.readStream.schema(DOC_SCHEMA).json(str(sdir))
+        q = start_contamination_guard(
+            stream,
+            ev,
+            out_dir=str(tmp_path / sub / "quarantine"),
+            checkpoint_dir=str(tmp_path / sub / "ckpt"),
+            threshold=0.5,
+            metric=metric,
+        )
+        q.awaitTermination(120)
+        out = read_quarantine(spark, str(tmp_path / sub / "quarantine"))
+        assert metric in out.columns
+        return out.collect()
+
+    contained = drain("containment", "cont")
+    assert [(r.train_id, r.eval_id, r.containment) for r in contained] == [
+        (7, 200, 1.0)
+    ]
+    import pyspark.sql.utils  # noqa: F401  (parquet read of empty dir raises)
+    try:
+        missed = drain("jaccard", "jac")
+    except Exception:
+        missed = []  # nothing quarantined: no parquet files written
+    assert missed == []
