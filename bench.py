@@ -72,6 +72,13 @@ HEADLINE = [
     "embedding_dup_clusters",
 ]
 
+# r5 (VERDICT r4 #6): the bench sweeps the FULL catalog — headline
+# entries above keep their historical order (BENCH_r{N} comparability),
+# every other registered query is appended so a regression in a
+# previously un-benched entry cannot hide.  The floor is therefore
+# len(QUERIES): adding a catalog query automatically adds a bench entry.
+HEADLINE += [q for q in QUERIES if q not in HEADLINE]
+
 
 def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)

@@ -114,9 +114,14 @@ class Catalog:
     """Lazy handle over one scale-factor directory."""
 
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        from graphdb_for_drones_spark.session import ensure_package_shipped
+
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
+        # any catalog consumer may reach a pandas-UDF plan; make sure the
+        # workers can import this package no matter the driver's cwd
+        ensure_package_shipped(spark)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

@@ -200,15 +200,47 @@ def ann_near_pairs(
     )
 
 
+# a block at or below this many rows runs the exact all-pairs join
+# (C(4096,2) ≈ 8.4M pairs — one executor's worth of streamed compare
+# work); above it the all-pairs product grows quadratically with data
+# (the 100 TB killer), so big blocks route through per-block LSH bucket
+# candidates + exact re-score instead — the same adaptive
+# exact-below/bucketed-above pattern as connected_components and
+# posting_pairs
+MAX_EXACT_BLOCK = 4096
+
+
 def cosine_pairs_blocked(
     embeddings: DataFrame,
     block_col: str,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int = MAX_EXACT_BLOCK,
+    dim: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking key (e.g. an LSH
-    bucket or a label partition): the join is per-block, never all-pairs."""
+    bucket or a label partition) — size-adaptive, never unboundedly
+    all-pairs:
+
+    * blocks with at most ``max_block_rows`` rows take the exact path:
+      a per-block self-join scoring every pair (hoisted norms keep it
+      O(rows·dim) + O(pairs·dim), bit-identical to ``cosine()``);
+    * bigger blocks take the scale path: a signed-projection LSH
+      signature per vector, banded into (block, band, bucket) keys;
+      only pairs sharing a bucket are scored, with the SAME exact
+      rounded-cosine re-score and threshold.  Recall on this path
+      follows the banded-LSH S-curve (exact duplicates collide in every
+      band → recall 1.0; raise ``n_planes``/``bands`` to move the knee
+      for lower thresholds).
+
+    The split is decided inside the plan by a broadcast of per-block
+    counts — no driver action.  ``dim`` (hyperplane width) is probed
+    from one row only if not given.  Both paths share one scoring
+    expression, so a pair scores identically wherever it lands."""
     # hoist the per-row norm out of the pair join: cosine() would re-fold
     # both vectors' norms once per PAIR (O(pairs·dim) extra) — computing
     # sqrt(Σx²) per ROW first is the same double arithmetic (fold, sqrt,
@@ -219,26 +251,86 @@ def cosine_pairs_blocked(
         F.col(vec_col).alias("v"),
         norm2(F.col(vec_col)).alias("nrm"),
     )
-    a = withn.select(
+    sizes = withn.groupBy("blk").agg(F.count(F.lit(1)).alias("__bn"))
+    withn = withn.join(F.broadcast(sizes), "blk")
+    small = withn.filter(F.col("__bn") <= max_block_rows)
+    big = withn.filter(F.col("__bn") > max_block_rows)
+
+    score = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+
+    def _score_pairs(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select("id_a", "id_b", score.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    a = small.select(
         "blk",
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b = withn.select(
+    b = small.select(
         "blk",
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
-    score = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    exact = _score_pairs(
+        a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
     )
-    return (
-        pairs.select("id_a", "id_b", score.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+
+    # LSH leg for over-cap blocks: bucket candidates within (blk, band,
+    # bucket), then exact re-score.  Built unconditionally into the plan;
+    # when no block exceeds the cap the leg scans an empty filter output.
+    from graphdb_for_drones_spark.operators.dedup import _bucket_pairs
+
+    if dim is None:
+        probe = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(probe["d"]) if probe is not None else 2
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = lsh_signature(F.col("v"), planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    banded = big.select("blk", "id", sig.alias("sig")).select(
+        "blk",
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), bd * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for bd in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "blk", "bb.band", "bb.bucket")
+    cand = _bucket_pairs(banded, ["blk", "band", "bucket"])
+    bv = big.select("id", "v", "nrm")
+    lsh = _score_pairs(
+        cand.join(
+            bv.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        ).join(
+            bv.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
     )
+    return exact.unionByName(lsh)
 
 
 def kmeans_centroids(

@@ -6,10 +6,12 @@ so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
 Round-5 rotation: the 3 curation queries whose round-4 driver rows failed on
-oracle typing (HUGEINT vs long — fixed by CAST AS BIGINT this round) plus the
-21 queries last driver-checked in rounds 1-3 lead the dict; the rotated-out
-r4 window stays covered by the local oracle replica
-(``tests/test_queries_oracle.py`` runs every oracle-paired query).
+oracle typing (HUGEINT vs long — fixed by CAST AS BIGINT this round), the
+21 queries last driver-checked in rounds 1-3, and the 3 r4-green queries
+whose plans changed since that run (contamination df-cap, adaptive blocked
+cosine) lead the dict; the rotated-out r4 window stays covered by the local
+oracle replica (``tests/test_queries_oracle.py`` runs every oracle-paired
+query).
 """
 
 from graphdb_for_drones_spark.plans.queries import QUERIES as _BASE_QUERIES
@@ -69,6 +71,12 @@ _GATE_FIRST = [
     "doc_split_counts",
     "corpus_curation_stats",
     "doc_negative_pairs",
+    # Green in r4 but their plans/oracles changed SINCE that driver run
+    # (df-cap engaged in the contamination entries; adaptive LSH routing
+    # added to the blocked-cosine join) — must be re-gated, not trusted:
+    "contamination_check",
+    "contamination_containment",
+    "embedding_dup_clusters",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

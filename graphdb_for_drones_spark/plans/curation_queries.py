@@ -176,8 +176,12 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = Catalog(spark, sf_dir)
+    # dim=64 is the embeddings-table vector width (TESTDATA.md); passing
+    # it skips the one-row dim probe.  Blocks here are far below
+    # MAX_EXACT_BLOCK at test scale, so the exact leg runs and the oracle
+    # is bit-exact; at 100 TB oversized blocks route through the LSH leg.
     pairs = cosine_pairs_blocked(
-        cat.embeddings, block_col="label", threshold=0.3
+        cat.embeddings, block_col="label", threshold=0.3, dim=64
     ).select(
         F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),

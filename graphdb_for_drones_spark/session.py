@@ -9,11 +9,61 @@ pandas-UDF paths, and broadcast threshold high enough that dimension tables
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# applicationIds whose workers already received the package zip
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package's sources to the executors' Python workers.
+
+    A pandas-UDF closure defined at module level pickles BY REFERENCE
+    (module + name), so the worker must be able to ``import
+    graphdb_for_drones_spark`` — true when the driver's cwd is the repo
+    root (workers inherit it), false from any other cwd, and never
+    guaranteed on a real cluster.  This is the library-side equivalent
+    of ``spark-submit --py-files``: zip the package once (content-hashed
+    name, so re-ships of identical code are no-ops even across driver
+    processes) and ``addPyFile`` it; Spark appends the zip to every
+    worker's sys.path.  Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    names = []
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                names.append(os.path.join(root, f))
+    h = hashlib.sha256()
+    for p in names:
+        with open(p, "rb") as fh:
+            h.update(p.encode())
+            h.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"graphdb_for_drones_spark-{h.hexdigest()[:16]}.zip",
+    )
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in names:
+                arc = os.path.join(
+                    "graphdb_for_drones_spark", os.path.relpath(p, pkg_dir)
+                )
+                zf.write(p, arc)
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app)
 
 
 def get_spark(

@@ -60,3 +60,27 @@ def test_engine_facade_round2_surface(spark, sf_dir):
         docs, ["text"], {"n": F.count(F.lit(1))}, salt_on="doc_id"
     ).first()
     assert got.n == 2
+
+
+def test_package_shipping(spark):
+    # workers must be able to import the package from any driver cwd
+    # (pandas-UDF closures pickle by reference); ensure_package_shipped
+    # zips the sources and addPyFile's them — idempotent per context
+    import zipfile
+
+    from graphdb_for_drones_spark import session as S
+
+    S.ensure_package_shipped(spark)
+    app = spark.sparkContext.applicationId
+    assert app in S._SHIPPED
+    S.ensure_package_shipped(spark)  # second call: no re-add, no error
+    import glob
+    import tempfile
+
+    zips = glob.glob(
+        tempfile.gettempdir() + "/graphdb_for_drones_spark-*.zip"
+    )
+    assert zips
+    with zipfile.ZipFile(zips[0]) as zf:
+        assert "graphdb_for_drones_spark/__init__.py" in zf.namelist()
+        assert "graphdb_for_drones_spark/functions/crypto.py" in zf.namelist()

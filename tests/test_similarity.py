@@ -75,6 +75,59 @@ def test_blocked_pairs(vectors):
     assert got[(0, 1)] == round(np_cosine(vecs[0], vecs[1]), 6)
 
 
+def test_blocked_pairs_adaptive_lsh_leg(vectors):
+    # force the over-cap LSH leg (max_block_rows below the block size):
+    # results must be a subset of the exact leg with IDENTICAL rounded
+    # scores, and the planted near-dup (cos ≈ 0.9998 → band collision
+    # probability ≈ 1-3e-7) must survive the routing
+    df, vecs = vectors
+    blocked = df.withColumn("blk", F.lit(1))
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_blocked(blocked, "blk", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_blocked(
+            blocked, "blk", threshold=0.5, max_block_rows=10, dim=DIM
+        ).collect()
+    }
+    assert (0, 1) in lsh
+    assert lsh[(0, 1)] == exact[(0, 1)]
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == c for p, c in lsh.items())
+
+
+def test_blocked_pairs_mixed_blocks_and_exact_dup_recall(spark):
+    # one under-cap block (exact leg: every qualifying pair present) and
+    # one over-cap block holding an exact duplicate (identical vectors
+    # collide in every band → recall 1.0 by construction)
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)], "small") for i in range(4)]
+    rows += [(100 + i, [rng.uniform(-1, 1) for _ in range(16)], "big") for i in range(20)]
+    rows.append((200, list(rows[4][1]), "big"))  # exact dup of vec 100
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).localCheckpoint()
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_blocked(
+            emb, "label", threshold=0.99, max_block_rows=10, dim=16
+        ).collect()
+    }
+    assert got[(100, 200)] == 1.0
+    # the small block went through the exact leg: brute-force agreement
+    import itertools
+
+    for a, b in itertools.combinations(range(4), 2):
+        va = np.array(rows[a][1])
+        vb = np.array(rows[b][1])
+        c = round(np_cosine(va, vb), 6)
+        assert ((a, b) in got) == (c >= 0.99)
+
+
 def test_ivf_self_query_top1(spark):
     from graphdb_for_drones_spark.operators.similarity import (
         ivf_index,
