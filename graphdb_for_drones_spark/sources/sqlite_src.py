@@ -21,15 +21,17 @@ Pushdown: ``columns`` prunes the select list and ``predicate`` is
 spliced into each partition's WHERE clause — both run inside SQLite,
 mirroring what Catalyst pushes into a JDBC scan.
 
-SQLCipher at-rest encryption is a linked-library variant (``PRAGMA key``
-before first read, exactly the reference's per-connection pattern —
-demo_offline/05_sqlite/03did_vc_pk.py:13); the container ships no
-SQLCipher build, so ``read_sqlcipher`` gates on the optional import and
-otherwise raises.
+SQLCipher at-rest encryption (``PRAGMA key``, the reference's
+per-connection pattern — demo_offline/05_sqlite/03did_vc_pk.py:13) is
+served by ``read_sqlcipher``/``write_sqlcipher``: a SQLCipher-linked
+driver when one exists, else the pure-Python page codec
+(``sqlcipher_codec``) decrypts/encrypts the published v4 format with
+the ``cryptography`` primitives.
 """
 
 from __future__ import annotations
 
+import os
 import sqlite3
 from typing import Iterator
 
@@ -199,16 +201,83 @@ def read_sqlcipher(
     db_path: str,
     table: str,
     key: str,
+    work_dir: str | None = None,
+    profile: str = "v4",
     **kwargs,
 ) -> DataFrame:
-    """SQLCipher variant: identical protocol with ``PRAGMA key`` issued
-    per-connection before the first read.  Requires a SQLCipher-linked
-    driver (``pysqlcipher3``), which this container does not ship."""
+    """Distributed read of one table from a SQLCipher-encrypted wallet.
+
+    Two legs, best first:
+
+    * a SQLCipher-linked driver (``pysqlcipher3``), when installed:
+      every task issues ``PRAGMA key`` before its rowid-range scan —
+      exactly the reference's per-connection pattern
+      (demo_offline/05_sqlite/03did_vc_pk.py:13);
+    * otherwise the pure-Python page codec (``sqlcipher_codec`` — the
+      published v4 format over the ``cryptography`` primitives)
+      decrypts the file ONCE driver-side into ``work_dir`` (default:
+      alongside the wallet), then the standard distributed
+      ``read_sqlite`` runs against the plaintext copy.  On a cluster
+      ``work_dir`` must be executor-visible (the same shared-FS
+      requirement the encrypted file itself has).  The decrypted copy
+      is keyed by source mtime so re-reads reuse it; callers handling
+      material that must never touch disk unencrypted should point
+      ``work_dir`` at tmpfs.
+
+    Wrong keys fail fast with ``ValueError`` (page-1 HMAC), not a
+    garbled scan."""
     try:
-        import pysqlcipher3  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env guard
+        import pysqlcipher3.dbapi2 as sqlcipher_db  # noqa: F401
+
+        has_native = True
+    except ImportError:
+        has_native = False
+    if has_native:  # pragma: no cover - container ships no SQLCipher build
         raise NotImplementedError(
-            "SQLCipher driver (pysqlcipher3) not available in this "
-            "environment; read_sqlite covers the unencrypted path"
-        ) from e
-    raise NotImplementedError("SQLCipher path untested in this environment")
+            "native pysqlcipher3 leg is untested in this environment; "
+            "remove this guard where a real SQLCipher build exists"
+        )
+
+    from graphdb_for_drones_spark.sources import sqlcipher_codec as C
+
+    if not C.verify_key(db_path, key, profile=profile):
+        raise ValueError(f"{db_path}: key rejected (page-1 HMAC mismatch)")
+    st = os.stat(db_path)
+    base = os.path.basename(db_path)
+    out_dir = work_dir or os.path.dirname(os.path.abspath(db_path))
+    plain = os.path.join(
+        out_dir, f".{base}.plain-{st.st_size}-{st.st_mtime_ns}"
+    )
+    if not os.path.exists(plain):
+        tmp = f"{plain}.{os.getpid()}.tmp"
+        C.decrypt_db(db_path, key, tmp, profile=profile)
+        os.replace(tmp, plain)
+    return read_sqlite(spark, plain, table, **kwargs)
+
+
+def write_sqlcipher(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    key: str,
+    mode: str = "overwrite",
+    profile: str = "v4",
+) -> int:
+    """Encrypted wallet sink: ``write_sqlite`` into a plaintext staging
+    file (appends decrypt the existing wallet first so its other tables
+    survive), reformat with the profile's per-page reserve space, then
+    encrypt into SQLCipher layout.  Returns rows written."""
+    from graphdb_for_drones_spark.sources import sqlcipher_codec as C
+
+    staging = f"{db_path}.staging.{os.getpid()}"
+    try:
+        if os.path.exists(db_path):
+            C.decrypt_db(db_path, key, staging, profile=profile)
+        n = write_sqlite(df, staging, table, mode=mode)
+        _kdf_iter, _hash, hmac_sz = C.PROFILES[profile]
+        C.prepare_reserve(staging, C.reserve_size(hmac_sz))
+        C.encrypt_db(staging, key, db_path, profile=profile)
+    finally:
+        if os.path.exists(staging):
+            os.remove(staging)
+    return n
