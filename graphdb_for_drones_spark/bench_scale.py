@@ -78,6 +78,11 @@ def _families(docs: DataFrame) -> dict[str, DataFrame]:
         # exact semantics — rows must scale exactly linearly
         "exact_dedup": per_text.filter(F.col("cnt") > 1),
         "ngram_jaccard": D.ngram_jaccard_pairs(docs, threshold=0.1),
+        # df-capped variant (own semantics, like the catalog's _capped
+        # entry): the A/B that shows what the cap buys as data grows
+        "ngram_jaccard_capped": D.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_df=50
+        ),
         "contamination": curation.contamination_pairs(
             train, ev, threshold=0.1, max_df=100
         ),
