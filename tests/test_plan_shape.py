@@ -108,3 +108,27 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
         if hits and name not in WHITELIST:
             flagged[name] = hits
     assert not flagged, flagged
+
+
+def test_blocked_cosine_size_split_broadcasts_counts(spark):
+    """The adaptive blocked-cosine join decides exact-vs-LSH routing with
+    a per-block count joined back in-plan: that side is rows-per-block —
+    tiny — and must broadcast, never shuffle the vectors against it."""
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+        (F.col("id") % 3).alias("label"),
+    )
+    plan = formatted_plan(
+        cosine_pairs_blocked(emb, "label", threshold=0.5, dim=4)
+    )
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
