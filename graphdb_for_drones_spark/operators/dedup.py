@@ -477,14 +477,35 @@ def ngram_jaccard_pairs(
     ).select("id_a", "id_b", "jaccard")
 
 
-def simhash(col, bits: int = 64):
-    """64-bit SimHash computed JVM-side: per token hash, each bit votes
-    ±1; majority sign per bit packs back into a long.  Bit masks are
-    Python-side literals (64 disjoint masks, summed == OR'd), so the whole
-    expression stays in whole-stage codegen — no Python on the row path."""
+def word_hashes_xx(col):
+    """Per-word xxhash64 array for SimHash voting."""
     words = F.filter(F.split(normalize_text(col), " "), lambda w: w != F.lit(""))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def word_hashes_md5(col):
+    """Per-word 60-bit md5-derived hash array (engine-neutral twin)."""
+    words = F.filter(F.split(normalize_text(col), " "), lambda w: w != F.lit(""))
+    return F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+
+
+def simhash_from_hashes(hashes, bits: int = 64):
+    """SimHash bit voting over a word-hash array: each bit votes ±1,
+    majority sign per bit packs back into a long.  Bit masks are
+    Python-side literals (disjoint masks, summed == OR'd).
+
+    IMPORTANT: pass a materialized COLUMN, not the hashing expression —
+    the ``bits`` filter passes each reference ``hashes``, and Spark's
+    subexpression elimination skips lambda-bearing subtrees, so an
+    inline transform would re-hash every word once per bit (measured:
+    the md5 fingerprint projection alone ~60× the necessary work).
+    ``simhash_pairs``/``simhash_pairs_md5`` stage the array behind a
+    projection boundary, which ``CollapseProject`` keeps (non-cheap
+    expression, referenced ``bits`` times)."""
     n = F.size(hashes)
+
     def bit_set(m):
         # closure factory (not a 2-param lambda: Spark would bind the
         # element index to the second parameter)
@@ -501,16 +522,10 @@ def simhash(col, bits: int = 64):
     return total
 
 
-def simhash_md5(col, bits: int = 60):
-    """Engine-neutral SimHash: per-word 60-bit hash parsed from the first
-    15 hex chars of md5 (60 bits keeps every intermediate in signed-64
-    range on any engine), majority vote per bit, packed back into a long.
-    Integer-exact and reproducible in plain SQL — the oracle twin of
-    ``simhash`` (whose xxhash64 stays the production path)."""
-    words = F.filter(F.split(normalize_text(col), " "), lambda w: w != F.lit(""))
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-    )
+def simhash_md5_from_hashes(hashes, bits: int = 60):
+    """Bit voting for the md5 hash family (shift-and-test per bit; 60
+    bits keeps every intermediate in signed-64 range on any engine).
+    Same staging contract as ``simhash_from_hashes``."""
     n = F.size(hashes)
 
     def bit_set(b):
@@ -523,6 +538,21 @@ def simhash_md5(col, bits: int = 60):
             F.lit(0)
         ).cast("long")
     return total
+
+
+def simhash(col, bits: int = 64):
+    """64-bit SimHash computed JVM-side as ONE expression — convenient
+    for ad-hoc use; the pair pipelines stage the word-hash array first
+    (see ``simhash_from_hashes`` for why)."""
+    return simhash_from_hashes(word_hashes_xx(col), bits)
+
+
+def simhash_md5(col, bits: int = 60):
+    """Engine-neutral SimHash: per-word 60-bit hash parsed from the first
+    15 hex chars of md5, majority vote per bit, packed back into a long.
+    Integer-exact and reproducible in plain SQL — the oracle twin of
+    ``simhash`` (whose xxhash64 stays the production path)."""
+    return simhash_md5_from_hashes(word_hashes_md5(col), bits)
 
 
 def band_layout(bits: int, bands: int) -> list[tuple[int, int]]:
@@ -632,8 +662,13 @@ def simhash_pairs_md5(
     """SimHash near-dup pairs over the md5 hash family — fully oracle-
     checkable (see ``simhash_md5``).  Same banded-pigeonhole candidate
     scheme and posting-list pair enumeration as ``simhash_pairs``."""
-    base = _spread_input(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), simhash_md5(F.col(text_col), bits).alias("fp")
+    base = (
+        _spread_input(df, id_col, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            word_hashes_md5(F.col(text_col)).alias("__h"),
+        )
+        .select("id", simhash_md5_from_hashes(F.col("__h"), bits).alias("fp"))
     )
     return simhash_candidate_pairs(
         base, max_hamming, bands, bits, allow_partial_recall
@@ -652,8 +687,13 @@ def simhash_pairs(
     ``max_hamming + 1`` chunks by default, so any pair within the hamming
     radius must agree on >=1 chunk (pigeonhole) → bucket-join on chunks,
     verify with exact popcount.  Full recall within the radius."""
-    base = _spread_input(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp")
+    base = (
+        _spread_input(df, id_col, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            word_hashes_xx(F.col(text_col)).alias("__h"),
+        )
+        .select("id", simhash_from_hashes(F.col("__h")).alias("fp"))
     )
     return simhash_candidate_pairs(
         base, max_hamming, bands, 64, allow_partial_recall
