@@ -73,15 +73,22 @@ def shingle_index(
     (``name``, ``n_<name>`` set size, ``h`` shingle hash).  For a static
     eval set, build once and reuse (e.g. ``localCheckpoint`` it for the
     streaming guard)."""
-    return df.select(
-        F.col(id_col).alias(name),
-        F.array_distinct(
-            shingle_hash_array(F.col(text_col), shingle_n)
-        ).alias("hashes"),
-    ).select(
-        name,
-        F.size("hashes").alias(f"n_{name}"),
-        F.explode("hashes").alias("h"),
+    from graphdb_for_drones_spark.operators.dedup import with_shingle_hashes
+
+    return (
+        with_shingle_hashes(
+            df.select(F.col(id_col).alias(name), F.col(text_col)),
+            text_col,
+            shingle_n,
+            out_col="__sh",
+            keep=(name,),
+        )
+        .select(name, F.array_distinct(F.col("__sh")).alias("hashes"))
+        .select(
+            name,
+            F.size("hashes").alias(f"n_{name}"),
+            F.explode("hashes").alias("h"),
+        )
     )
 
 
@@ -270,12 +277,27 @@ def repetition_scores(
     n: int = 2,
 ) -> DataFrame:
     """Per-document repetition quality signal: (doc_id, n_grams,
-    rep_ratio)."""
-    grams = shingle_hash_array(F.col(text_col), n)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(grams).cast("long").alias("n_grams"),
-        repetition_ratio(F.col(text_col), n).alias("rep_ratio"),
+    rep_ratio).  The gram array is staged once and every size/distinct
+    below reads the column — the inline form evaluated the shingle
+    expression 4× per row (and each evaluation re-hashed the words
+    ~2n+1×; see dedup.with_shingle_hashes)."""
+    from graphdb_for_drones_spark.operators.dedup import with_shingle_hashes
+
+    staged = with_shingle_hashes(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        n,
+        out_col="__g",
+        keep=("doc_id",),
+    )
+    g = F.col("__g")
+    ratio = F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+    )
+    return staged.select(
+        "doc_id",
+        F.size(g).cast("long").alias("n_grams"),
+        ratio.alias("rep_ratio"),
     )
 
 

@@ -92,6 +92,15 @@ def shingle_hash_array(col, n: int = 3):
     ``n`` words get one whole-text shingle, as ``shingles`` does."""
     words = F.filter(F.split(normalize_text(col), " "), lambda w: w != F.lit(""))
     wh = F.transform(words, lambda w: F.xxhash64(w))
+    return _shingle_hashes_from(words, wh, n)
+
+
+def _shingle_hashes_from(words, wh, n: int):
+    """Window-fold shingle hashes given words + word-hash expressions.
+    Pass COLUMN references for multi-use plans (``with_shingle_hashes``):
+    subexpression elimination skips lambda-bearing subtrees, so inline
+    ``words``/``wh`` expressions are re-evaluated at every reference
+    below (n slices + 2 sizes + the short-doc fallback)."""
     m = F.size(wh) - n + 1  # shingle count when the doc has >= n words
 
     def win(j):  # j-th shifted slice, exactly m elements
@@ -103,6 +112,36 @@ def shingle_hash_array(col, n: int = 3):
     return F.when(
         F.size(wh) < n, F.array(F.xxhash64(F.concat_ws(" ", words)))
     ).otherwise(acc)
+
+
+def with_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "hashes",
+    keep: tuple = (),
+):
+    """Shingle-hash projection STAGED behind column boundaries — the
+    fast path every pipeline consumer uses.  Three selects: words →
+    word-hashes → shingle fold, so the normalize/split/hash work runs
+    exactly once per row no matter how many times downstream references
+    the arrays (the round-5 lambda-CSE lesson: Spark eliminates no
+    common subexpression that contains a lambda, and the window fold
+    references the word-hash array ~2n+1 times).  ``CollapseProject``
+    keeps the boundaries (non-cheap exprs, multiply referenced).
+
+    Returns ``df`` narrowed to ``keep`` + ``out_col``."""
+    keep = list(keep)
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != F.lit("")
+    )
+    staged = df.select(*keep, words.alias("__w")).select(
+        *keep,
+        "__w",
+        F.transform(F.col("__w"), lambda w: F.xxhash64(w)).alias("__wh"),
+    )
+    sh = _shingle_hashes_from(F.col("__w"), F.col("__wh"), n)
+    return staged.select(*keep, sh.alias(out_col))
 
 
 def minhash_signature_from_hashes(hash_col, num_hashes: int = 32):
@@ -252,11 +291,18 @@ def minhash_lsh_pairs(
     same reused exchange rather than caching it: columnar caching of
     array columns measured ~20× slower than the recompute."""
     rows_per_band = num_hashes // bands
-    sh = shingle_hash_array(F.col(text_col), shingle_n)
-    base = _spread_input(df, id_col, text_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(sh).alias("shingle_hashes"),
-        minhash_signature_from_hashes(sh, num_hashes).alias("sig"),
+    base = with_shingle_hashes(
+        _spread_input(df, id_col, text_col).select(
+            F.col(id_col).alias("id"), F.col(text_col)
+        ),
+        text_col,
+        shingle_n,
+        out_col="__sh",
+        keep=("id",),
+    ).select(
+        "id",
+        F.array_distinct(F.col("__sh")).alias("shingle_hashes"),
+        minhash_signature_from_hashes(F.col("__sh"), num_hashes).alias("sig"),
     )
 
     banded = base.select(
@@ -390,12 +436,15 @@ def ngram_jaccard_pairs(
     pairs, so hot shingles dominate cost at corpus scale.  Jaccard is
     then over the filtered shingle sets (an explicit semantic change,
     which is why it's a parameter and not a default)."""
-    sh = _spread_input(df, id_col, text_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_hash_array(F.col(text_col), shingle_n)).alias(
-            "hashes"
+    sh = with_shingle_hashes(
+        _spread_input(df, id_col, text_col).select(
+            F.col(id_col).alias("id"), F.col(text_col)
         ),
-    )
+        text_col,
+        shingle_n,
+        out_col="__sh",
+        keep=("id",),
+    ).select("id", F.array_distinct(F.col("__sh")).alias("hashes"))
     inv = sh.select("id", F.size("hashes").alias("n"), F.explode("hashes").alias("h"))
     if prefix_filter and max_df is None:
         # PPJoin-style prefix filtering, EXACT result: under a global
