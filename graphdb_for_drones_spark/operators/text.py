@@ -43,12 +43,17 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(pieces).cast("long")
 
 
-def stopword_ratio(col: Column, stopwords=STOPWORDS) -> Column:
-    toks = tokens(F.lower(col))
-    sw = F.size(
-        F.filter(toks, lambda t: t.isin(*stopwords))
-    )
+def stopword_ratio_from_tokens(toks: Column, stopwords=STOPWORDS) -> Column:
+    """Stopword share over a LOWERCASED token-array column.  Pass a
+    materialized column on hot paths: subexpression elimination skips
+    lambda-bearing subtrees, so an inline ``tokens(...)`` argument is
+    re-tokenized at each of the two references here."""
+    sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return sw / F.size(toks)
+
+
+def stopword_ratio(col: Column, stopwords=STOPWORDS) -> Column:
+    return stopword_ratio_from_tokens(tokens(F.lower(col)), stopwords)
 
 
 def punct_ratio(col: Column) -> Column:
@@ -56,22 +61,30 @@ def punct_ratio(col: Column) -> Column:
     return (F.length(col) - F.length(no_punct)) / F.length(col)
 
 
+def quality_score_parts(n_tok: Column, sw_ratio: Column, p_ratio: Column) -> Column:
+    """The quality composite over precomputed parts — lets staged plans
+    share one tokenization across n_tokens/stopword/quality columns."""
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(sw_ratio * 5, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - p_ratio * 4, F.lit(0.0))
+    return F.round((len_score + sw_score + punct_pen) / 3, 6)
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: rewards mid-range length and
     stopword presence, penalizes punctuation soup — the usual cheap
     pre-filter before expensive model-based scoring."""
-    n_tok = token_count(col)
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))
-    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * 4, F.lit(0.0))
-    return F.round((len_score + sw_score + punct_pen) / 3, 6)
+    return quality_score_parts(
+        token_count(col), stopword_ratio(col), punct_ratio(col)
+    )
 
 
-def lang_id(col: Column) -> Column:
-    """Marker-word language ID: argmax over per-language marker hit
-    counts, ties broken by language-code order; 'und' when no marker
-    hits.  Pure expression — a greatest-of-structs argmax."""
-    toks = tokens(F.lower(col))
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Marker-word language ID over a LOWERCASED token-array column:
+    argmax over per-language marker hit counts, ties broken by
+    language-code order; 'und' when no marker hits.  Same staging
+    contract as ``stopword_ratio_from_tokens`` (the argmax references
+    the array once per language)."""
 
     def is_marker(markers):
         # closure factory (a 2-param lambda would receive the element index)
@@ -90,6 +103,11 @@ def lang_id(col: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def lang_id(col: Column) -> Column:
+    """One-expression form; hot paths stage the token array first."""
+    return lang_id_from_tokens(tokens(F.lower(col)))
+
+
 def fingerprint(col: Column, modulus: int = 1_000_000_007) -> Column:
     """Deterministic polynomial rolling hash over characters — the
     cross-engine-checkable document fingerprint.  In production prefer
@@ -105,15 +123,22 @@ def fingerprint(col: Column, modulus: int = 1_000_000_007) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass profile: token count, stopword ratio, punct ratio,
-    quality, predicted language, fingerprint."""
+    quality, predicted language, fingerprint.  Tokenizes ONCE per case
+    form: the metric expressions reference staged token-array columns
+    (inline forms would tokenize ~11× per row — the lambda-CSE tax)."""
     c = F.col(text_col)
-    return df.withColumns(
+    staged = df.withColumns(
+        {"__t": tokens(c), "__tl": tokens(F.lower(c)), "__pr": punct_ratio(c)}
+    )
+    n_tok = F.size(F.col("__t")).cast("long")
+    swr = stopword_ratio_from_tokens(F.col("__tl"))
+    return staged.withColumns(
         {
-            "n_tokens": token_count(c),
-            "stopword_ratio": F.round(stopword_ratio(c), 6),
-            "punct_ratio": F.round(punct_ratio(c), 6),
-            "quality": quality_score(c),
-            "pred_lang": lang_id(c),
+            "n_tokens": n_tok,
+            "stopword_ratio": F.round(swr, 6),
+            "punct_ratio": F.round(F.col("__pr"), 6),
+            "quality": quality_score_parts(n_tok, swr, F.col("__pr")),
+            "pred_lang": lang_id_from_tokens(F.col("__tl")),
             "fingerprint": fingerprint(c),
         }
-    )
+    ).drop("__t", "__tl", "__pr")

@@ -276,10 +276,16 @@ SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= 0.3
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     c = F.col("text")
+    # token arrays staged once (lambda-CSE: inline tokens() would
+    # re-tokenize per reference); values identical to the inline forms
     return cat.documents.select(
+        "doc_id", c, T.tokens(F.lower(c)).alias("__tl")
+    ).select(
         "doc_id",
         T.token_count(c).alias("n_tokens"),
-        F.round(T.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(T.stopword_ratio_from_tokens(F.col("__tl")), 6).alias(
+            "stopword_ratio"
+        ),
         F.round(T.punct_ratio(c), 6).alias("punct_ratio"),
     )
 
@@ -306,9 +312,20 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic (length / stopword / punctuation) that gates docs before
     model-based scoring in a training-data pipeline."""
     cat = Catalog(spark, sf_dir)
-    q = T.quality_score(F.col("text"))
+    c = F.col("text")
+    staged = cat.documents.select(
+        "lang",
+        T.tokens(c).alias("__t"),
+        T.tokens(F.lower(c)).alias("__tl"),
+        T.punct_ratio(c).alias("__pr"),
+    )
+    q = T.quality_score_parts(
+        F.size(F.col("__t")).cast("long"),
+        T.stopword_ratio_from_tokens(F.col("__tl")),
+        F.col("__pr"),
+    )
     return (
-        cat.documents.select("lang", q.alias("q"))
+        staged.select("lang", q.alias("q"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -391,7 +408,8 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID prediction counts per predicted language."""
     cat = Catalog(spark, sf_dir)
     return (
-        cat.documents.select(T.lang_id(F.col("text")).alias("pred_lang"))
+        cat.documents.select(T.tokens(F.lower(F.col("text"))).alias("__tl"))
+        .select(T.lang_id_from_tokens(F.col("__tl")).alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
