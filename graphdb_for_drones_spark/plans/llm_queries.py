@@ -530,8 +530,10 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key stands in for an LSH bucket: per-block join, never
     all-pairs)."""
     cat = Catalog(spark, sf_dir)
+    # dim=64 = embeddings vector width (TESTDATA.md): skips the one-row
+    # dim probe the adaptive LSH leg would otherwise run at plan build
     return S.cosine_pairs_blocked(
-        cat.embeddings, block_col="label", threshold=0.3
+        cat.embeddings, block_col="label", threshold=0.3, dim=64
     )
 
 
