@@ -119,8 +119,11 @@ def test_write_roundtrip(spark, tmp_path, wallet_db):
     )
 
 
-def test_sqlcipher_gated(spark, wallet_db):
-    with pytest.raises(NotImplementedError, match="SQLCipher"):
+def test_sqlcipher_rejects_plaintext_db(spark, wallet_db):
+    # A plain (unencrypted) SQLite file is not a valid SQLCipher wallet:
+    # the page-1 HMAC probe must fail fast, not garble a scan.
+    # (Roundtrips on real encrypted wallets live in test_sqlcipher.py.)
+    with pytest.raises(ValueError, match="key rejected"):
         sqlite_src.read_sqlcipher(spark, wallet_db, "vc_store", key="k")
 
 
