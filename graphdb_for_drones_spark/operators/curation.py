@@ -375,6 +375,208 @@ def pack_sequences_greedy(
     return toks.groupBy(*key_cols).applyInPandas(ffd, schema=out_fields)
 
 
+def duplicated_span_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document cross-document duplicated-span fraction: the share of
+    a document's distinct word ``shingle_n``-grams that also occur in at
+    least ``min_df - 1`` OTHER documents — the corpus-level duplicated-
+    text signal (the n-gram approximation of suffix-array span dedup)
+    that per-document repetition scoring cannot see.
+
+    Plan shape at 100 TB: the posting list explodes (doc_id, hash) only
+    — 16-byte rows; global shingle document-frequency is one groupBy on
+    the 8-byte hash (map-side partial aggregation); the join back to the
+    posting list is hash-per-row, never all-pairs, and a boilerplate
+    shingle with a huge df costs one counter, not a blowup.
+
+    Returns (doc_id, n_shingles, n_dup_shingles, dup_ratio) with
+    ``dup_ratio`` an exact integer division (engine-stable).
+    """
+    posting = shingle_index(df, "doc_id", text_col, id_col, shingle_n)
+    dfc = posting.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        posting.join(dfc, "h")
+        .groupBy("doc_id", "n_doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup")
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_doc_id").cast("long").alias("n_shingles"),
+        F.col("n_dup").cast("long").alias("n_dup_shingles"),
+        F.when(F.col("n_doc_id") <= 0, F.lit(0.0))
+        .otherwise(F.col("n_dup") / F.col("n_doc_id"))
+        .alias("dup_ratio"),
+    )
+
+
+def gopher_rule_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_frac: float = 0.05,
+    max_rep_ratio: float = 0.2,
+) -> DataFrame:
+    """Per-document Gopher-style quality-rule flags (Rae et al. 2021,
+    §A1.1 "quality filtering" heuristics, re-parameterized): word count
+    in range, mean word length in range, stopword fraction floor, and a
+    duplicate-bigram repetition ceiling.  Each flag is an exact integer
+    comparison or an exact integer-division comparison, so any engine
+    reproduces them bit-for-bit.
+
+    Pure codegen: the token array, word-hash array, and bigram-hash
+    array are each staged once behind projection boundaries (the
+    lambda-CSE rule — see with_shingle_hashes) and every rule reads the
+    staged columns."""
+    from graphdb_for_drones_spark.operators.dedup import (
+        _shingle_hashes_from,
+        normalize_text,
+    )
+    from graphdb_for_drones_spark.operators.text import (
+        STOPWORDS,
+        stopword_ratio_from_tokens,
+    )
+
+    # normalize_text words ≡ tokens(lower(text)) (collapse-\s+-then-split
+    # vs split-on-\s+), so one staged array serves both the word rules
+    # and the repetition bigrams
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: t != F.lit(""),
+    )
+    staged = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+        .select(
+            "doc_id",
+            "__w",
+            F.transform(F.col("__w"), lambda t: F.xxhash64(t)).alias("__wh"),
+        )
+        .select(
+            "doc_id",
+            "__w",
+            _shingle_hashes_from(F.col("__w"), F.col("__wh"), 2).alias("__g"),
+        )
+    )
+    w = F.col("__w")
+    g = F.col("__g")
+    n_words = F.size(w)
+    # empty-doc guards: ANSI mode (Spark 4 default) makes x/0 a job
+    # failure, and one empty document must not kill a 100 TB run —
+    # empty docs score 0.0 and fail the range rules
+    mean_len = F.when(n_words <= 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / n_words
+    )
+    sw_frac = F.when(n_words <= 0, F.lit(0.0)).otherwise(
+        stopword_ratio_from_tokens(w, STOPWORDS)
+    )
+    rep = F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+    )
+    return staged.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        (n_words >= min_words) & (n_words <= max_words),
+        (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+        sw_frac >= min_stopword_frac,
+        rep <= max_rep_ratio,
+    ).toDF(
+        "doc_id", "n_words", "pass_word_count", "pass_word_len",
+        "pass_stopword", "pass_repetition",
+    )
+
+
+def gopher_rule_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **rule_kwargs,
+) -> DataFrame:
+    """Per-group Gopher-rule funnel: docs passing each rule and all
+    rules — the pass-rate table a curation run reviews before committing
+    a filter config.  Integer counts only (hash-stable everywhere)."""
+    flags = gopher_rule_flags(df, text_col, id_col, **rule_kwargs)
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col)
+    ).join(flags, "doc_id")
+    cnt = lambda c: F.sum(F.col(c).cast("long")).alias(c.replace("pass_", "n_pass_"))  # noqa: E731
+    return keyed.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt("pass_word_count"),
+        cnt("pass_word_len"),
+        cnt("pass_stopword"),
+        cnt("pass_repetition"),
+        F.sum(
+            (
+                F.col("pass_word_count")
+                & F.col("pass_word_len")
+                & F.col("pass_stopword")
+                & F.col("pass_repetition")
+            ).cast("long")
+        ).alias("n_pass_all"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by a rank-preserving
+    tf-idf score.  The idf factor is the RAW inverse document frequency
+    ``N / df`` (no logarithm): monotone in the usual ``ln(N/df)``, so
+    ranks are identical, but every arithmetic step is a single IEEE
+    operation on exact integers — bit-identical across engines, where
+    ``ln`` is libm-dependent.  Ties break by term (ascending).
+
+    Scale shape: explode → (doc, term) tf groupBy (map-side combine on
+    short keys), term df groupBy, broadcast-joined corpus size; the
+    per-document top-k is a bounded rank window partitioned by doc.
+    """
+    from graphdb_for_drones_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_corpus")
+    )
+    scored = tf.join(docf, "term").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.col("n_corpus") / F.col("df")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     prob_col: Column,

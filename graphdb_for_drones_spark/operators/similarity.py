@@ -333,6 +333,51 @@ def cosine_pairs_blocked(
     return exact.unionByName(lsh)
 
 
+def semantic_dedup_stats(
+    index: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): prune semantic
+    duplicates WITHIN k-means clusters of the embedding space.  A vector
+    is a semantic duplicate iff a lower-id vector in the SAME cluster
+    has rounded cosine ≥ ``threshold`` — the deterministic min-id
+    keeper rule (the paper keeps one arbitrary member per ε-ball; min-id
+    makes the choice engine-reproducible).
+
+    Input is an IVF/k-means assignment table (``ivf_open``/``ivf_index``
+    output: id, vector, cluster) — clustering first is the point: only
+    within-cluster pairs are ever scored, and the pair join rides
+    ``cosine_pairs_blocked``'s size-adaptive path (exact all-pairs for
+    small clusters, banded-LSH candidates + exact re-score above
+    MAX_EXACT_BLOCK), so a skewed mega-cluster cannot go quadratic.
+
+    Returns one row per cluster: (cluster, n_vectors, n_dups, n_kept).
+    """
+    pairs = cosine_pairs_blocked(
+        index,
+        block_col=cluster_col,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    flagged = index.select(F.col(id_col), F.col(cluster_col)).join(
+        dups.withColumn("__dup", F.lit(1)), id_col, "left"
+    )
+    return flagged.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dups"),
+        (
+            F.count(F.lit(1)) - F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+        ).alias("n_kept"),
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,

@@ -77,6 +77,13 @@ _GATE_FIRST = [
     "contamination_check",
     "contamination_containment",
     "embedding_dup_clusters",
+    # New in round 5 (never driver-checked) — the 4 entries they push
+    # out of the 50-row window are all r4-green (verified before the
+    # rotation):
+    "doc_dup_span_stats",
+    "doc_gopher_rules",
+    "doc_tfidf_topk",
+    "semantic_dedup_stats",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -340,6 +340,125 @@ FROM c WHERE inter * 1.0 / nb >= 0.5
 """
 
 
+def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction per document: the share
+    of a doc's distinct word-5-grams occurring in >= 2 documents (the
+    n-gram approximation of suffix-array span dedup, Lee et al. 2021,
+    arXiv:2107.06499).  Engine hashes shingles (codegen xxhash64 fold);
+    the oracle compares shingle strings — equal modulo 64-bit
+    collisions, the ngram_jaccard contract."""
+    cat = Catalog(spark, sf_dir)
+    return curation.duplicated_span_scores(cat.documents, shingle_n=5)
+
+
+ORACLE_DOC_DUP_SPAN_STATS = rf"""
+WITH d AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]
+         END AS sh
+  FROM d
+),
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+inv AS (SELECT doc_id, unnest(sh) AS g FROM ds),
+dfc AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
+per AS (
+  SELECT i.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM inv i JOIN dfc ON dfc.g = i.g GROUP BY i.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_dup AS BIGINT) AS n_dup_shingles,
+       CASE WHEN n_shingles <= 0 THEN 0.0
+            ELSE n_dup * 1.0 / n_shingles END AS dup_ratio
+FROM per
+"""
+
+
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule funnel per source (Rae et al. 2021
+    §A1.1 heuristics re-parameterized for the synthetic corpus): word
+    count in [50, 100k], mean word length in [3, 10], stopword fraction
+    >= 0.05, duplicate-bigram ratio <= 0.2.  Integer pass counts only —
+    hash-stable on any engine."""
+    cat = Catalog(spark, sf_dir)
+    return curation.gopher_rule_stats(cat.documents, group_col="source")
+
+
+ORACLE_DOC_GOPHER_RULES = rf"""
+WITH d AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+),
+b AS (
+  SELECT doc_id, source, w,
+         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+2], ' ') for i in range(len(w)-1)]
+         END AS bg
+  FROM d
+),
+f AS (
+  SELECT source,
+         len(w) AS n_words,
+         list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) AS mean_len,
+         len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is')))
+           * 1.0 / len(w) AS sw_frac,
+         CASE WHEN len(bg) <= 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END AS rep
+  FROM b
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pass_word_count,
+  CAST(SUM(CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pass_word_len,
+  CAST(SUM(CASE WHEN sw_frac >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pass_stopword,
+  CAST(SUM(CASE WHEN rep <= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pass_repetition,
+  CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_len >= 3.0 AND mean_len <= 10.0
+                 AND sw_frac >= 0.05 AND rep <= 0.2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM f GROUP BY source
+"""
+
+
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by rank-preserving tf-idf
+    (raw N/df idf — log-free, so every arithmetic step is one IEEE op on
+    exact integers and ranks hash-match across engines; term-ascending
+    tiebreak)."""
+    cat = Catalog(spark, sf_dir)
+    return curation.tfidf_top_terms(cat.documents, k=3)
+
+
+ORACLE_DOC_TFIDF_TOPK = rf"""
+WITH d AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+t AS (SELECT doc_id, unnest(w) AS term FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df, tf * n_corpus * 1.0 / df AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -349,6 +468,9 @@ CURATION_QUERIES = {
     "doc_pack_greedy_stats": q_doc_pack_greedy_stats,
     "doc_quality_sample_stats": q_doc_quality_sample_stats,
     "contamination_containment": q_contamination_containment,
+    "doc_dup_span_stats": q_doc_dup_span_stats,
+    "doc_gopher_rules": q_doc_gopher_rules,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
 }
 
 CURATION_ORACLES = {
@@ -359,4 +481,7 @@ CURATION_ORACLES = {
     "embedding_dup_clusters": ORACLE_EMBEDDING_DUP_CLUSTERS,
     "doc_quality_sample_stats": ORACLE_DOC_QUALITY_SAMPLE_STATS,
     "contamination_containment": ORACLE_CONTAMINATION_CONTAINMENT,
+    "doc_dup_span_stats": ORACLE_DOC_DUP_SPAN_STATS,
+    "doc_gopher_rules": ORACLE_DOC_GOPHER_RULES,
+    "doc_tfidf_topk": ORACLE_DOC_TFIDF_TOPK,
 }

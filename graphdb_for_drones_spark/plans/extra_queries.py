@@ -597,6 +597,76 @@ def _embedding_clusters_oracle_sql(k: int = 8, iters: int = 2, seed: int = 42) -
 ORACLE_EMBEDDING_CLUSTERS = _embedding_clusters_oracle_sql()
 
 
+def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic-duplicate pruning within
+    k-means clusters of the embedding space — per-cluster kept/dropped
+    counts under the deterministic min-id keeper rule at rounded cosine
+    >= 0.35 (re-parameterized for the synthetic corpus, whose max
+    within-cluster cosine is ~0.49).  Shares the materialized IVF index
+    with ``ivf_topk``; the within-cluster pair join rides the
+    size-adaptive blocked-cosine path, so the whole derivation —
+    k-means included — is oracle-checked while a skewed mega-cluster
+    still cannot go quadratic at scale."""
+    from graphdb_for_drones_spark.operators.similarity import (
+        semantic_dedup_stats,
+    )
+
+    idx, _cents = _ivf_open_for_sf(spark, sf_dir)
+    return semantic_dedup_stats(idx, threshold=0.35, dim=64).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_vectors",
+        "n_dups",
+        "n_kept",
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, iters: int = 2, seed: int = 42, tau: float = 0.35
+) -> str:
+    # reuse the unrolled-k-means CTEs through `asg`, then score
+    # within-cluster pairs exactly as cosine_pairs_blocked does (hoisted
+    # norms; ROUND(dot/(sqrt·sqrt), 6) — the embedding_dup_clusters
+    # formula) and count min-id-rule duplicates per cluster
+    base = _ivf_kmeans_oracle_sql(k, iters, seed)
+    head = base.rsplit(",\nqv AS", 1)[0]
+    return (
+        head
+        + f""",
+nrm AS (
+  SELECT vec_id, SUM(v * v) AS nrm FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+    WHERE vec_id <> 0
+  ) GROUP BY vec_id
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(len(ea.embedding)),
+      i -> CAST(ea.embedding[i+1] AS DOUBLE) * CAST(eb.embedding[i+1] AS DOUBLE)
+    )) AS dot, na.nrm AS nrm_a, nb.nrm AS nrm_b
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+),
+dups AS (
+  SELECT DISTINCT id_b AS vec_id FROM p
+  WHERE ROUND(dot / (sqrt(nrm_a) * sqrt(nrm_b)), 6) >= {tau}
+)
+SELECT a.cluster, COUNT(*) AS n_vectors,
+  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dups,
+  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept
+FROM asg a LEFT JOIN dups d ON d.vec_id = a.vec_id
+GROUP BY a.cluster
+"""
+    )
+
+
+ORACLE_SEMANTIC_DEDUP_STATS = _semantic_dedup_oracle_sql()
+
+
 def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped argmin join: per part, the supplier offering the lowest
     average line price (window rank over a grouped aggregate; suppkey
@@ -900,6 +970,7 @@ EXTRA_QUERIES = {
     "event_hll_rollup": q_event_hll_rollup,
     "event_value_hist_quantiles": q_event_value_hist_quantiles,
     "embedding_clusters": q_embedding_clusters,
+    "semantic_dedup_stats": q_semantic_dedup_stats,
     "dedup_clusters": q_dedup_clusters,
     "min_price_supplier": q_min_price_supplier,
     "event_props_extract": q_event_props_extract,
@@ -922,6 +993,7 @@ EXTRA_ORACLES = {
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
     "embedding_clusters": ORACLE_EMBEDDING_CLUSTERS,
+    "semantic_dedup_stats": ORACLE_SEMANTIC_DEDUP_STATS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "min_price_supplier": ORACLE_MIN_PRICE_SUPPLIER,
     "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,

@@ -261,3 +261,99 @@ def test_ffd_packing_string_doc_ids(spark):
     assert dict(out.dtypes)["doc_id"] == "string"
     rows = sorted((r.doc_id, r.n_tokens) for r in out.collect())
     assert rows == [("d-1", 3), ("d-2", 5)]
+
+
+def test_duplicated_span_scores(spark):
+    # docs 1 and 2 share their full text (every 5-gram duplicated);
+    # doc 3 is unique (no cross-doc 5-gram)
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    df = _docs(
+        spark,
+        [
+            (1, shared, "en", "x"),
+            (2, shared, "en", "x"),
+            (3, "one two three four five six seven eight", "en", "y"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.duplicated_span_scores(df).collect()}
+    assert out[1].n_shingles == 3 and out[1].n_dup_shingles == 3
+    assert out[1].dup_ratio == 1.0
+    assert out[3].n_dup_shingles == 0 and out[3].dup_ratio == 0.0
+
+
+def test_duplicated_span_short_doc_whole_text_shingle(spark):
+    # < n words -> one whole-text shingle; two identical short docs are
+    # fully duplicated spans of each other
+    df = _docs(spark, [(1, "tiny doc", "en", "x"), (2, "tiny doc", "en", "x")])
+    out = {r.doc_id: r for r in curation.duplicated_span_scores(df).collect()}
+    assert out[1].n_shingles == 1 and out[1].dup_ratio == 1.0
+
+
+def test_gopher_rule_flags(spark):
+    long_ok = " ".join(["the"] * 25 + ["word"] * 30)  # 55 words, stopwordy
+    short = "too short entirely"  # fails word count
+    thin_sw = " ".join(f"w{i}" for i in range(60))  # no stopwords
+    repeated = " ".join(["dup dup"] * 40)  # bigram soup
+    df = _docs(
+        spark,
+        [
+            (1, long_ok, "en", "a"),
+            (2, short, "en", "a"),
+            (3, thin_sw, "en", "a"),
+            (4, repeated, "en", "a"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.gopher_rule_flags(df).collect()}
+    assert out[1].pass_word_count and out[1].pass_stopword
+    assert not out[2].pass_word_count
+    assert not out[3].pass_stopword
+    assert not out[4].pass_repetition
+    stats = curation.gopher_rule_stats(df, group_col="source").collect()[0]
+    assert stats.n_docs == 4
+    assert stats.n_pass_word_count == 3  # docs 1, 3, 4
+    assert stats.n_pass_all <= min(
+        stats.n_pass_word_count, stats.n_pass_stopword
+    )
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common common rare rare", "en", "x"),
+            (2, "common other other words", "en", "x"),
+            (3, "common words words here", "en", "x"),
+        ],
+    )
+    out = curation.tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r for r in out}
+    # 'rare' in doc 1 only: tf 2 · idf 3/1 = 6 beats 'common' (2 · 3/3 = 2)
+    assert top[1].term == "rare" and top[1].df == 1
+    assert top[1].tfidf == pytest.approx(6.0)
+    # doc 2: 'other' tf=2 df=1 -> 6.0 beats 'common'/'words'
+    assert top[2].term == "other"
+
+
+def test_semantic_dedup_stats_min_id_keeper(spark):
+    from graphdb_for_drones_spark.operators.similarity import (
+        semantic_dedup_stats,
+    )
+
+    # cluster 0: ids 1,2 identical (dup -> 2 dropped), id 3 orthogonal;
+    # cluster 1: ids 4,5 near-identical above threshold
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+        (5, [0.0, 0.01, 1.0], 1),
+    ]
+    idx = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    ).localCheckpoint()
+    out = {
+        r.cluster: r
+        for r in semantic_dedup_stats(idx, threshold=0.95, dim=3).collect()
+    }
+    assert out[0].n_vectors == 3 and out[0].n_dups == 1 and out[0].n_kept == 2
+    assert out[1].n_vectors == 2 and out[1].n_dups == 1 and out[1].n_kept == 1
