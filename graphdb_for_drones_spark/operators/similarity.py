@@ -184,15 +184,34 @@ def ann_near_pairs(
     idx = ann_index(embeddings, dim, n_planes, bands, id_col, vec_col, seed)
     keyed = idx.select(F.col(id_col).alias("id"), "band", "bucket")
     cand = _bucket_pairs(keyed, ["band", "bucket"])
-    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col))
+    # norm hoisted per ROW before the pair join: cosine() folds both
+    # norms once per PAIR (candidate count is ~quadratic in bucket
+    # width, so that's 3× the fold work exactly where it hurts); the
+    # per-row sqrt(Σx²) is the same sequential fold, so pair scores are
+    # bit-identical — the cosine_pairs_blocked discipline
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col),
+        norm2(F.col(vec_col)).alias("__n"),
+    )
     pairs = cand.join(
-        vecs.select(F.col("id").alias("id_a"), F.col(vec_col).alias("__va")),
+        vecs.select(
+            F.col("id").alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            F.col("__n").alias("__na"),
+        ),
         "id_a",
     ).join(
-        vecs.select(F.col("id").alias("id_b"), F.col(vec_col).alias("__vb")),
+        vecs.select(
+            F.col("id").alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.col("__n").alias("__nb"),
+        ),
         "id_b",
     )
-    score = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    score = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return (
         pairs.withColumn("cosine", score)
         .filter(F.col("cosine") >= threshold)
