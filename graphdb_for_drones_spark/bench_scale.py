@@ -86,13 +86,25 @@ def _families(docs: DataFrame) -> dict[str, DataFrame]:
         "contamination": curation.contamination_pairs(
             train, ev, threshold=0.1, max_df=100
         ),
+        # round-5 additions, both exact semantics: dup-span rows are one
+        # per doc (copy-tagged words keep every within-copy df constant);
+        # tfidf's vocabulary grows with the corpus while term df stays
+        # constant — the inverted-index linearity case again
+        "dup_span": curation.duplicated_span_scores(docs),
+        "tfidf_topk": curation.tfidf_top_terms(docs, k=3),
         # LSH approximations — new buckets per copy, counts ≈ linear
         "minhash": D.minhash_lsh_pairs(docs, jaccard_threshold=0.3),
         "simhash": D.simhash_pairs(docs, max_hamming=6),
     }
 
 
-EXACT_FAMILIES = ("exact_dedup", "ngram_jaccard", "contamination")
+EXACT_FAMILIES = (
+    "exact_dedup",
+    "ngram_jaccard",
+    "contamination",
+    "dup_span",
+    "tfidf_topk",
+)
 
 
 def run_scale_bench(

@@ -84,6 +84,7 @@ _GATE_FIRST = [
     "doc_gopher_rules",
     "doc_tfidf_topk",
     "semantic_dedup_stats",
+    "customer_pii_scrub",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -459,6 +459,57 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_customer_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit over customer records: per market segment, rows,
+    per-detector match counts (email/phone/ipv4/ssn/entity-id — the
+    entity-id detector pseudonymizes this dataset's Customer#NNN names;
+    the rest are the standard scrub set, zero here and exercised on
+    planted fixtures in tests), rows touched, and a masked sample
+    proving the redaction projection.  All regexes are RE2-compatible so
+    the DuckDB twin evaluates the same pattern text match-for-match."""
+    from graphdb_for_drones_spark.operators import pii
+
+    cat = Catalog(spark, sf_dir)
+    stats = pii.pii_stats(cat.customer, "c_name", "c_mktsegment")
+    masked = cat.customer.groupBy("c_mktsegment").agg(
+        F.min(pii.mask_pii(F.col("c_name"), ("entity_id",))).alias(
+            "masked_sample"
+        )
+    )
+    return stats.join(masked, "c_mktsegment")
+
+
+def _pii_oracle_sql() -> str:
+    from graphdb_for_drones_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n    ".join(
+        f"len(regexp_extract_all(c_name, '{p}')) AS c_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    any_hit = " OR ".join(f"c_{k} > 0" for k in PII_PATTERNS)
+    sums = ",\n  ".join(
+        f"CAST(SUM(c_{k}) AS BIGINT) AS n_{k}" for k in PII_PATTERNS
+    )
+    ent = PII_PATTERNS["entity_id"]
+    return f"""
+WITH c AS (
+  SELECT c_mktsegment,
+    {counts},
+    regexp_replace(c_name, '{ent}', '[PII]', 'g') AS masked
+  FROM customer
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  {sums},
+  CAST(SUM(CASE WHEN {any_hit} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rows_with_pii,
+  MIN(masked) AS masked_sample
+FROM c GROUP BY c_mktsegment
+"""
+
+
+ORACLE_CUSTOMER_PII_SCRUB = _pii_oracle_sql()
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -471,6 +522,7 @@ CURATION_QUERIES = {
     "doc_dup_span_stats": q_doc_dup_span_stats,
     "doc_gopher_rules": q_doc_gopher_rules,
     "doc_tfidf_topk": q_doc_tfidf_topk,
+    "customer_pii_scrub": q_customer_pii_scrub,
 }
 
 CURATION_ORACLES = {
@@ -484,4 +536,5 @@ CURATION_ORACLES = {
     "doc_dup_span_stats": ORACLE_DOC_DUP_SPAN_STATS,
     "doc_gopher_rules": ORACLE_DOC_GOPHER_RULES,
     "doc_tfidf_topk": ORACLE_DOC_TFIDF_TOPK,
+    "customer_pii_scrub": ORACLE_CUSTOMER_PII_SCRUB,
 }
