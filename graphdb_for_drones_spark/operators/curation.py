@@ -389,18 +389,23 @@ def duplicated_span_scores(
     that per-document repetition scoring cannot see.
 
     Plan shape at 100 TB: the posting list explodes (doc_id, hash) only
-    — 16-byte rows; global shingle document-frequency is one groupBy on
-    the 8-byte hash (map-side partial aggregation); the join back to the
-    posting list is hash-per-row, never all-pairs, and a boilerplate
-    shingle with a huge df costs one counter, not a blowup.
+    — 16-byte rows; the per-shingle document frequency is an unbounded
+    COUNT window over the hash, so the corpus is scanned and shingled
+    exactly ONCE (a groupBy-df + join-back formulation re-scans it: the
+    df branch's column pruning specializes its copy of the exchange and
+    defeats ReuseExchange).  The window routes each shingle's rows to
+    one reducer — the same placement the co-partitioned join would need
+    — and Spark's window buffer is spill-backed, so a boilerplate
+    shingle with a huge df degrades to a slow task, not an OOM; the
+    16-byte rows keep even a df-in-the-millions partition ~tens of MB.
 
     Returns (doc_id, n_shingles, n_dup_shingles, dup_ratio) with
     ``dup_ratio`` an exact integer division (engine-stable).
     """
     posting = shingle_index(df, "doc_id", text_col, id_col, shingle_n)
-    dfc = posting.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("h")
     per = (
-        posting.join(dfc, "h")
+        posting.withColumn("df", F.count(F.lit(1)).over(w))
         .groupBy("doc_id", "n_doc_id")
         .agg(
             F.sum(

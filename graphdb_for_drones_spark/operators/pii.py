@@ -52,21 +52,34 @@ def pii_stats(
     text_col: str,
     group_col: str,
     kinds: tuple[str, ...] | None = None,
+    sample_mask_kinds: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Per-group redaction report: row count, per-detector match totals,
     and rows touched by any detector — the audit table a scrub run
-    emits.  Integer counts only (engine-hash-stable)."""
+    emits.  Integer counts only (engine-hash-stable).
+
+    ``sample_mask_kinds`` adds a ``masked_sample`` column (the MIN of
+    the masked text under those detectors) inside the SAME aggregation,
+    so auditing the redaction output costs no second corpus scan."""
     kinds = kinds if kinds is not None else tuple(PII_PATTERNS)
-    staged = df.select(
+    cols = [
         F.col(group_col),
         *[pii_count(F.col(text_col), k).alias(f"__c_{k}") for k in kinds],
-    )
+    ]
+    if sample_mask_kinds is not None:
+        cols.append(
+            mask_pii(F.col(text_col), sample_mask_kinds).alias("__masked")
+        )
+    staged = df.select(*cols)
     any_hit = None
     for k in kinds:
         c = F.col(f"__c_{k}") > 0
         any_hit = c if any_hit is None else (any_hit | c)
-    return staged.groupBy(group_col).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         *[F.sum(f"__c_{k}").alias(f"n_{k}") for k in kinds],
         F.sum(any_hit.cast("long")).alias("n_rows_with_pii"),
-    )
+    ]
+    if sample_mask_kinds is not None:
+        aggs.append(F.min("__masked").alias("masked_sample"))
+    return staged.groupBy(group_col).agg(*aggs)

