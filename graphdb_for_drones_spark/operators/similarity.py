@@ -352,6 +352,32 @@ def cosine_pairs_blocked(
     return exact.unionByName(lsh)
 
 
+def semantic_dedup(
+    index: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup apply path: the KEPT rows of the index — every vector
+    without a lower-id same-cluster neighbor at rounded cosine ≥
+    ``threshold``.  Anti-join against the duplicate set from the same
+    size-adaptive pair join ``semantic_dedup_stats`` reports on; at
+    scale the duplicate set is a fraction of the corpus and the
+    anti-join shuffles ids only."""
+    pairs = cosine_pairs_blocked(
+        index,
+        block_col=cluster_col,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return index.join(dups, id_col, "left_anti")
+
+
 def semantic_dedup_stats(
     index: DataFrame,
     threshold: float = 0.95,

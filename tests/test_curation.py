@@ -357,3 +357,26 @@ def test_semantic_dedup_stats_min_id_keeper(spark):
     }
     assert out[0].n_vectors == 3 and out[0].n_dups == 1 and out[0].n_kept == 2
     assert out[1].n_vectors == 2 and out[1].n_dups == 1 and out[1].n_kept == 1
+
+
+def test_semantic_dedup_apply_matches_stats(spark):
+    from graphdb_for_drones_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_stats,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+        (5, [0.0, 0.01, 1.0], 1),
+    ]
+    idx = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    ).localCheckpoint()
+    kept = semantic_dedup(idx, threshold=0.95, dim=3)
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 3, 4]
+    # apply and stats agree: kept row count == sum of per-cluster n_kept
+    stats = semantic_dedup_stats(idx, threshold=0.95, dim=3)
+    assert kept.count() == sum(r.n_kept for r in stats.collect())
