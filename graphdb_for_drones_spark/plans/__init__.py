@@ -85,6 +85,7 @@ _GATE_FIRST = [
     "doc_tfidf_topk",
     "semantic_dedup_stats",
     "customer_pii_scrub",
+    "event_type_salted_counts",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

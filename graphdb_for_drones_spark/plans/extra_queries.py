@@ -667,6 +667,42 @@ GROUP BY a.cluster
 ORACLE_SEMANTIC_DEDUP_STATS = _semantic_dedup_oracle_sql()
 
 
+def q_event_type_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the two-phase SALTED plan (SURVEY
+    §7.4-2: the reference's hq_id is the textbook skew key; event_type
+    here has 5 values over the whole table, so a one-phase groupBy
+    funnels every row into 5 reducers).  ``salted_agg`` spreads phase 1
+    over (key, salt) and re-aggregates per key; counts add and decimal
+    sums are order-independent, so the result is bit-identical to the
+    plain groupBy — exactly what the oracle pins.  Driver-checking this
+    entry keeps the skew path's CORRECTNESS under the same gate as its
+    plan shape (tests)."""
+    from graphdb_for_drones_spark.operators.skew import salted_agg
+
+    cat = Catalog(spark, sf_dir)
+    out = salted_agg(
+        cat.events,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+ORACLE_EVENT_TYPE_SALTED_COUNTS = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped argmin join: per part, the supplier offering the lowest
     average line price (window rank over a grouped aggregate; suppkey
@@ -971,6 +1007,7 @@ EXTRA_QUERIES = {
     "event_value_hist_quantiles": q_event_value_hist_quantiles,
     "embedding_clusters": q_embedding_clusters,
     "semantic_dedup_stats": q_semantic_dedup_stats,
+    "event_type_salted_counts": q_event_type_salted_counts,
     "dedup_clusters": q_dedup_clusters,
     "min_price_supplier": q_min_price_supplier,
     "event_props_extract": q_event_props_extract,
@@ -994,6 +1031,7 @@ EXTRA_ORACLES = {
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
     "embedding_clusters": ORACLE_EMBEDDING_CLUSTERS,
     "semantic_dedup_stats": ORACLE_SEMANTIC_DEDUP_STATS,
+    "event_type_salted_counts": ORACLE_EVENT_TYPE_SALTED_COUNTS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "min_price_supplier": ORACLE_MIN_PRICE_SUPPLIER,
     "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,
