@@ -86,6 +86,7 @@ _GATE_FIRST = [
     "semantic_dedup_stats",
     "customer_pii_scrub",
     "event_type_salted_counts",
+    "curation_pipeline_stats",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

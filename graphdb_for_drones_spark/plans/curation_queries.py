@@ -509,6 +509,92 @@ FROM c GROUP BY c_mktsegment
 ORACLE_CUSTOMER_PII_SCRUB = _pii_oracle_sql()
 
 
+def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 END-TO-END curation pipeline as one declarative plan:
+    Gopher quality gate (all four rules) → cross-document duplicated-span
+    ceiling (dup_ratio <= 0.5) → exact-dedup keeper (min doc_id per
+    normalized-content md5) → per-source kept doc/token counts.  Every
+    stage reuses a catalogued operator and the WHOLE composition
+    hash-matches one SQL twin — the v2 of `corpus_curation_stats`
+    exercising the round-5 operators as pipeline stages rather than
+    stand-alone reports."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+    from graphdb_for_drones_spark.operators.text import token_count
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    ok = curation.gopher_rule_flags(docs).filter(
+        F.col("pass_word_count")
+        & F.col("pass_word_len")
+        & F.col("pass_stopword")
+        & F.col("pass_repetition")
+    ).select("doc_id")
+    lowdup = curation.duplicated_span_scores(docs).filter(
+        F.col("dup_ratio") <= 0.5
+    ).select("doc_id")
+    kept = docs.join(ok, "doc_id", "left_semi").join(
+        lowdup, "doc_id", "left_semi"
+    )
+    keyed = kept.withColumn("__h", F.md5(normalize_text(F.col("text"))))
+    keepers = keyed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    deduped = keyed.join(keepers, ["__h", "doc_id"], "left_semi")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+ORACLE_CURATION_PIPELINE_STATS = rf"""
+WITH d AS (
+  SELECT doc_id, source, text, {_WORDS} AS w FROM documents
+),
+b AS (
+  SELECT doc_id, source, text, w,
+         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+2], ' ') for i in range(len(w)-1)]
+         END AS bg
+  FROM d
+),
+gop AS (
+  SELECT doc_id FROM b
+  WHERE len(w) BETWEEN 50 AND 100000
+    AND list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+        BETWEEN 3.0 AND 10.0
+    AND len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is')))
+        * 1.0 / len(w) >= 0.05
+    AND (CASE WHEN len(bg) <= 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END) <= 0.2
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]
+         END AS s
+  FROM d
+),
+inv AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh),
+dfc AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
+span AS (
+  SELECT i.doc_id FROM inv i JOIN dfc ON dfc.g = i.g
+  GROUP BY i.doc_id
+  HAVING SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) <= 0.5
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.text, len(w) AS n_tok
+  FROM d JOIN gop USING (doc_id) JOIN span USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, source, n_tok,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM kept
+),
+keep AS (SELECT h, MIN(doc_id) AS doc_id FROM keyed GROUP BY h),
+dedup AS (SELECT k.source, k.n_tok FROM keyed k JOIN keep USING (h, doc_id))
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM dedup GROUP BY source
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -522,6 +608,7 @@ CURATION_QUERIES = {
     "doc_gopher_rules": q_doc_gopher_rules,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "customer_pii_scrub": q_customer_pii_scrub,
+    "curation_pipeline_stats": q_curation_pipeline_stats,
 }
 
 CURATION_ORACLES = {
@@ -536,4 +623,5 @@ CURATION_ORACLES = {
     "doc_gopher_rules": ORACLE_DOC_GOPHER_RULES,
     "doc_tfidf_topk": ORACLE_DOC_TFIDF_TOPK,
     "customer_pii_scrub": ORACLE_CUSTOMER_PII_SCRUB,
+    "curation_pipeline_stats": ORACLE_CURATION_PIPELINE_STATS,
 }
