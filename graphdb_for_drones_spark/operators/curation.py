@@ -108,13 +108,21 @@ def contamination_pairs_from_index(
     actually gates on (a short benchmark prompt quoted inside a long
     training document has low jaccard but containment ≈ 1)."""
     if max_df is not None:
-        keep = tr.groupBy("h").agg(F.count(F.lit(1)).alias("dfc")).filter(
-            F.col("dfc") <= max_df
-        )
-        tr = tr.join(keep.select("h"), "h", "left_semi")
-        sizes = tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("n2"))
-        tr = tr.drop("n_train_id").join(sizes, "train_id").withColumnRenamed(
-            "n2", "n_train_id"
+        # both the df cap and the per-doc size recount are unbounded
+        # COUNT windows, not groupBy+join-back: each join-back branch
+        # would re-scan and re-shingle the train corpus (column pruning
+        # specializes its exchange copy and defeats ReuseExchange — the
+        # dup_span lesson), turning the cap into 3 corpus scans.  The
+        # windows keep ONE scan; a hot shingle's rows land on one
+        # reducer either way, and the window buffer spills rather than
+        # OOMs.
+        w_h = Window.partitionBy("h")
+        w_t = Window.partitionBy("train_id")
+        tr = (
+            tr.withColumn("__df", F.count(F.lit(1)).over(w_h))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df", "n_train_id")
+            .withColumn("n_train_id", F.count(F.lit(1)).over(w_t))
         )
     common = (
         tr.join(ev, "h")
