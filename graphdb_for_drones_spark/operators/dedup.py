@@ -487,13 +487,25 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
     if max_df is not None:
-        # post-filter set sizes differ from size(hashes): recount per doc
-        keep = inv.groupBy("h").agg(F.count(F.lit(1)).alias("dfc")).filter(
-            F.col("dfc") <= max_df
+        # post-filter set sizes differ from size(hashes): recount per
+        # doc.  Both the cap and the recount are unbounded COUNT windows
+        # over one lineage — the groupBy + join-back form re-scans and
+        # re-shingles the corpus per branch (column pruning specializes
+        # each branch's exchange and defeats ReuseExchange; measured on
+        # contamination: 5 scans → 2).  Hot shingles land on one reducer
+        # either way; window buffers spill rather than OOM.
+        from pyspark.sql.window import Window
+
+        inv = (
+            inv.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df", "n")
+            .withColumn(
+                "n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+            )
         )
-        inv = inv.join(keep.select("h"), "h", "left_semi")
-        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-        inv = inv.drop("n").join(sizes, "id")
 
     # posting lists per shingle → skew-adaptive pair enumeration → count
     # common shingles per pair.  vs the classic inverted-index self-join:
