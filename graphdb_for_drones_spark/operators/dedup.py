@@ -456,8 +456,12 @@ def ngram_jaccard_pairs(
         # still computes jaccard over the FULL sets.
         from pyspark.sql.window import Window
 
-        dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
-        ranked = inv.join(dfreq, "h").withColumn(
+        # document frequency as a COUNT window, not groupBy+join-back:
+        # the join-back branch re-scans and re-shingles the corpus
+        # (pruning defeats ReuseExchange — see the max_df branch below)
+        ranked = inv.withColumn(
+            "dfc", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        ).withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy("id").orderBy("dfc", "h")
