@@ -569,16 +569,25 @@ def tfidf_top_terms(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    docf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # term df as a COUNT window over the tf rows, not groupBy+join-back
+    # (which re-derives tf — a second corpus scan + explode + groupBy);
+    # n_corpus stays a separate one-row aggregate: it counts ALL
+    # documents (including token-less ones tf cannot see) off a
+    # column-pruned id-only scan
+    docf = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).alias("n_corpus")
     )
-    scored = tf.join(docf, "term").crossJoin(F.broadcast(n_docs)).select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        (F.col("tf") * F.col("n_corpus") / F.col("df")).alias("tfidf"),
+    scored = (
+        tf.withColumn("df", docf)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("n_corpus") / F.col("df")).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term")
