@@ -108,14 +108,17 @@ def contamination_pairs_from_index(
     actually gates on (a short benchmark prompt quoted inside a long
     training document has low jaccard but containment ≈ 1)."""
     if max_df is not None:
-        # both the df cap and the per-doc size recount are unbounded
-        # COUNT windows, not groupBy+join-back: each join-back branch
-        # would re-scan and re-shingle the train corpus (column pruning
-        # specializes its exchange copy and defeats ReuseExchange — the
-        # dup_span lesson), turning the cap into 3 corpus scans.  The
-        # windows keep ONE scan; a hot shingle's rows land on one
-        # reducer either way, and the window buffer spills rather than
-        # OOMs.
+        # Both the df cap and the per-doc size recount are unbounded
+        # COUNT windows over ONE lineage: the groupBy + join-back form
+        # re-scans and re-shingles the corpus per branch (column pruning
+        # specializes each branch's exchange and defeats ReuseExchange),
+        # measured 4.1 → 2.4 s at sf0.1.  The window does shuffle a hot
+        # shingle's rows to one reducer before dropping them; the
+        # alternative (counters-only groupBy + anti-join of the hot set)
+        # avoids that at the price of a second corpus scan — measured
+        # SLOWER on both the uniform and the power-law corpora
+        # (PERF.md), because re-shingling costs more than moving the
+        # boilerplate rows once.  Window buffers spill rather than OOM.
         w_h = Window.partitionBy("h")
         w_t = Window.partitionBy("train_id")
         tr = (

@@ -494,10 +494,12 @@ def ngram_jaccard_pairs(
         # post-filter set sizes differ from size(hashes): recount per
         # doc.  Both the cap and the recount are unbounded COUNT windows
         # over one lineage — the groupBy + join-back form re-scans and
-        # re-shingles the corpus per branch (column pruning specializes
-        # each branch's exchange and defeats ReuseExchange; measured on
-        # contamination: 5 scans → 2).  Hot shingles land on one reducer
-        # either way; window buffers spill rather than OOM.
+        # re-shingles the corpus per branch (pruning defeats
+        # ReuseExchange), and the counters+anti-join alternative (which
+        # keeps hot rows off the wire) measured slower still on both
+        # corpus shapes because the extra shingle pass costs more than
+        # shuffling the boilerplate rows once (PERF.md).  Window buffers
+        # spill rather than OOM on a hot key.
         from pyspark.sql.window import Window
 
         inv = (
