@@ -434,6 +434,110 @@ def duplicated_span_scores(
     )
 
 
+def top_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document TOP-N-GRAM CHARACTER FRACTION — the Gopher repetition
+    signal (Rae et al. 2021 §A1.1) the duplicate-bigram ratio cannot see:
+    the share of a document's characters covered by its single most
+    covering word ``n``-gram, ``max over grams of (count × gram chars) /
+    doc chars``.  A doc that is one phrase stamped 50 times scores ≈ 1
+    here while its *distinct*-gram ratio can stay moderate.
+
+    Determinism: coverage is MAX(count·len) — a pure integer — so ties
+    between different grams are irrelevant (equal products), and the
+    fraction is one IEEE division of exact integers.  Gram identity is
+    the xxhash64 word-hash fold (``_shingle_hashes_from``); a SQL twin
+    groups gram *strings* — equal modulo 64-bit collisions, the
+    standing ngram contract.  Doc chars = normalized text length
+    (Σ word chars + single spaces).
+
+    Plan shape at 100 TB: words / word-hashes / word-lengths staged once
+    behind projection boundaries (lambda-CSE rule), the explode carries
+    only (doc_id, n_chars, hash, len) — 28-byte rows — and both groupBys
+    share the doc_id-leading key, so the second is a partial-agg
+    collapse on the same placement.  No joins, no windows.
+
+    Returns (doc_id, n_chars, top_cover, top_ngram_frac).
+    """
+    from graphdb_for_drones_spark.operators.dedup import (
+        _shingle_hashes_from,
+        normalize_text,
+    )
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: t != F.lit(""),
+    )
+    staged = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+        .select(
+            "doc_id",
+            "__w",
+            F.transform(F.col("__w"), lambda t: F.xxhash64(t)).alias("__wh"),
+            F.transform(F.col("__w"), lambda t: F.length(t)).alias("__wl"),
+        )
+    )
+    wl = F.col("__wl")
+    n_words = F.size(wl)
+    n_chars = F.when(n_words <= 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(wl, F.lit(0).cast("long"), lambda a, x: a + x)
+        + n_words
+        - 1
+    )
+    # gram char lengths via the same shifted-slice zip fold as the hash
+    # windows: m slices of the word-length array summed element-wise,
+    # plus the n-1 joining spaces
+    m = n_words - n + 1
+
+    def win(j):
+        return F.slice(wl, j + 1, m)
+
+    acc = win(n - 1)
+    for j in range(n - 2, -1, -1):
+        acc = F.zip_with(win(j), acc, lambda a, b: a + b)
+    glens = F.when(n_words < n, F.array(n_chars)).otherwise(
+        F.transform(acc, lambda x: (x + n - 1).cast("long"))
+    )
+    grams = _shingle_hashes_from(F.col("__w"), F.col("__wh"), n)
+    ex = (
+        staged.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            grams.alias("__g"),
+            glens.alias("__gl"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.arrays_zip("__g", "__gl")).alias("z"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("z.__g").alias("h"),
+            F.col("z.__gl").alias("glen"),
+        )
+    )
+    per_gram = ex.groupBy("doc_id", "n_chars", "h", "glen").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = per_gram.groupBy("doc_id", "n_chars").agg(
+        F.max(F.col("cnt") * F.col("glen")).cast("long").alias("top_cover")
+    )
+    return top.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "top_cover",
+        F.when(F.col("n_chars") <= 0, F.lit(0.0))
+        .otherwise(F.col("top_cover") / F.col("n_chars"))
+        .alias("top_ngram_frac"),
+    )
+
+
 def gopher_rule_flags(
     df: DataFrame,
     text_col: str = "text",

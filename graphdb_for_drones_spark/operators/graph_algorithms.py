@@ -83,6 +83,95 @@ def pagerank(
     return ranks
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+    cache_edges: bool = True,
+) -> DataFrame:
+    """PageRank in FIXED-POINT INTEGER arithmetic — the hash-checkable
+    twin of :func:`pagerank`.
+
+    Floating-point PageRank is reduction-order-dependent (the per-node
+    Σ of double contributions changes with partitioning), so it can
+    only ever be a rows-only catalog entry.  This variant keeps every
+    step exact on BIGINTs: ranks live in units of ``1/scale``
+    (``rank_fp = scale`` ≡ rank 1.0), the damping factor is the
+    rational ``damping_num/damping_den`` (default 17/20 = 0.85), and
+    each superstep computes
+
+        contrib  = rank_fp div out_degree            (floor, exact)
+        rank_fp' = (scale·(den-num)) div den
+                   + (num · Σ incoming contrib) div den
+
+    Integer sums are associative-commutative, so the result is
+    bit-identical on any partitioning AND on any other engine — a SQL
+    twin unrolls the same ``iterations`` stages as CTEs and the driver
+    gate hash-checks an *iterative graph algorithm* end to end.
+
+    Overflow bound: ``damping_num · (per-node incoming Σ)`` must stay
+    under 2^63.  Incoming Σ is at most the total mass ``N·scale`` (star
+    graph), so pick ``scale ≲ 2^62 / (damping_num · N)`` — the default
+    1e12 is safe past 500k nodes; a billion-node corpus graph drops to
+    scale=1e8 and keeps 8 fractional digits.  Dangling mass is dropped,
+    matching :func:`pagerank` (GraphX convention, sum ≲ N).
+
+    Plan shape per superstep: one equi join rank→edges on ``src`` (both
+    sides pre-partitionable on src), one shuffle keyed on ``dst`` for
+    the partial-aggregated Σ — identical to the double path.
+
+    Returns (id, rank_fp long, rank double) where ``rank`` is the single
+    IEEE division ``rank_fp / scale`` (exact-input, engine-stable).
+    """
+    if scale % damping_den != 0:  # keeps the base term exact
+        raise ValueError(f"scale must be divisible by {damping_den}")
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if cache_edges:
+        edges = edges.select("src", "dst").persist()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = verts.withColumn("rank_fp", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(out_deg, ranks["id"] == out_deg["id"])
+            .select(
+                edges["dst"].alias("id"),
+                F.expr("rank_fp div deg").alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("id").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            verts.join(summed, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                    )
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    if cache_edges:
+        edges.unpersist()
+    return ranks.select(
+        "id",
+        "rank_fp",
+        (F.col("rank_fp") / F.lit(float(scale))).alias("rank"),
+    )
+
+
 # edge sets at or below this size resolve driver-side: near-dup pair
 # graphs are usually dimension-sized (pairs above a high threshold),
 # and a union-find over one collect beats O(diameter) Spark supersteps

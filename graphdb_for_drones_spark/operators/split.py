@@ -103,6 +103,58 @@ def md5_rank(
     return keys.select(key_col, rank.alias("__rank")), total
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    buckets: int = 32,
+) -> DataFrame:
+    """Deterministic uniform ``k``-per-group sample — the "eyeball 5
+    docs per source" / per-domain eval-slice draw every curation run
+    needs, reproducible across reruns, engines, and partitionings.
+
+    The draw order within a group is md5 order (h = md5_60bit of
+    "{id}:gs{seed}"), so membership is a pure function of the row key —
+    adding rows to OTHER groups never changes a group's sample, and a
+    SQL twin replays it as one ROW_NUMBER.
+
+    Plan shape at 100 TB: a single window over a whole group would put
+    every row of the hottest group on one reducer.  Instead the classic
+    two-stage bounded top-k: stage 1 ranks within (group, h mod
+    ``buckets``) and keeps ≤ k per bucket — ≤ k·buckets survivors per
+    group regardless of group size; stage 2 ranks those survivors per
+    group and keeps k.  Both windows order by (h, id) — a total order,
+    so the composition equals the single-window answer exactly.
+
+    Returns (group_col, id_col, sample_rank long) with sample_rank in
+    [1, k] in draw order.
+    """
+    from pyspark.sql.window import Window
+
+    h = _md5_60bit(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":gs{seed}"))
+    )
+    keyed = df.select(
+        F.col(group_col), F.col(id_col), h.alias("__u")
+    ).withColumn("__b", F.pmod(F.col("__u"), F.lit(buckets)))
+    w1 = Window.partitionBy(group_col, "__b").orderBy("__u", id_col)
+    survivors = keyed.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy("__u", id_col)
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= k)
+        .select(
+            group_col,
+            id_col,
+            F.col("__r2").cast("long").alias("sample_rank"),
+        )
+    )
+
+
 def negative_pairs(
     ids: DataFrame,
     key_col: str,

@@ -87,6 +87,9 @@ _GATE_FIRST = [
     "customer_pii_scrub",
     "event_type_salted_counts",
     "curation_pipeline_stats",
+    "supplier_pagerank",
+    "doc_top_ngram_stats",
+    "doc_sample_per_source",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

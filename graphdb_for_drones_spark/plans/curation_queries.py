@@ -378,6 +378,43 @@ FROM per
 """
 
 
+def q_doc_top_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-2-gram character fraction per document: the share of
+    normalized-text characters covered by the most covering word bigram
+    (count × bigram chars) — the "one phrase stamped N times" repetition
+    signal.  Coverage is MAX of an integer product (tie-free by
+    construction); the fraction is one IEEE division of exact ints."""
+    cat = Catalog(spark, sf_dir)
+    return curation.top_ngram_stats(cat.documents, n=2)
+
+
+ORACLE_DOC_TOP_NGRAM_STATS = rf"""
+WITH d AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+g AS (
+  SELECT doc_id, len(array_to_string(w, ' ')) AS n_chars,
+         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+2], ' ') for i in range(len(w)-1)]
+         END AS grams
+  FROM d
+),
+x AS (SELECT doc_id, n_chars, unnest(grams) AS gr FROM g),
+c AS (
+  SELECT doc_id, n_chars, gr, len(gr) AS glen, COUNT(*) AS cnt
+  FROM x GROUP BY 1, 2, 3, 4
+),
+t AS (
+  SELECT doc_id, n_chars, CAST(MAX(cnt * glen) AS BIGINT) AS top_cover
+  FROM c GROUP BY 1, 2
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, top_cover,
+       CASE WHEN n_chars <= 0 THEN 0.0
+            ELSE top_cover * 1.0 / n_chars END AS top_ngram_frac
+FROM t
+"""
+
+
 def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality-rule funnel per source (Rae et al. 2021
     §A1.1 heuristics re-parameterized for the synthetic corpus): word
@@ -605,6 +642,7 @@ CURATION_QUERIES = {
     "doc_quality_sample_stats": q_doc_quality_sample_stats,
     "contamination_containment": q_contamination_containment,
     "doc_dup_span_stats": q_doc_dup_span_stats,
+    "doc_top_ngram_stats": q_doc_top_ngram_stats,
     "doc_gopher_rules": q_doc_gopher_rules,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "customer_pii_scrub": q_customer_pii_scrub,
@@ -620,6 +658,7 @@ CURATION_ORACLES = {
     "doc_quality_sample_stats": ORACLE_DOC_QUALITY_SAMPLE_STATS,
     "contamination_containment": ORACLE_CONTAMINATION_CONTAINMENT,
     "doc_dup_span_stats": ORACLE_DOC_DUP_SPAN_STATS,
+    "doc_top_ngram_stats": ORACLE_DOC_TOP_NGRAM_STATS,
     "doc_gopher_rules": ORACLE_DOC_GOPHER_RULES,
     "doc_tfidf_topk": ORACLE_DOC_TFIDF_TOPK,
     "customer_pii_scrub": ORACLE_CUSTOMER_PII_SCRUB,

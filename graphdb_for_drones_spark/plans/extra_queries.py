@@ -429,6 +429,82 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier trade graph (distinct pairs
+    through orders⋈lineitem), 3 supersteps of FIXED-POINT INTEGER
+    arithmetic (operators/graph_algorithms.pagerank_fixed_point) — the
+    iterative-algorithm entry the driver gate can HASH-CHECK: integer
+    sums are reduction-order-independent, so the oracle unrolls the
+    identical supersteps as CTE stages and matches bit-for-bit (a
+    floating-point PageRank could only ever be rows-only)."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        pagerank_fixed_point,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, iterations=3)
+
+
+def _pagerank_oracle_sql(
+    iterations: int = 3,
+    scale: int = 10**12,
+    num: int = 17,
+    den: int = 20,
+) -> str:
+    """Unroll pagerank_fixed_point's supersteps as CTE stages — same
+    integer arithmetic (// is floor division; all operands nonnegative,
+    so it matches Spark's `div` truncation), SUMs cast back to BIGINT
+    (DuckDB SUM(BIGINT) is HUGEINT — the round-4 lesson)."""
+    base = (scale * (den - num)) // den
+    stages = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        stages.append(
+            f"""i{i} AS (
+  SELECT v.id,
+         CAST({base} + ({num} * COALESCE(s.m, 0)) // {den} AS BIGINT) AS r
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, CAST(SUM({prev}.r // d.deg) AS BIGINT) AS m
+    FROM e JOIN {prev} ON {prev}.id = e.src JOIN d ON d.id = e.src
+    GROUP BY e.dst
+  ) s ON s.id = v.id
+)"""
+        )
+        prev = f"i{i}"
+    joined = ",\n".join(stages)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+d AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT id, CAST({scale} AS BIGINT) AS r FROM v),
+{joined}
+SELECT id, r AS rank_fp, r / {float(scale)} AS rank FROM {prev}
+"""
+
+
+ORACLE_SUPPLIER_PAGERANK = _pagerank_oracle_sql()
+
+
 def _dot64(x: str, y: str) -> str:
     return (
         f"list_sum(list_transform(range(64), i -> "
@@ -1001,6 +1077,7 @@ EXTRA_QUERIES = {
     "events_in_windows": q_events_in_windows,
     "event_value_percentiles": q_event_value_percentiles,
     "nation_triangles": q_nation_triangles,
+    "supplier_pagerank": q_supplier_pagerank,
     "ivf_topk": q_ivf_topk,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
@@ -1026,6 +1103,7 @@ EXTRA_ORACLES = {
     "events_in_windows": ORACLE_EVENTS_IN_WINDOWS,
     "event_value_percentiles": ORACLE_EVENT_VALUE_PERCENTILES,
     "nation_triangles": ORACLE_NATION_TRIANGLES,
+    "supplier_pagerank": ORACLE_SUPPLIER_PAGERANK,
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,

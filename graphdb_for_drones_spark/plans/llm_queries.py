@@ -847,6 +847,47 @@ SELECT stratum, split, COUNT(*) AS n_rows FROM labeled GROUP BY 1, 2
 ORACLE_DOC_SPLIT_COUNTS = _doc_split_oracle_sql()
 
 
+def q_doc_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 5-per-source document sample
+    (operators/split.stratified_sample): md5-ordered draw, two-stage
+    bounded top-k so no reducer ever sees a whole group — the
+    per-domain eval-slice / inspection draw of a curation run."""
+    from graphdb_for_drones_spark.operators.split import stratified_sample
+
+    cat = Catalog(spark, sf_dir)
+    return stratified_sample(cat.documents, "source", "doc_id", k=5)
+
+
+def _doc_sample_oracle_sql(k: int = 5, seed: int = 42) -> str:
+    # identical 60-bit md5 arithmetic as split.stratified_sample; the
+    # two-stage top-k composition equals this single ROW_NUMBER exactly
+    # (both order by (h, doc_id), a total order)
+    hex_to_int = (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(h, i+1, 1)) - 1 AS BIGINT)"
+        " << ((14 - i) * 4))) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (
+  SELECT source, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':gs{seed}') AS h
+  FROM documents
+),
+u AS (SELECT source, doc_id, {hex_to_int} AS uu FROM d),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY uu, doc_id)
+           AS sample_rank
+  FROM u
+)
+SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= {k}
+"""
+
+
+ORACLE_DOC_SAMPLE_PER_SOURCE = _doc_sample_oracle_sql()
+
+
 # --------------------------------------------------------------------- #
 # crypto (rows-only: Ed25519 is not expressible in DuckDB)
 # --------------------------------------------------------------------- #
@@ -922,6 +963,7 @@ LLM_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
     "doc_split_counts": q_doc_split_counts,
+    "doc_sample_per_source": q_doc_sample_per_source,
     "corpus_curation_stats": q_corpus_curation_stats,
     "doc_negative_pairs": q_doc_negative_pairs,
     "vc_verify_count": q_vc_verify_count,
@@ -947,6 +989,7 @@ LLM_ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
     "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,
+    "doc_sample_per_source": ORACLE_DOC_SAMPLE_PER_SOURCE,
     "corpus_curation_stats": ORACLE_CORPUS_CURATION_STATS,
     "doc_negative_pairs": ORACLE_DOC_NEGATIVE_PAIRS,
     "vc_verify_count": ORACLE_VC_VERIFY_COUNT,

@@ -380,3 +380,39 @@ def test_semantic_dedup_apply_matches_stats(spark):
     # apply and stats agree: kept row count == sum of per-cluster n_kept
     stats = semantic_dedup_stats(idx, threshold=0.95, dim=3)
     assert kept.count() == sum(r.n_kept for r in stats.collect())
+
+
+def test_top_ngram_stats_stamped_phrase(spark):
+    # "ab cd " stamped 3 times: bigram "ab cd" occurs 3x (5 chars each),
+    # doc chars = 17 ("ab cd ab cd ab cd") → top_cover 15, frac 15/17
+    docs = _docs(
+        spark,
+        [
+            (1, "ab cd ab cd ab cd", "en", "s"),
+            (2, "all distinct words here now", "en", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.top_ngram_stats(docs, n=2).collect()}
+    assert out[1].n_chars == 17
+    assert out[1].top_cover == 15
+    assert abs(out[1].top_ngram_frac - 15 / 17) < 1e-12
+    # doc 2: every bigram occurs once → top_cover = longest bigram chars
+    assert out[2].top_cover == len("distinct words")
+    assert out[2].n_chars == len("all distinct words here now")
+
+
+def test_top_ngram_stats_short_and_empty_docs(spark):
+    # one-word doc: whole text is the single "gram", frac exactly 1;
+    # empty doc: 0 chars, frac 0.0 (ANSI x/0 guard)
+    docs = _docs(spark, [(1, "word", "en", "s"), (2, "", "en", "s")])
+    out = {r.doc_id: r for r in curation.top_ngram_stats(docs, n=2).collect()}
+    assert (out[1].n_chars, out[1].top_cover, out[1].top_ngram_frac) == (4, 4, 1.0)
+    assert (out[2].n_chars, out[2].top_cover, out[2].top_ngram_frac) == (0, 0, 0.0)
+
+
+def test_top_ngram_stats_trigram(spark):
+    # n=3: "x y z" occurs twice (5 chars) → cover 10 over "x y z q x y z"
+    docs = _docs(spark, [(1, "x y z q x y z", "en", "s")])
+    r = curation.top_ngram_stats(docs, n=3).collect()[0]
+    assert r.n_chars == 13
+    assert r.top_cover == 10

@@ -109,3 +109,50 @@ def test_connected_components_driver_vs_distributed_identical(spark):
     assert via_driver == via_loop
     comp = dict(via_driver)
     assert comp["3"] == "0" and comp["11"] == "10" and comp["32"] == "30"
+
+
+def test_pagerank_fixed_point_matches_double_path(spark):
+    # same graph through both kernels: the fixed-point ranks must agree
+    # with the double ranks to well under one fixed-point ulp-per-step
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        pagerank_fixed_point,
+    )
+
+    e = edges_df(
+        spark,
+        [("A", "D"), ("B", "D"), ("C", "D"), ("D", "A"), ("A", "B")],
+    )
+    fp = {r.id: r.rank for r in pagerank_fixed_point(e, iterations=5).collect()}
+    fl = {r.id: r.rank for r in pagerank(e, iterations=5).collect()}
+    assert set(fp) == set(fl)
+    for k in fp:
+        assert abs(fp[k] - fl[k]) < 1e-9  # floor truncation ≤ iters/scale
+
+
+def test_pagerank_fixed_point_partitioning_invariant(spark):
+    # bit-identical rank_fp under different partitioning — the property
+    # that makes the iterative algorithm oracle-checkable at all
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        pagerank_fixed_point,
+    )
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 50}") for i in range(200)]
+    e1 = spark.createDataFrame(pairs, "src string, dst string").coalesce(1)
+    e32 = spark.createDataFrame(pairs, "src string, dst string").repartition(32)
+    r1 = sorted(
+        (r.id, r.rank_fp) for r in pagerank_fixed_point(e1, iterations=4).collect()
+    )
+    r32 = sorted(
+        (r.id, r.rank_fp) for r in pagerank_fixed_point(e32, iterations=4).collect()
+    )
+    assert r1 == r32
+
+
+def test_pagerank_fixed_point_rejects_bad_scale(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        pagerank_fixed_point,
+    )
+
+    e = edges_df(spark, [("A", "B")])
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(e, scale=10**12 + 1)

@@ -108,3 +108,53 @@ def test_negative_pairs_excludes_positives(spark):
     )
     filtered = negative_pairs(ids, "doc_id", k=2, positives=pos).collect()
     assert filtered == []
+
+
+def test_stratified_sample_k_per_group_deterministic(spark):
+    from graphdb_for_drones_spark.operators.split import stratified_sample
+
+    df = _docs(spark)
+    out = stratified_sample(df, "lang", "doc_id", k=7).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    assert set(by_lang) == {"en", "de"}
+    for lang, rows in by_lang.items():
+        assert sorted(r[0] for r in rows) == list(range(1, 8))
+    # rerun + repartition → identical membership AND ranks
+    again = stratified_sample(df.repartition(32), "lang", "doc_id", k=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_stratified_sample_two_stage_equals_single_window(spark):
+    # the bucketed composition must equal the naive one-window answer
+    from pyspark.sql.window import Window
+
+    from graphdb_for_drones_spark.operators.split import (
+        _md5_60bit,
+        stratified_sample,
+    )
+
+    df = _docs(spark, n=500)
+    h = _md5_60bit(F.concat(F.col("doc_id").cast("string"), F.lit(":gs42")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    naive = (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 3)
+        .select("lang", "doc_id", "sample_rank")
+        .collect()
+    )
+    fast = stratified_sample(df, "lang", "doc_id", k=3).collect()
+    assert sorted(map(tuple, naive)) == sorted(map(tuple, fast))
+
+
+def test_stratified_sample_small_group_returns_whole_group(spark):
+    from graphdb_for_drones_spark.operators.split import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "solo"), (3, "big"), (4, "big"), (5, "big")],
+        "doc_id long, lang string",
+    ).localCheckpoint()
+    out = stratified_sample(df, "lang", "doc_id", k=10).collect()
+    assert len([r for r in out if r.lang == "solo"]) == 2
+    assert len([r for r in out if r.lang == "big"]) == 3
