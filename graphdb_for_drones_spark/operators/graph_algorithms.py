@@ -127,44 +127,48 @@ def pagerank_fixed_point(
     """
     if scale % damping_den != 0:  # keeps the base term exact
         raise ValueError(f"scale must be divisible by {damping_den}")
+    from pyspark.sql.window import Window
+
+    # out-degree as an unbounded COUNT window over src (the
+    # count-per-key lesson: one shuffle, no groupBy + join-back), and
+    # the degree-annotated edge list materialized ONCE — it is static
+    # across supersteps, so each iteration is left with exactly one
+    # join (rank → edges on src) and one partial-aggregated Σ on dst
+    deg_edges = edges.select(
+        "src",
+        "dst",
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    )
+    if cache_edges:
+        deg_edges = deg_edges.localCheckpoint()
     verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
+        deg_edges.select(F.col("src").alias("id"))
+        .unionByName(deg_edges.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    if cache_edges:
-        edges = edges.select("src", "dst").persist()
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = verts.withColumn("rank_fp", F.lit(scale).cast("long"))
-    for _ in range(iterations):
-        contribs = (
-            edges.join(ranks, edges["src"] == ranks["id"])
-            .join(out_deg, ranks["id"] == out_deg["id"])
-            .select(
-                edges["dst"].alias("id"),
-                F.expr("rank_fp div deg").alias("contrib"),
-            )
+    for i in range(iterations):
+        contribs = deg_edges.join(ranks, deg_edges["src"] == ranks["id"]).select(
+            deg_edges["dst"].alias("id"),
+            F.expr("rank_fp div deg").alias("contrib"),
         )
         summed = contribs.groupBy("id").agg(F.sum("contrib").alias("s"))
-        ranks = (
-            verts.join(summed, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
-                    )
-                ).alias("rank_fp"),
-            )
-            .localCheckpoint()
+        ranks = verts.join(summed, "id", "left").select(
+            "id",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                )
+            ).alias("rank_fp"),
         )
-    if cache_edges:
-        edges.unpersist()
+        # lineage cut every few supersteps, not every one: a shallow
+        # unrolled plan compiles into one job; eager per-iteration
+        # checkpoints dominate wall-clock on dimension-sized graphs
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         "id",
         "rank_fp",
