@@ -114,6 +114,143 @@ def hist_quantiles(
     )
 
 
+# 63 usable bits per word: Spark's Java shiftleft(1L, 63) wraps to the
+# sign bit but DuckDB RAISES on the overflow — capping the in-word
+# offset at 62 keeps every mask positive and bit-identical on both
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_pos(elem, j: int, m_bits: int, family: str):
+    """Bit position of hash function ``j`` for one element.
+
+    family='xx': xxhash64(elem, j) — the production fast path (one JVM
+    hash per probe, any input type).  family='md5': 60-bit md5 of
+    "{elem}:b{j}" — engine-neutral, so a SQL twin reproduces the whole
+    filter bit-for-bit (same md5-60 trick as the split/minhash twins).
+    """
+    if family == "xx":
+        return F.pmod(F.xxhash64(elem, F.lit(j)), F.lit(m_bits))
+    if family == "md5":
+        from graphdb_for_drones_spark.operators.split import _md5_60bit
+
+        return F.pmod(
+            _md5_60bit(F.concat(elem.cast("string"), F.lit(f":b{j}"))),
+            F.lit(m_bits),
+        )
+    raise ValueError(f"unknown bloom hash family: {family!r}")
+
+
+def bloom_build(
+    df: DataFrame,
+    keys: list[str],
+    elem_col: str,
+    m_bits: int = BLOOM_WORD_BITS * 1024,
+    k: int = 3,
+    family: str = "xx",
+) -> DataFrame:
+    """Mergeable BLOOM FILTER sketch per key combination, as a tabular
+    (keys…, idx, bits) bitmap — ``m_bits`` bits packed 63 per long.
+
+    The membership twin of the HLL/histogram sketches: build per fine
+    grain, ``bloom_merge`` to any coarser grain (bit-OR is associative
+    and commutative — reduction-order-independent, so even the md5
+    family is HASH-CHECKABLE against a SQL twin), probe without
+    touching the facts.  The 100 TB use: a few-MB filter of training-
+    corpus shingles broadcast to a decontamination probe — a
+    no-false-negative prefilter that spares the inverted-index join for
+    the (tiny) maybe-present slice.
+
+    Zero words are omitted (sparse representation): absent (key, idx)
+    means no bits set — probes treat missing words as misses."""
+    pos = df.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(elem_col), j, m_bits, family)
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos"),
+    )
+    words = pos.select(
+        *keys,
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("idx"),
+        F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))").alias(
+            "mask"
+        ),
+    )
+    return words.groupBy(*keys, "idx").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_merge(blooms: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge filters to a coarser grain: bit-OR word-wise (drop some key
+    columns).  Identical result to building over the unioned facts —
+    pinned in tests."""
+    return blooms.groupBy(*keys, "idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe_counts(
+    bloom: DataFrame,
+    bloom_keys: list[str],
+    probes: DataFrame,
+    elem_col: str,
+    m_bits: int = BLOOM_WORD_BITS * 1024,
+    k: int = 3,
+    family: str = "xx",
+) -> DataFrame:
+    """Probe DISTINCT elements of ``probes[elem_col]`` against every
+    bloom key's filter: (bloom_keys…, n_probed, n_maybe_present).
+
+    An element is maybe-present iff all ``k`` of its bits are set —
+    counted as join hits per (bloom key, element) reaching k, so a
+    missing word row (sparse zero) is simply a miss.  No false
+    negatives ever; false-positive rate ≈ (1 − e^(−k·n/m))^k.
+
+    Plan shape: the filter table is ~m_bits/63 rows per key — orders of
+    magnitude under the facts — so Catalyst broadcasts it into the
+    probe-side explode; n_probed binds as a broadcast one-row count."""
+    elems = probes.select(F.col(elem_col).alias("g")).distinct()
+    pos = elems.select(
+        "g",
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("g"), j, m_bits, family) for j in range(k)]
+            )
+        ).alias("pos"),
+    ).select(
+        "g",
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("idx"),
+        F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))").alias(
+            "mask"
+        ),
+    )
+    hits = (
+        pos.join(bloom, "idx")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+        .groupBy(*bloom_keys, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    present = (
+        hits.filter(F.col("c") == k)
+        .groupBy(*bloom_keys)
+        .agg(F.count(F.lit(1)).alias("n_maybe_present"))
+    )
+    total = elems.agg(F.count(F.lit(1)).alias("n_probed"))
+    key_rows = bloom.select(*bloom_keys).distinct()
+    return (
+        key_rows.crossJoin(F.broadcast(total))
+        .join(present, bloom_keys, "left")
+        .select(
+            *bloom_keys,
+            "n_probed",
+            F.coalesce(F.col("n_maybe_present"), F.lit(0).cast("long")).alias(
+                "n_maybe_present"
+            ),
+        )
+    )
+
+
 def hll_rollup(
     sketches: DataFrame,
     keys: list[str],

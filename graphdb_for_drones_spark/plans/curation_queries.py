@@ -546,6 +546,103 @@ FROM c GROUP BY c_mktsegment
 ORACLE_CUSTOMER_PII_SCRUB = _pii_oracle_sql()
 
 
+def q_source_bloom_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination PREFILTER: per train source, a
+    mergeable bloom sketch (operators/sketches.bloom_build, md5 family,
+    63·1024 bits, k=3) of its distinct word-3-gram shingles, probed by
+    the eval slice's distinct shingles — (source, n_probed,
+    n_maybe_present).  The no-false-negative cheap gate that spares the
+    inverted-index join for sources whose maybe-present count is 0; the
+    bit-OR build is reduction-order-independent, so even this
+    approximate structure is driver-hash-checkable (the SQL twin
+    reproduces every bit)."""
+    from graphdb_for_drones_spark.operators import sketches
+    from graphdb_for_drones_spark.operators.dedup import shingles
+
+    cat = Catalog(spark, sf_dir)
+    sh = (
+        cat.documents.select(
+            "source",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
+                "g"
+            ),
+        )
+        .dropDuplicates(["source", "g"])
+    )
+    bloom = sketches.bloom_build(
+        sh.filter(F.col("source") != "src0"), ["source"], "g", family="md5"
+    )
+    ev = sh.filter(F.col("source") == "src0").select("g")
+    return sketches.bloom_probe_counts(
+        bloom, ["source"], ev, "g", family="md5"
+    )
+
+
+def _bloom_oracle_sql(m_bits: int = 63 * 1024, k: int = 3) -> str:
+    hex_to_int = (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(h, i+1, 1)) - 1 AS BIGINT)"
+        " << ((14 - i) * 4))) AS BIGINT)"
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)]
+         END AS sh
+  FROM d
+),
+inv0 AS (SELECT source, unnest(list_distinct(sh)) AS g FROM s),
+inv AS (SELECT DISTINCT source, g FROM inv0),
+tr AS (SELECT source, g FROM inv WHERE source <> 'src0'),
+ev AS (SELECT DISTINCT g FROM inv WHERE source = 'src0'),
+trpos AS (
+  SELECT source, {hex_to_int} % {m_bits} AS pos FROM (
+    SELECT source, md5(g || ':b' || CAST(j AS VARCHAR)) AS h
+    FROM tr CROSS JOIN range({k}) t(j)
+  )
+),
+blm AS (
+  SELECT source, idx, bit_or(mask) AS bits FROM (
+    SELECT source, pos // 63 AS idx,
+           1::BIGINT << CAST(pos % 63 AS INTEGER) AS mask
+    FROM trpos
+  ) GROUP BY source, idx
+),
+evpos AS (
+  SELECT g, {hex_to_int} % {m_bits} AS pos FROM (
+    SELECT g, md5(g || ':b' || CAST(j AS VARCHAR)) AS h
+    FROM ev CROSS JOIN range({k}) t(j)
+  )
+),
+evw AS (
+  SELECT g, pos // 63 AS idx,
+         1::BIGINT << CAST(pos % 63 AS INTEGER) AS mask
+  FROM evpos
+),
+hits AS (
+  SELECT b.source, e.g, COUNT(*) AS c
+  FROM evw e JOIN blm b ON b.idx = e.idx AND (b.bits & e.mask) = e.mask
+  GROUP BY 1, 2
+),
+present AS (
+  SELECT source, COUNT(*) AS n_maybe_present FROM hits
+  WHERE c = {k} GROUP BY source
+),
+np AS (SELECT COUNT(*) AS n FROM ev),
+srcs AS (SELECT DISTINCT source FROM tr)
+SELECT srcs.source, np.n AS n_probed,
+       COALESCE(p.n_maybe_present, CAST(0 AS BIGINT)) AS n_maybe_present
+FROM srcs CROSS JOIN np LEFT JOIN present p ON p.source = srcs.source
+"""
+
+
+ORACLE_SOURCE_BLOOM_PROBE_STATS = _bloom_oracle_sql()
+
+
 def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-5 END-TO-END curation pipeline as one declarative plan:
     Gopher quality gate (all four rules) → cross-document duplicated-span
@@ -646,6 +743,7 @@ CURATION_QUERIES = {
     "doc_gopher_rules": q_doc_gopher_rules,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "customer_pii_scrub": q_customer_pii_scrub,
+    "source_bloom_probe_stats": q_source_bloom_probe_stats,
     "curation_pipeline_stats": q_curation_pipeline_stats,
 }
 
@@ -662,5 +760,6 @@ CURATION_ORACLES = {
     "doc_gopher_rules": ORACLE_DOC_GOPHER_RULES,
     "doc_tfidf_topk": ORACLE_DOC_TFIDF_TOPK,
     "customer_pii_scrub": ORACLE_CUSTOMER_PII_SCRUB,
+    "source_bloom_probe_stats": ORACLE_SOURCE_BLOOM_PROBE_STATS,
     "curation_pipeline_stats": ORACLE_CURATION_PIPELINE_STATS,
 }

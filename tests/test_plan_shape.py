@@ -92,10 +92,12 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
     group id column is non-constant on real data; doc_tfidf_topk
     attaches the ONE-ROW corpus-size aggregate via
     crossJoin(broadcast(...)) — a scalar broadcast NLJ is the correct
-    (constant-cost) way to bind a scalar into a distributed plan."""
+    (constant-cost) way to bind a scalar into a distributed plan;
+    source_bloom_probe_stats binds its one-row n_probed count the same
+    way."""
     from graphdb_for_drones_spark.plans import QUERIES
 
-    WHITELIST = {"abac_check", "doc_tfidf_topk"}
+    WHITELIST = {"abac_check", "doc_tfidf_topk", "source_bloom_probe_stats"}
     sf = "/root/testdata/sf0.001"
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"

@@ -68,3 +68,86 @@ def test_hist_quantiles_accuracy_and_merge(spark):
             exact = vals[math.ceil(q * len(vals)) - 1]
             est = got[k][col]
             assert abs(est - exact) <= width + 1e-9, (k, col, est, exact)
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe_counts,
+    )
+
+    members = spark.range(500).select(
+        F.lit("s1").alias("src"), F.concat(F.lit("m"), F.col("id")).alias("g")
+    ).localCheckpoint()
+    bloom = bloom_build(members, ["src"], "g", m_bits=63 * 256, k=3)
+    # every true member must be maybe-present (no false negatives)
+    hit = bloom_probe_counts(bloom, ["src"], members, "g", m_bits=63 * 256, k=3)
+    r = hit.collect()[0]
+    assert (r.n_probed, r.n_maybe_present) == (500, 500)
+    # disjoint probes: false positives allowed but bounded — with
+    # n=500, m=16128, k=3 the theoretical fpr is ~0.2%; assert < 5%
+    others = spark.range(1000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("g")
+    ).localCheckpoint()
+    miss = bloom_probe_counts(bloom, ["src"], others, "g", m_bits=63 * 256, k=3)
+    r = miss.collect()[0]
+    assert r.n_probed == 1000
+    assert r.n_maybe_present < 50
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    day1 = spark.range(100).select(
+        F.lit("s").alias("src"), F.lit(1).alias("day"),
+        F.concat(F.lit("a"), F.col("id")).alias("g"),
+    )
+    day2 = spark.range(100).select(
+        F.lit("s").alias("src"), F.lit(2).alias("day"),
+        F.concat(F.lit("b"), F.col("id")).alias("g"),
+    )
+    both = day1.unionByName(day2).localCheckpoint()
+    fine = bloom_build(both, ["src", "day"], "g", m_bits=63 * 64, k=3)
+    merged = {
+        (r.idx, r.bits) for r in bloom_merge(fine, ["src"]).collect()
+    }
+    direct = {
+        (r.idx, r.bits)
+        for r in bloom_build(both, ["src"], "g", m_bits=63 * 64, k=3).collect()
+    }
+    assert merged == direct
+
+
+def test_bloom_md5_family_engine_neutral(spark):
+    # md5 family positions must be independent of partitioning and match
+    # a driver-side python replay of the md5-60 arithmetic
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.sketches import bloom_build
+
+    elems = ["alpha", "beta", "gamma"]
+    df = spark.createDataFrame(
+        [("k", e) for e in elems], "src string, g string"
+    ).localCheckpoint()
+    bloom = {
+        (r.idx, r.bits)
+        for r in bloom_build(
+            df, ["src"], "g", m_bits=63 * 8, k=2, family="md5"
+        ).collect()
+    }
+    words = {}
+    for e in elems:
+        for j in range(2):
+            h = hashlib.md5(f"{e}:b{j}".encode()).hexdigest()
+            pos = int(h[:15], 16) % (63 * 8)
+            words[pos // 63] = words.get(pos // 63, 0) | (1 << (pos % 63))
+    assert bloom == set(words.items())
