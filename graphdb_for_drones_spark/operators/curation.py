@@ -538,6 +538,60 @@ def top_ngram_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Deterministic fixed-size TOKEN CHUNKING with overlap — the
+    context-window shaping step between curation and sharding (and the
+    passage splitter of a retrieval corpus): chunk ``i`` covers tokens
+    ``[i·stride, i·stride + chunk_tokens)`` of the whitespace token
+    stream; ``stride < chunk_tokens`` gives overlapping windows, the
+    last chunk is short, zero-token documents produce zero chunks.
+
+    Pure projection + explode — one scan, no shuffle; chunk identity is
+    a pure function of (doc, offsets), so reruns/repartitions produce
+    identical chunks.  By default the chunk TEXT is not materialized
+    (at 100 TB the chunk table is written partitioned and text is
+    reconstructed or carried only into the writer); ``keep_text=True``
+    adds it.  ``chunk_md5`` fingerprints the exact chunk string either
+    way, which is what the SQL twin hash-checks.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tok_chunk, chunk_md5
+    [, chunk_text]).
+    """
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: t != F.lit(""),
+    )
+    staged = df.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+    n = F.size(F.col("__w"))
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride))
+    )
+    ex = staged.select(
+        "doc_id", "__w", F.explode(starts).alias("start_tok")
+    )
+    chunk = F.slice(F.col("__w"), F.col("start_tok") + 1, chunk_tokens)
+    txt = F.concat_ws(" ", chunk)
+    cols = [
+        F.col("doc_id"),
+        F.expr(f"start_tok div {stride}").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long"),
+        F.size(chunk).cast("long").alias("n_tok_chunk"),
+        F.md5(txt).alias("chunk_md5"),
+    ]
+    if keep_text:
+        cols.append(txt.alias("chunk_text"))
+    return ex.select(*cols)
+
+
 def gopher_rule_flags(
     df: DataFrame,
     text_col: str = "text",

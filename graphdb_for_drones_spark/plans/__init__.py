@@ -91,6 +91,7 @@ _GATE_FIRST = [
     "doc_top_ngram_stats",
     "doc_sample_per_source",
     "source_bloom_probe_stats",
+    "doc_chunk_stats",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

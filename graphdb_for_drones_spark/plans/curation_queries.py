@@ -546,6 +546,37 @@ FROM c GROUP BY c_mktsegment
 ORACLE_CUSTOMER_PII_SCRUB = _pii_oracle_sql()
 
 
+def q_doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (64-token windows, stride
+    48): one row per chunk with offsets, sizes, and the md5 of the exact
+    chunk string — the context-window shaping / passage-splitting step,
+    hash-checked end to end (chunk identity is a pure function of the
+    token stream)."""
+    cat = Catalog(spark, sf_dir)
+    return curation.chunk_documents(
+        cat.documents, chunk_tokens=64, stride=48
+    )
+
+
+ORACLE_DOC_CHUNK_STATS = rf"""
+WITH d AS (
+  SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS w FROM documents
+),
+x AS (
+  SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start_tok
+  FROM d WHERE len(w) > 0
+),
+c AS (
+  SELECT doc_id, start_tok, w[start_tok+1 : start_tok+64] AS chunk FROM x
+)
+SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_tok_chunk,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c
+"""
+
+
 def q_source_bloom_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination PREFILTER: per train source, a
     mergeable bloom sketch (operators/sketches.bloom_build, md5 family,
@@ -744,6 +775,7 @@ CURATION_QUERIES = {
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "customer_pii_scrub": q_customer_pii_scrub,
     "source_bloom_probe_stats": q_source_bloom_probe_stats,
+    "doc_chunk_stats": q_doc_chunk_stats,
     "curation_pipeline_stats": q_curation_pipeline_stats,
 }
 
@@ -761,5 +793,6 @@ CURATION_ORACLES = {
     "doc_tfidf_topk": ORACLE_DOC_TFIDF_TOPK,
     "customer_pii_scrub": ORACLE_CUSTOMER_PII_SCRUB,
     "source_bloom_probe_stats": ORACLE_SOURCE_BLOOM_PROBE_STATS,
+    "doc_chunk_stats": ORACLE_DOC_CHUNK_STATS,
     "curation_pipeline_stats": ORACLE_CURATION_PIPELINE_STATS,
 }

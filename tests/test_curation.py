@@ -416,3 +416,38 @@ def test_top_ngram_stats_trigram(spark):
     r = curation.top_ngram_stats(docs, n=3).collect()[0]
     assert r.n_chars == 13
     assert r.top_cover == 10
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    # 10 tokens, chunk 4, stride 3: starts 0,3,6,9 — last two short
+    docs = _docs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s")])
+    out = sorted(
+        (r.chunk_idx, r.start_tok, r.n_tok_chunk)
+        for r in curation.chunk_documents(
+            docs, chunk_tokens=4, stride=3
+        ).collect()
+    )
+    assert out == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)]
+
+
+def test_chunk_documents_md5_is_exact_chunk_string(spark):
+    import hashlib
+
+    docs = _docs(spark, [(1, "a b c d e", "en", "s")])
+    rows = {
+        r.start_tok: r
+        for r in curation.chunk_documents(
+            docs, chunk_tokens=3, stride=2, keep_text=True
+        ).collect()
+    }
+    assert rows[0].chunk_text == "a b c"
+    assert rows[2].chunk_text == "c d e"
+    assert rows[4].chunk_text == "e"
+    for r in rows.values():
+        assert r.chunk_md5 == hashlib.md5(r.chunk_text.encode()).hexdigest()
+
+
+def test_chunk_documents_empty_doc_yields_no_chunks(spark):
+    docs = _docs(spark, [(1, "", "en", "s"), (2, "one", "en", "s")])
+    out = curation.chunk_documents(docs).collect()
+    assert {r.doc_id for r in out} == {2}
