@@ -95,7 +95,34 @@ def _families(docs: DataFrame) -> dict[str, DataFrame]:
         # LSH approximations — new buckets per copy, counts ≈ linear
         "minhash": D.minhash_lsh_pairs(docs, jaccard_threshold=0.3),
         "simhash": D.simhash_pairs(docs, max_hamming=6),
+        # late round-5 additions, exact semantics: top-ngram and
+        # chunking emit rows per doc / per token window — exactly
+        # linear; the bloom probe emits one row per source (constant)
+        # while its WORK is linear in corpus shingles (build) + constant
+        # probe side — the time column is the claim
+        "top_ngram": curation.top_ngram_stats(docs),
+        "chunking": curation.chunk_documents(docs),
+        "bloom_probe": _bloom_probe(docs),
     }
+
+
+def _bloom_probe(docs: DataFrame) -> DataFrame:
+    from graphdb_for_drones_spark.operators import sketches
+
+    sh = docs.select(
+        "source",
+        F.explode(F.array_distinct(D.shingles(F.col("text"), 3))).alias("g"),
+    ).dropDuplicates(["source", "g"])
+    bloom = sketches.bloom_build(
+        sh.filter(F.col("source") != "src0"), ["source"], "g", family="xx"
+    )
+    return sketches.bloom_probe_counts(
+        bloom,
+        ["source"],
+        sh.filter(F.col("source") == "src0").select("g"),
+        "g",
+        family="xx",
+    )
 
 
 EXACT_FAMILIES = (
@@ -104,6 +131,8 @@ EXACT_FAMILIES = (
     "contamination",
     "dup_span",
     "tfidf_topk",
+    "top_ngram",
+    "chunking",
 )
 
 
