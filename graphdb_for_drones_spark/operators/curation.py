@@ -592,6 +592,40 @@ def chunk_documents(
     return ex.select(*cols)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+    max_records_per_file: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """The LAST pipeline step: write the curated corpus as training
+    shards — Hive-partitioned by (split, lang) so a trainer's
+    ``split='train' AND lang='en'`` read is pure directory pruning, and
+    capped at ``max_records_per_file`` rows so shard files stay
+    loader-sized regardless of partition skew (Spark splits an
+    oversized task output into numbered files; no extra shuffle).
+
+    Determinism note: which *rows* land in which numbered file within a
+    partition depends on task scheduling — consumers must treat a
+    partition directory as an unordered bag (every catalogued split
+    is row-stable; file layout is not part of the contract).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"mode must be 'overwrite' or 'append', got {mode!r}"
+        )
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", int(max_records_per_file))
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    from graphdb_for_drones_spark.catalog import invalidate_path
+
+    invalidate_path(path)
+
+
 def gopher_rule_flags(
     df: DataFrame,
     text_col: str = "text",

@@ -451,3 +451,63 @@ def test_chunk_documents_empty_doc_yields_no_chunks(spark):
     docs = _docs(spark, [(1, "", "en", "s"), (2, "one", "en", "s")])
     out = curation.chunk_documents(docs).collect()
     assert {r.doc_id for r in out} == {2}
+
+
+def test_chunk_documents_full_coverage_property(spark):
+    # every token position is covered by >= 1 chunk and by at most
+    # ceil(chunk/stride) chunks; chunk starts are exactly the stride grid
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(n)), "en", "s")
+         for i, n in enumerate([1, 2, 47, 48, 49, 64, 65, 100, 130])],
+    )
+    c, s = 64, 48
+    rows = curation.chunk_documents(docs, chunk_tokens=c, stride=s).collect()
+    import math
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = [1, 2, 47, 48, 49, 64, 65, 100, 130]
+    for i, n in enumerate(lens):
+        chunks = by_doc[i]
+        assert [r.start_tok for r in sorted(chunks, key=lambda r: r.chunk_idx)] == list(range(0, n, s))
+        covered = [0] * n
+        for r in chunks:
+            for t in range(r.start_tok, r.start_tok + r.n_tok_chunk):
+                covered[t] += 1
+        assert min(covered) >= 1
+        assert max(covered) <= math.ceil(c / s)
+
+
+def test_write_training_shards_prunes_and_caps(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.split import hash_split
+
+    docs = _docs(
+        spark,
+        [(i, f"text {i}", "en" if i % 2 else "de", "s") for i in range(400)],
+    )
+    out = str(tmp_path / "shards")
+    curation.write_training_shards(
+        hash_split(docs, "doc_id"), out, max_records_per_file=50
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    # partition pruning on the split/lang directories
+    plan = back.filter(
+        (F.col("split") == "train") & (F.col("lang") == "en")
+    )._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan
+    # file cap respected: no single parquet file holds > 50 rows
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    assert files
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 50
+    with pytest.raises(ValueError):
+        curation.write_training_shards(docs, out, mode="overwite")
