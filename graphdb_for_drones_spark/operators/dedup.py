@@ -68,11 +68,26 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingle array (JVM-side): split → sliding window."""
+    """Word n-gram shingle array (JVM-side): split → sliding window.
+
+    Window combine is the zip-over-shifted-slices fold (as
+    ``_shingle_hashes_from``), NOT an index transform: slicing under a
+    lambda-bound index re-evaluates the whole words expression
+    (normalize + split + filter) once PER GRAM — the element_at-in-
+    lambda trap, measured ~4× on the md5 minhash entry.  The slices sit
+    outside lambda bodies, so words is evaluated ~2n+1 times per row
+    total."""
     words = F.filter(F.split(normalize_text(col), " "), lambda w: w != F.lit(""))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    m = F.size(words) - n + 1
+
+    def win(j):
+        return F.slice(words, j + 1, m)
+
+    acc = win(n - 1)
+    for j in range(n - 2, -1, -1):
+        acc = F.zip_with(win(j), acc, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        acc
     )
 
 

@@ -588,24 +588,42 @@ def q_source_bloom_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate structure is driver-hash-checkable (the SQL twin
     reproduces every bit)."""
     from graphdb_for_drones_spark.operators import sketches
-    from graphdb_for_drones_spark.operators.dedup import shingles
+    from graphdb_for_drones_spark.operators.split import _md5_60bit
 
     cat = Catalog(spark, sf_dir)
-    sh = (
-        cat.documents.select(
-            "source",
-            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
-                "g"
-            ),
-        )
-        .dropDuplicates(["source", "g"])
+    # md5-60 the shingle STRINGS inside the projection (string-free
+    # discipline: the variable-length shingles never reach a shuffle —
+    # only 8-byte element hashes do), over a STAGED words column: the
+    # convenience `shingles(col)` form slices an inline filter+split
+    # expression under a lambda-bound index, re-normalizing the text
+    # once per gram (the element_at-in-lambda trap).  Staging makes the
+    # slice target a plain attribute read.  The oracle computes the
+    # same md5-60 per shingle string, so the 'raw'-family filter is
+    # still bit-identical.
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda t: t != F.lit("")
     )
+    staged = cat.documents.select("source", words.alias("__w"))
+    w = F.col("__w")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0)))
+
+    def gram_hash(i):
+        return _md5_60bit(F.concat_ws(" ", F.slice(w, i + 1, 3)))
+
+    grams = F.when(
+        F.size(w) < 3, F.array(_md5_60bit(F.concat_ws(" ", w)))
+    ).otherwise(F.transform(idx, gram_hash))
+    sh = staged.select(
+        "source", F.explode(F.array_distinct(grams)).alias("g")
+    ).dropDuplicates(["source", "g"])
     bloom = sketches.bloom_build(
-        sh.filter(F.col("source") != "src0"), ["source"], "g", family="md5"
+        sh.filter(F.col("source") != "src0"), ["source"], "g", family="raw"
     )
     ev = sh.filter(F.col("source") == "src0").select("g")
     return sketches.bloom_probe_counts(
-        bloom, ["source"], ev, "g", family="md5"
+        bloom, ["source"], ev, "g", family="raw"
     )
 
 
@@ -630,11 +648,17 @@ inv0 AS (SELECT source, unnest(list_distinct(sh)) AS g FROM s),
 inv AS (SELECT DISTINCT source, g FROM inv0),
 tr AS (SELECT source, g FROM inv WHERE source <> 'src0'),
 ev AS (SELECT DISTINCT g FROM inv WHERE source = 'src0'),
-trpos AS (
-  SELECT source, {hex_to_int} % {m_bits} AS pos FROM (
-    SELECT source, md5(g || ':b' || CAST(j AS VARCHAR)) AS h
-    FROM tr CROSS JOIN range({k}) t(j)
+trh AS (
+  SELECT source, {hex_to_int} AS hh FROM (
+    SELECT source, md5(g) AS h FROM tr
   )
+),
+trpos AS (
+  SELECT source,
+         (hh % {m_bits}
+          + j * (1 + (hh // 2 // {m_bits}) % {m_bits - 1})) % {m_bits}
+           AS pos
+  FROM trh CROSS JOIN range({k}) t(j)
 ),
 blm AS (
   SELECT source, idx, bit_or(mask) AS bits FROM (
@@ -643,11 +667,17 @@ blm AS (
     FROM trpos
   ) GROUP BY source, idx
 ),
-evpos AS (
-  SELECT g, {hex_to_int} % {m_bits} AS pos FROM (
-    SELECT g, md5(g || ':b' || CAST(j AS VARCHAR)) AS h
-    FROM ev CROSS JOIN range({k}) t(j)
+evh AS (
+  SELECT g, {hex_to_int} AS hh FROM (
+    SELECT g, md5(g) AS h FROM ev
   )
+),
+evpos AS (
+  SELECT g,
+         (hh % {m_bits}
+          + j * (1 + (hh // 2 // {m_bits}) % {m_bits - 1})) % {m_bits}
+           AS pos
+  FROM evh CROSS JOIN range({k}) t(j)
 ),
 evw AS (
   SELECT g, pos // 63 AS idx,

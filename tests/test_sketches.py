@@ -144,10 +144,12 @@ def test_bloom_md5_family_engine_neutral(spark):
             df, ["src"], "g", m_bits=63 * 8, k=2, family="md5"
         ).collect()
     }
+    m = 63 * 8
     words = {}
     for e in elems:
+        hh = int(hashlib.md5(e.encode()).hexdigest()[:15], 16)
+        h1, h2 = hh % m, 1 + (hh // 2 // m) % (m - 1)
         for j in range(2):
-            h = hashlib.md5(f"{e}:b{j}".encode()).hexdigest()
-            pos = int(h[:15], 16) % (63 * 8)
+            pos = (h1 + j * h2) % m
             words[pos // 63] = words.get(pos // 63, 0) | (1 << (pos % 63))
     assert bloom == set(words.items())
