@@ -128,7 +128,7 @@ def _bloom_base(elem, family: str):
     the whole filter bit-for-bit (same md5-60 trick as the split/
     minhash twins).  Hashing once matters: the md5 family's string
     digest dominates build cost, and per-hash-function digests measured
-    ~k× the necessary work (7.1 → ~2 s on the probe entry at k=3)."""
+    ~k× the necessary string-digest work."""
     if family == "xx":
         return F.xxhash64(elem)
     if family == "md5":
@@ -235,7 +235,7 @@ def bloom_probe_counts(
     sketch-/probe-sized by design, so they are pinned once with
     localCheckpoint — without it the whole upstream build pipeline
     (shingle + hash + bit-OR over the full corpus) re-executes per
-    reference (measured 7.1 → 2.0 s on the catalog entry)."""
+    reference (re-execution measured ~1 s on the catalog entry; the shingle-string build dominated — see the entry's staging note)."""
     bloom = bloom.localCheckpoint()
     elems = probes.select(F.col(elem_col).alias("g")).distinct().localCheckpoint()
     pos = elems.select(
