@@ -184,10 +184,14 @@ def start_neardup_guard(
             )
 
         flags.write.mode("append").parquet(out_dir)
-        bkeys.write.mode("append").parquet(bands_dir)
+        # sigs BEFORE bands: a crash between the two appends then leaves
+        # extra signatures (harmless — candidates only ever come from
+        # the band index) rather than band rows whose verification
+        # signatures are missing, which would fail every later batch
         signed.select("id", "sig", "sh").write.mode("append").parquet(
             sigs_dir
         )
+        bkeys.write.mode("append").parquet(bands_dir)
 
     writer = stream_docs.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
