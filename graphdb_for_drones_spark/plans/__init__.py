@@ -92,6 +92,7 @@ _GATE_FIRST = [
     "doc_sample_per_source",
     "source_bloom_probe_stats",
     "doc_chunk_stats",
+    "trade_graph_degrees",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -505,6 +505,49 @@ SELECT id, r AS rank_fp, r / {float(scale)} AS rank FROM {prev}
 ORACLE_SUPPLIER_PAGERANK = _pagerank_oracle_sql()
 
 
+def q_trade_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over the customer→supplier trade graph
+    (operators/graph_algorithms.degrees): out-degree = distinct
+    suppliers a customer bought from, in-degree = distinct customers a
+    supplier sold to — the issuer-fan-out / signer-fan-in analysis of
+    the web-of-trust surface on TPC-H-shaped data."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import degrees
+
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return degrees(edges)
+
+
+ORACLE_TRADE_GRAPH_DEGREES = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+od AS (SELECT src AS id, COUNT(*) AS out_degree FROM e GROUP BY src),
+ind AS (SELECT dst AS id, COUNT(*) AS in_degree FROM e GROUP BY dst)
+SELECT COALESCE(od.id, ind.id) AS id,
+       CAST(COALESCE(od.out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(ind.in_degree, 0) AS BIGINT) AS in_degree
+FROM od FULL OUTER JOIN ind ON od.id = ind.id
+"""
+
+
 def _dot64(x: str, y: str) -> str:
     return (
         f"list_sum(list_transform(range(64), i -> "
@@ -1078,6 +1121,7 @@ EXTRA_QUERIES = {
     "event_value_percentiles": q_event_value_percentiles,
     "nation_triangles": q_nation_triangles,
     "supplier_pagerank": q_supplier_pagerank,
+    "trade_graph_degrees": q_trade_graph_degrees,
     "ivf_topk": q_ivf_topk,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
@@ -1104,6 +1148,7 @@ EXTRA_ORACLES = {
     "event_value_percentiles": ORACLE_EVENT_VALUE_PERCENTILES,
     "nation_triangles": ORACLE_NATION_TRIANGLES,
     "supplier_pagerank": ORACLE_SUPPLIER_PAGERANK,
+    "trade_graph_degrees": ORACLE_TRADE_GRAPH_DEGREES,
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
