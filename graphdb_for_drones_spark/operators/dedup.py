@@ -234,9 +234,13 @@ def pairs_from_sorted_ids(ids_col):
 HOT_POSTING_SIZE = 1024
 
 
-def posting_pairs(posting: DataFrame, key_cols: list[str]) -> DataFrame:
+def posting_pairs(
+    posting: DataFrame, key_cols: list[str], keep_keys: bool = False
+) -> DataFrame:
     """Posting lists (key_cols…, ids: sorted array, size ≥ 2) → one row
     per ordered pair (id_a, id_b) per list — skew-adaptively.
+    ``keep_keys=True`` carries the posting key columns on each pair row
+    (for callers that dedupe by key ownership instead of a distinct).
 
     Lists up to ``HOT_POSTING_SIZE`` enumerate pairs map-side from the
     array (``pairs_from_sorted_ids`` — zero join, one exchange total).
@@ -249,18 +253,19 @@ def posting_pairs(posting: DataFrame, key_cols: list[str]) -> DataFrame:
 
     Duplicate pairs across lists are preserved; callers count or
     ``dropDuplicates`` as their semantics require."""
+    out_cols = [*key_cols, "id_a", "id_b"] if keep_keys else ["id_a", "id_b"]
     small = posting.filter(F.size("ids") <= HOT_POSTING_SIZE)
     hot = posting.filter(F.size("ids") > HOT_POSTING_SIZE)
     small_pairs = small.select(
-        F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p")
-    ).select("p.id_a", "p.id_b")
+        *key_cols, F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p")
+    ).select(*key_cols, "p.id_a", "p.id_b").select(*out_cols)
     ex = hot.select(*key_cols, F.explode("ids").alias("v"))
     left = ex.select(*key_cols, F.col("v").alias("id_a"))
     right = ex.select(*key_cols, F.col("v").alias("id_b"))
     hot_pairs = (
         left.join(right, list(key_cols))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select(*out_cols)
     )
     return small_pairs.unionByName(hot_pairs)
 
@@ -719,7 +724,31 @@ def simhash_candidate_pairs(
         F.struct(F.col("id"), F.col("fp")).alias("id"), F.col("fp")
     )
     keyed = _fp_chunks(carrier, bits, bands)
-    cand = _bucket_pairs(keyed, ["band", "chunk"])
+    buckets = (
+        keyed.groupBy("band", "chunk")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = posting_pairs(buckets, ["band", "chunk"], keep_keys=True)
+    # Cross-band dedup by MINIMUM-AGREEING-BAND OWNERSHIP, not a
+    # distinct: a pair sharing several chunks is enumerated once per
+    # agreeing band, but both fingerprints ride the pair row, so "is
+    # this the first band whose chunks agree?" is a map-side codegen
+    # predicate — replacing the dropDuplicates exchange of the (near-
+    # quadratic) candidate stream, the largest intermediate in the
+    # plan, with a filter.  Within one band a pair occurs at most once
+    # (its chunk is a function of the fingerprint), so ownership is
+    # exact.
+    fa, fb = F.col("id_a.fp"), F.col("id_b.fp")
+    own = None
+    for b, (off, w) in enumerate(band_layout(bits, bands)):
+        mask = (1 << w) - 1
+        agree = (
+            F.shiftrightunsigned(fa, off).bitwiseAND(F.lit(mask))
+            == F.shiftrightunsigned(fb, off).bitwiseAND(F.lit(mask))
+        )
+        own = F.when(agree, F.lit(b)) if own is None else own.when(agree, F.lit(b))
+    cand = cand.filter(F.col("band") == own.otherwise(F.lit(-1)))
     hamming = F.bit_count(F.col("id_a.fp").bitwiseXOR(F.col("id_b.fp")))
     return (
         cand.withColumn("hamming", hamming.cast("long"))
