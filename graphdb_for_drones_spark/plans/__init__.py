@@ -93,6 +93,7 @@ _GATE_FIRST = [
     "source_bloom_probe_stats",
     "doc_chunk_stats",
     "trade_graph_degrees",
+    "trade_trust_from_anchor",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -548,6 +548,62 @@ FROM od FULL OUTER JOIN ind ON od.id = ind.id
 """
 
 
+def q_trade_trust_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-of-trust scoring over the UNDIRECTED trade graph
+    (operators/graph_algorithms.trust_propagation): trust flows out
+    from customer c1 with per-hop decay 1/2, a node's score is the max
+    over paths = decay^(BFS min depth).  decay=0.5 makes every score an
+    EXACT power of two (0.5·x is exact in IEEE) and max over exact
+    values is reduction-order-independent — so even this float
+    iterative algorithm is driver-hash-checkable; the oracle computes
+    1.0 / (1 << min_depth) from a bounded recursive CTE."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        trust_propagation,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return trust_propagation(edges, anchor="c1", decay=0.5, max_depth=4)
+
+
+ORACLE_TRADE_TRUST_FROM_ANCHOR = """
+WITH RECURSIVE p AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+r AS (
+  -- recursive UNION (distinct), not UNION ALL: the undirected trade
+  -- graph is cyclic and path-count explodes combinatorially; (id, d)
+  -- dedup bounds the working set at nodes × depths
+  SELECT 'c1' AS id, 0 AS d
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 4
+),
+m AS (SELECT id, MIN(d) AS d FROM r GROUP BY id)
+SELECT id, 1.0 / (1 << d) AS trust FROM m
+"""
+
+
 def _dot64(x: str, y: str) -> str:
     return (
         f"list_sum(list_transform(range(64), i -> "
@@ -1122,6 +1178,7 @@ EXTRA_QUERIES = {
     "nation_triangles": q_nation_triangles,
     "supplier_pagerank": q_supplier_pagerank,
     "trade_graph_degrees": q_trade_graph_degrees,
+    "trade_trust_from_anchor": q_trade_trust_from_anchor,
     "ivf_topk": q_ivf_topk,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
@@ -1149,6 +1206,7 @@ EXTRA_ORACLES = {
     "nation_triangles": ORACLE_NATION_TRIANGLES,
     "supplier_pagerank": ORACLE_SUPPLIER_PAGERANK,
     "trade_graph_degrees": ORACLE_TRADE_GRAPH_DEGREES,
+    "trade_trust_from_anchor": ORACLE_TRADE_TRUST_FROM_ANCHOR,
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
