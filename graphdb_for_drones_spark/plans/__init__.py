@@ -77,9 +77,11 @@ _GATE_FIRST = [
     "contamination_check",
     "contamination_containment",
     "embedding_dup_clusters",
-    # New in round 5 (never driver-checked) — the 4 entries they push
-    # out of the 50-row window are all r4-green (verified before the
-    # rotation):
+    # New in round 5 (never driver-checked).  With 41 gate-first
+    # entries the window's remaining 9 slots fill in catalog order with
+    # the flagship traversal family (delegation/chain/mission/wot/abac
+    # — green in r4 AND re-gated here); everything rotated out is
+    # r1-r4-green and stays covered by the local oracle replica:
     "doc_dup_span_stats",
     "doc_gopher_rules",
     "doc_tfidf_topk",
