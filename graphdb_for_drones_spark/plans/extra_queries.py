@@ -581,7 +581,9 @@ def q_trade_trust_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return trust_propagation(edges, anchor="c1", decay=0.5, max_depth=4)
+    return trust_propagation(
+        edges, anchor="c1", decay=0.5, max_depth=4, early_exit=False
+    )
 
 
 ORACLE_TRADE_TRUST_FROM_ANCHOR = """
