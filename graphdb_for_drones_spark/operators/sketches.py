@@ -276,6 +276,83 @@ def bloom_probe_counts(
     )
 
 
+def cm_build(
+    df: DataFrame,
+    keys: list[str],
+    elem_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    family: str = "xx",
+) -> DataFrame:
+    """Mergeable COUNT-MIN sketch per key combination, as a tabular
+    (keys…, r, c, cnt) cell table — the heavy-hitters / frequency twin
+    of the HLL (distinct), histogram (quantiles), and bloom
+    (membership) sketches.  Row ``r``'s column for an element comes
+    from the same Kirsch-Mitzenmacher double hashing as the bloom
+    filter (one base hash per element), so the md5 family is replayable
+    in SQL and the whole sketch is hash-checkable: integer cell counts
+    merge by SUM (order-independent).
+
+    Zero cells are omitted (sparse): an absent (r, c) estimates 0 —
+    correct, since any element with true count > 0 incremented all its
+    cells.  At 100 TB: depth·width cells per key (a few KB) answer
+    approximate frequency queries without rescanning the facts;
+    estimate ≥ true always, overcount ≤ e·N/width with prob 1−e^−depth.
+    """
+    staged = df.select(
+        *keys, _bloom_base(F.col(elem_col), family).alias("__h")
+    )
+    cells = staged.select(
+        *keys,
+        F.posexplode(_bloom_positions("__h", depth, width)).alias("r", "c"),
+    )
+    return cells.groupBy(*keys, "r", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cm_merge(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge count-min sketches to a coarser grain: SUM cell counts."""
+    return sketches.groupBy(*keys, "r", "c").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: list[str],
+    probes: DataFrame,
+    elem_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    family: str = "xx",
+) -> DataFrame:
+    """Estimated frequency of each DISTINCT probe element against each
+    sketch key: (keys…, elem, est) with est = min over rows of the
+    element's cell count (missing cell = 0).  The sketch is cell-sized,
+    so Catalyst broadcasts it into the probe join."""
+    elems = probes.select(F.col(elem_col).alias("elem")).distinct()
+    pos = elems.select(
+        "elem", _bloom_base(F.col("elem"), family).alias("__h")
+    ).select(
+        "elem",
+        F.posexplode(_bloom_positions("__h", depth, width)).alias("r", "c"),
+    )
+    key_rows = sketch.select(*keys).distinct()
+    # every (key, elem, r) needs a row even when the cell is absent —
+    # COALESCE the missing cell to 0 AFTER a left join from the dense
+    # probe side, then min per (key, elem)
+    dense = key_rows.crossJoin(pos)
+    joined = dense.join(sketch, [*keys, "r", "c"], "left").select(
+        *keys,
+        "elem",
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cell"),
+    )
+    return joined.groupBy(*keys, "elem").agg(
+        F.min("cell").alias("est")
+    )
+
+
 def hll_rollup(
     sketches: DataFrame,
     keys: list[str],

@@ -77,8 +77,8 @@ _GATE_FIRST = [
     "contamination_check",
     "contamination_containment",
     "embedding_dup_clusters",
-    # New in round 5 (never driver-checked).  With 41 gate-first
-    # entries the window's remaining 9 slots fill in catalog order with
+    # New in round 5 (never driver-checked).  With 44 gate-first
+    # entries the window's remaining 6 slots fill in catalog order with
     # the flagship traversal family (delegation/chain/mission/wot/abac
     # — green in r4 AND re-gated here); everything rotated out is
     # r1-r4-green and stays covered by the local oracle replica:
@@ -96,6 +96,7 @@ _GATE_FIRST = [
     "doc_chunk_stats",
     "trade_graph_degrees",
     "trade_trust_from_anchor",
+    "event_user_cm_counts",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -1054,6 +1054,98 @@ def q_event_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 1000.0, 200
 
 
+def q_event_user_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimation (operators/sketches.cm_build/
+    cm_estimate): per event_type, a 4×1024 sketch of user_id
+    occurrences, probed for users 0-19 and laid beside the exact counts
+    — (event_type, user_id, est_count, exact_count) with the count-min
+    guarantee est ≥ exact.  The md5 hash family + integer cell SUMs
+    make the whole approximate structure driver-hash-checkable (the
+    bloom discipline applied to frequencies)."""
+    from graphdb_for_drones_spark.operators import sketches
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("event_type", "user_id")
+    sketch = sketches.cm_build(
+        ev, ["event_type"], "user_id", width=1024, depth=4, family="md5"
+    )
+    probes = ev.filter(F.col("user_id") < 20).select("user_id")
+    est = sketches.cm_estimate(
+        sketch,
+        ["event_type"],
+        probes,
+        "user_id",
+        width=1024,
+        depth=4,
+        family="md5",
+    ).select(
+        "event_type",
+        F.col("elem").alias("user_id"),
+        F.col("est").cast("long").alias("est_count"),
+    )
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, ["event_type", "user_id"], "left").select(
+        "event_type",
+        "user_id",
+        "est_count",
+        F.coalesce(F.col("exact_count"), F.lit(0).cast("long")).alias(
+            "exact_count"
+        ),
+    )
+
+
+def _cm_oracle_sql(width: int = 1024, depth: int = 4) -> str:
+    hex_to_int = (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(h, i+1, 1)) - 1 AS BIGINT)"
+        " << ((14 - i) * 4))) AS BIGINT)"
+    )
+    return f"""
+WITH ev AS (SELECT event_type, user_id FROM events),
+uh AS (
+  SELECT user_id, {hex_to_int} AS hh FROM (
+    SELECT DISTINCT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM ev
+  )
+),
+upos AS (
+  SELECT user_id, j AS r,
+         (hh % {width}
+          + j * (1 + (hh // 2 // {width}) % {width - 1})) % {width} AS c
+  FROM uh CROSS JOIN range({depth}) t(j)
+),
+cells AS (
+  SELECT event_type, r, c, COUNT(*) AS cnt
+  FROM ev JOIN upos USING (user_id) GROUP BY 1, 2, 3
+),
+probes AS (SELECT user_id, r, c FROM upos WHERE user_id < 20),
+keysr AS (SELECT DISTINCT event_type FROM ev),
+dense AS (SELECT event_type, user_id, r, c FROM keysr CROSS JOIN probes),
+est AS (
+  SELECT d.event_type, d.user_id,
+         MIN(COALESCE(cells.cnt, 0)) AS est_count
+  FROM dense d LEFT JOIN cells
+    ON cells.event_type = d.event_type AND cells.r = d.r AND cells.c = d.c
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, user_id, COUNT(*) AS exact_count
+  FROM ev WHERE user_id < 20 GROUP BY 1, 2
+)
+SELECT e.event_type, e.user_id,
+       CAST(e.est_count AS BIGINT) AS est_count,
+       CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
+FROM est e LEFT JOIN exact x
+  ON x.event_type = e.event_type AND x.user_id = e.user_id
+"""
+
+
+ORACLE_EVENT_USER_CM_COUNTS = _cm_oracle_sql()
+
+
 def q_event_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile serving from a mergeable histogram sketch: per
     (event_type, day) histograms of ``value`` are ROLLED UP to per-type
@@ -1185,6 +1277,7 @@ EXTRA_QUERIES = {
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
     "event_value_hist_quantiles": q_event_value_hist_quantiles,
+    "event_user_cm_counts": q_event_user_cm_counts,
     "embedding_clusters": q_embedding_clusters,
     "semantic_dedup_stats": q_semantic_dedup_stats,
     "event_type_salted_counts": q_event_type_salted_counts,
@@ -1212,6 +1305,7 @@ EXTRA_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
+    "event_user_cm_counts": ORACLE_EVENT_USER_CM_COUNTS,
     "embedding_clusters": ORACLE_EMBEDDING_CLUSTERS,
     "semantic_dedup_stats": ORACLE_SEMANTIC_DEDUP_STATS,
     "event_type_salted_counts": ORACLE_EVENT_TYPE_SALTED_COUNTS,

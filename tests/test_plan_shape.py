@@ -97,7 +97,12 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
     way."""
     from graphdb_for_drones_spark.plans import QUERIES
 
-    WHITELIST = {"abac_check", "doc_tfidf_topk", "source_bloom_probe_stats"}
+    WHITELIST = {
+        "abac_check",
+        "doc_tfidf_topk",
+        "source_bloom_probe_stats",
+        "event_user_cm_counts",  # dense (sketch-key x probe) grid bind
+    }
     sf = "/root/testdata/sf0.001"
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"

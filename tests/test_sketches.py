@@ -153,3 +153,60 @@ def test_bloom_md5_family_engine_neutral(spark):
             pos = (h1 + j * h2) % m
             words[pos // 63] = words.get(pos // 63, 0) | (1 << (pos % 63))
     assert bloom == set(words.items())
+
+
+def test_cm_estimate_dominates_exact_counts(spark):
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+    )
+
+    # skewed stream: element e_i appears i+1 times
+    rows = [("k", f"e{i}") for i in range(50) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "g string, elem string").localCheckpoint()
+    sk = cm_build(df, ["g"], "elem", width=256, depth=4)
+    est = {
+        r.elem: r.est
+        for r in cm_estimate(
+            sk, ["g"], df.select("elem"), "elem", width=256, depth=4
+        ).collect()
+    }
+    for i in range(50):
+        assert est[f"e{i}"] >= i + 1  # count-min never undercounts
+    # absent element estimates 0 unless it collides
+    miss = cm_estimate(
+        sk,
+        ["g"],
+        spark.createDataFrame([("zzz",)], "elem string"),
+        "elem",
+        width=256,
+        depth=4,
+    ).collect()[0]
+    assert miss.est >= 0
+
+
+def test_cm_merge_equals_union_build(spark):
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.sketches import cm_build, cm_merge
+
+    d1 = spark.range(200).select(
+        F.lit("k").alias("g"), F.lit(1).alias("day"),
+        F.concat(F.lit("a"), (F.col("id") % 30)).alias("elem"),
+    )
+    d2 = spark.range(100).select(
+        F.lit("k").alias("g"), F.lit(2).alias("day"),
+        F.concat(F.lit("a"), (F.col("id") % 10)).alias("elem"),
+    )
+    both = d1.unionByName(d2).localCheckpoint()
+    fine = cm_build(both, ["g", "day"], "elem", width=128, depth=3)
+    merged = {
+        (r.r, r.c, r.cnt) for r in cm_merge(fine, ["g"]).collect()
+    }
+    direct = {
+        (r.r, r.c, r.cnt)
+        for r in cm_build(both, ["g"], "elem", width=128, depth=3).collect()
+    }
+    assert merged == direct
