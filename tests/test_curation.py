@@ -511,3 +511,76 @@ def test_write_training_shards_prunes_and_caps(spark, tmp_path):
         assert n <= 50
     with pytest.raises(ValueError):
         curation.write_training_shards(docs, out, mode="overwite")
+
+
+def test_chunk_and_top_ngram_match_python_reference_on_random_texts(spark):
+    """Differential test on adversarial texts (whitespace runs, tabs,
+    newlines, unicode, heavy repeats, 1-char words): the Spark plans
+    must agree with a direct python reference of the same definitions."""
+    import hashlib
+    import random
+
+    rng = random.Random(77)
+    vocab = ["a", "bb", "ccc", "Ω", "naïve", "x" * 12, "q"]
+    seps = [" ", "  ", "\t", "\n", " \t "]
+    texts = []
+    for i in range(40):
+        n = rng.randint(0, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3 and n >= 2:  # stamp a phrase
+            words = words[:2] * (n // 2)
+        sep = rng.choice(seps)
+        texts.append((i, sep.join(words) + (" " if rng.random() < 0.5 else "")))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in texts],
+        "doc_id long, text string, lang string, source string",
+    ).localCheckpoint()
+
+    def norm_words(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    # chunking reference
+    c, s = 5, 3
+    expect = {}
+    for i, t in texts:
+        w = norm_words(t)
+        for start in range(0, len(w), s):
+            chunk = w[start : start + c]
+            expect[(i, start)] = (
+                start // s,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    got = {
+        (r.doc_id, r.start_tok): (r.chunk_idx, r.n_tok_chunk, r.chunk_md5)
+        for r in curation.chunk_documents(
+            docs, chunk_tokens=c, stride=s
+        ).collect()
+    }
+    assert got == expect
+
+    # top-ngram reference (n=2)
+    expect2 = {}
+    for i, t in texts:
+        w = norm_words(t)
+        joined = " ".join(w)
+        grams = (
+            [" ".join(w[j : j + 2]) for j in range(len(w) - 1)]
+            if len(w) >= 2
+            else [joined]
+        )
+        counts = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        cover = max((cnt * len(g) for g, cnt in counts.items()), default=0)
+        nch = len(joined)
+        expect2[i] = (nch, cover, 0.0 if nch <= 0 else cover / nch)
+    got2 = {
+        r.doc_id: (r.n_chars, r.top_cover, r.top_ngram_frac)
+        for r in curation.top_ngram_stats(docs, n=2).collect()
+    }
+    assert set(got2) == set(expect2)
+    for k in expect2:
+        assert got2[k][0] == expect2[k][0], (k, got2[k], expect2[k])
+        assert got2[k][1] == expect2[k][1], (k, got2[k], expect2[k])
+        assert abs(got2[k][2] - expect2[k][2]) < 1e-12
