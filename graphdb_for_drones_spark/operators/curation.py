@@ -817,3 +817,68 @@ def deterministic_sample(
         F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
     ) / F.lit(float(1 << 60))
     return df.filter(u < prob_col)
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Equal-frequency binning (curriculum deciles): assign each row to
+    bin ``rank * k // N`` under the total order (value, id) — the
+    difficulty-bucketing step a curriculum-ordered training pipeline
+    runs on a per-document score (token count, quality, loss proxy).
+
+    NO single-partition global window: the rank is computed with the
+    ``bucketed_rank`` trick keyed on the VALUE itself — per-value counts
+    (one row per distinct value) come to the driver, become cumulative
+    offsets inlined as a literal map, and the residual window partitions
+    by value and orders by id, so every window group is one value's rows.
+    This is exact for bounded integer-ish score domains (token counts,
+    rubric scores); for unbounded/continuous keys, pre-discretize or use
+    sampled range cutpoints.  The bin formula ``floor(rank·k/N)`` is
+    integer arithmetic — bit-identical on any engine — which is why the
+    catalog entry defines bins this way instead of engine NTILE (whose
+    long-bucket placement differs from the floor formula when k ∤ N).
+
+    Returns one row per row of ``df``: (id, value, bin int).
+    """
+    from itertools import chain as _ichain
+
+    vals = df.select(
+        F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
+    )
+    counts = {
+        r["__v"]: r["n"]
+        for r in vals.groupBy("__v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return vals.select(
+            F.col("__id").alias(id_col),
+            F.col("__v").alias(value_col),
+            F.lit(0).cast("int").alias("bin"),
+        ).limit(0)
+    offsets, acc = {}, 0
+    for v in sorted(counts):
+        offsets[v] = acc
+        acc += counts[v]
+    off_map = F.create_map(
+        *_ichain.from_iterable((F.lit(v), F.lit(o)) for v, o in offsets.items())
+    )
+    w = Window.partitionBy("__v").orderBy("__id")
+    rank = off_map[F.col("__v")] + F.row_number().over(w) - 1
+    # DIV (not /): double division truncated to int can land one off the
+    # integer-arithmetic floor the oracle computes; DIV is exact
+    return vals.select(
+        F.col("__id").alias(id_col),
+        F.col("__v").alias(value_col),
+        rank.cast("long").alias("__rank"),
+    ).select(
+        id_col,
+        value_col,
+        F.expr(f"CAST((__rank * {int(k)}) DIV {int(total)} AS INT)").alias(
+            "bin"
+        ),
+    )

@@ -408,3 +408,136 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return wedges.join(e3, ["i", "k"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame, k: int, max_rounds: int = 64
+) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph in which
+    every node has degree >= k, by iterative peeling — drop nodes whose
+    surviving-neighbor count is below k, recompute, repeat to fixpoint
+    (the degeneracy decomposition primitive behind dense-community
+    mining and the trust-core analysis of a web-of-trust fabric).
+
+    Input is an edge list (src, dst) read as undirected; self-loops are
+    dropped and parallel edges collapse (degree = DISTINCT neighbors,
+    the standard k-core definition).  Returns (id, core_degree) for the
+    surviving nodes, where core_degree is the node's degree WITHIN the
+    k-core.
+
+    Each peel round is one join (edges ⋈ survivors, pruning both
+    endpoints) + one distinct-neighbor count — the aggregateMessages
+    shape every other algorithm here uses; survivors checkpoint per
+    round (small id-only tables).  Peeling converges in at most
+    O(rounds-to-degeneracy) supersteps — typically a handful, because
+    every round removes the entire sub-threshold shell, not one node.
+    At 100 TB the survivors table shrinks monotonically, so each round's
+    join is cheaper than the last; pre-partitioning edges by src makes
+    the semi-joins local.  ``max_rounds`` is a lineage/runaway bound:
+    raising it never changes the result past convergence (guarded in
+    tests by asserting the fixpoint).
+    """
+    sym = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    deg = und.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    alive = deg.filter(F.col("deg") >= k).select("id").localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        if n_alive == 0:
+            break
+        surv = (
+            und.join(alive.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("id").alias("b")), "b", "left_semi")
+        )
+        nxt_deg = surv.groupBy(F.col("a").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        nxt = nxt_deg.filter(F.col("deg") >= k).select("id").localCheckpoint()
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            # fixpoint: no node fell below k this round (peeling only
+            # ever removes nodes, so equal cardinality == equal set)
+            alive = nxt
+            break
+        alive, n_alive = nxt, n_nxt
+    core = (
+        und.join(alive.select(F.col("id").alias("a")), "a", "left_semi")
+        .join(alive.select(F.col("id").alias("b")), "b", "left_semi")
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    ).localCheckpoint()
+    und.unpersist()
+    return core
+
+
+def temporal_reach(
+    edges: DataFrame,
+    anchor: str,
+    max_hops: int = 3,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Earliest-arrival temporal reachability: nodes reachable from
+    ``anchor`` along TIME-RESPECTING paths — each consecutive edge must
+    depart strictly AFTER the path's current arrival time — within
+    ``max_hops`` hops, each with its earliest possible arrival.
+
+    The temporal-path semantics a plain traversal cannot express:
+    A→B at t=5 then B→C at t=3 is NOT a path (the information-flow /
+    contact-network model; Wu et al., "Path Problems in Temporal
+    Graphs", VLDB 2014).  Keeping only the MIN arrival per node per
+    round is sound for earliest-arrival reachability because an earlier
+    arrival strictly dominates (every continuation open to a later
+    arrival is open to an earlier one), and MIN over integer timestamps
+    is reduction-order-independent — so this iterative algorithm is
+    driver-hash-checkable like the fixed-point pagerank.
+
+    Input edges are (src, dst, ``ts_col``); the anchor departs at
+    -infinity (any first edge qualifies).  Returns (id, arrival,
+    hops) for reached nodes (anchor excluded), where ``hops`` is the
+    hop count of the earliest-arrival path (MIN tiebreak on hops at
+    equal arrival).  Each superstep is one frontier⋈edges join with the
+    time predicate fused (Catalyst pushes it into the join), one
+    min-aggregation keyed on dst — shuffle bounded by reached nodes,
+    never path multiplicity.
+    """
+    spark = edges.sparkSession
+    ts = F.col(ts_col).cast("long")
+    e = edges.select("src", "dst", ts.alias("__t")).persist()
+    frontier = spark.createDataFrame(
+        [(anchor, -(1 << 62), 0)], "id string, arrival long, hops int"
+    ).localCheckpoint()
+    best = frontier
+    for _ in range(max_hops):
+        nxt = (
+            e.join(F.broadcast(frontier), e["src"] == frontier["id"])
+            .filter(F.col("__t") > F.col("arrival"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.min("__t").alias("arrival"),
+                (F.min(F.struct(F.col("__t"), (F.col("hops") + 1).alias("h")))["h"]).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+        # merge: keep the earliest arrival per node (hops breaks ties)
+        best = (
+            best.unionByName(nxt)
+            .groupBy("id")
+            .agg(
+                F.min(F.struct("arrival", "hops"))["arrival"].alias("arrival"),
+                F.min(F.struct("arrival", "hops"))["hops"].alias("hops"),
+            )
+            .localCheckpoint()
+        )
+        frontier = nxt
+    e.unpersist()
+    return best.filter(F.col("id") != anchor)

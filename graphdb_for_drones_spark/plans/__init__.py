@@ -97,6 +97,12 @@ _GATE_FIRST = [
     "trade_graph_degrees",
     "trade_trust_from_anchor",
     "event_user_cm_counts",
+    # Late round-5 additions (never driver-checked — each takes one of
+    # the catalog-order filler slots, whose occupants were r4-green):
+    "trade_kcore",
+    "trade_temporal_reach",
+    "doc_difficulty_deciles",
+    "label_maxsim_topk",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

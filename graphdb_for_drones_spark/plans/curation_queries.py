@@ -790,6 +790,50 @@ FROM dedup GROUP BY source
 """
 
 
+def q_doc_difficulty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum difficulty deciles: equal-frequency binning of
+    documents by token count (operators/curation.equal_frequency_bins —
+    distributed value-bucketed rank, NO single-partition window), rolled
+    up to one row per decile with doc counts and token bounds — the
+    bucketing step a curriculum-ordered training schedule samples from.
+    Bin = rank·10 DIV N under the (n_tokens, doc_id) total order:
+    integer arithmetic end to end, so the oracle's ROW_NUMBER twin is
+    bit-identical."""
+    from graphdb_for_drones_spark.operators.text import token_count
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    bins = curation.equal_frequency_bins(
+        docs, value_col="n_tokens", id_col="doc_id", k=10
+    )
+    return bins.groupBy(F.col("bin").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+ORACLE_DOC_DIFFICULTY_DECILES = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_WORDS}, x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS rnk,
+         COUNT(*) OVER () AS n
+  FROM t
+)
+SELECT CAST((rnk * 10) // n AS INTEGER) AS decile,
+       COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+FROM r GROUP BY 1
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -807,6 +851,7 @@ CURATION_QUERIES = {
     "source_bloom_probe_stats": q_source_bloom_probe_stats,
     "doc_chunk_stats": q_doc_chunk_stats,
     "curation_pipeline_stats": q_curation_pipeline_stats,
+    "doc_difficulty_deciles": q_doc_difficulty_deciles,
 }
 
 CURATION_ORACLES = {
@@ -825,4 +870,5 @@ CURATION_ORACLES = {
     "source_bloom_probe_stats": ORACLE_SOURCE_BLOOM_PROBE_STATS,
     "doc_chunk_stats": ORACLE_DOC_CHUNK_STATS,
     "curation_pipeline_stats": ORACLE_CURATION_PIPELINE_STATS,
+    "doc_difficulty_deciles": ORACLE_DOC_DIFFICULTY_DECILES,
 }

@@ -606,6 +606,147 @@ SELECT id, 1.0 / (1 << d) AS trust FROM m
 """
 
 
+def _trade_pairs(cat: Catalog) -> DataFrame:
+    """Distinct customer→supplier pairs of the trade graph ('c{key}',
+    's{key}'), the shared edge base of the trade_* graph entries."""
+    return (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+
+
+def q_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """40-core of the undirected trade graph
+    (operators/graph_algorithms.k_core): iterative shell peeling to the
+    maximal subgraph where every node keeps >= 40 distinct trade
+    partners — the dense-community / trust-core primitive (a node's
+    standing counts only endorsements from nodes that themselves remain
+    in the core).  Integer degrees make every peel round
+    hash-deterministic; the oracle unrolls 8 peel rounds (the fixpoint
+    is reached in <= 2 on this graph and re-peeling a fixpoint is
+    idempotent, asserted in tests/test_graph_algorithms.py)."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import k_core
+
+    cat = Catalog(spark, sf_dir)
+    return k_core(_trade_pairs(cat), k=40)
+
+
+def _kcore_oracle_sql(k: int = 40, rounds: int = 8) -> str:
+    peels = []
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        peels.append(
+            f"""a{i} AS (
+  SELECT e.src AS id FROM e
+  JOIN {prev} s ON s.id = e.src JOIN {prev} d ON d.id = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= {k}
+)"""
+        )
+        prev = f"a{i}"
+    joined = ",\n".join(peels)
+    return f"""
+WITH p AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+d0 AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+a0 AS (SELECT id FROM d0 WHERE deg >= {k}),
+{joined}
+SELECT e.src AS id, COUNT(*) AS core_degree
+FROM e JOIN {prev} s ON s.id = e.src JOIN {prev} d ON d.id = e.dst
+GROUP BY e.src
+"""
+
+
+ORACLE_TRADE_KCORE = _kcore_oracle_sql()
+
+
+def q_trade_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival TEMPORAL reachability from customer c1 over the
+    undirected trade graph with order dates as edge times
+    (operators/graph_algorithms.temporal_reach): nodes reachable within
+    3 hops along paths whose edges strictly increase in time — the
+    information-flow semantics a plain traversal cannot express (a 1995
+    order cannot carry influence received in 1997).  MIN over integer
+    epoch-seconds arrivals is reduction-order-independent, so the
+    iterative algorithm is driver-hash-checked; the oracle unrolls the
+    three supersteps with the same per-layer MIN."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        temporal_reach,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+            F.unix_timestamp("o_orderdate").alias("ts"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "ts"
+        )
+    )
+    return temporal_reach(edges, anchor="c1", max_hops=3)
+
+
+ORACLE_TRADE_TEMPORAL_REACH = """
+WITH p AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst,
+                  CAST(epoch(o_orderdate) AS BIGINT) AS t
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (SELECT src, dst, t FROM p UNION ALL SELECT dst, src, t FROM p),
+l0 AS (SELECT 'c1' AS id, CAST(-(1::BIGINT << 62) AS BIGINT) AS arrival,
+              0 AS hops),
+l1 AS (
+  SELECT e.dst AS id, MIN(e.t) AS arrival, 1 AS hops
+  FROM l0 JOIN e ON e.src = l0.id AND e.t > l0.arrival GROUP BY e.dst
+),
+l2 AS (
+  SELECT e.dst AS id, MIN(e.t) AS arrival, 2 AS hops
+  FROM l1 JOIN e ON e.src = l1.id AND e.t > l1.arrival GROUP BY e.dst
+),
+l3 AS (
+  SELECT e.dst AS id, MIN(e.t) AS arrival, 3 AS hops
+  FROM l2 JOIN e ON e.src = l2.id AND e.t > l2.arrival GROUP BY e.dst
+),
+u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+m AS (SELECT id, MIN(arrival) AS arrival FROM u GROUP BY id)
+SELECT u.id, CAST(m.arrival AS BIGINT) AS arrival,
+       CAST(MIN(u.hops) AS INTEGER) AS hops
+FROM u JOIN m ON m.id = u.id AND m.arrival = u.arrival
+WHERE u.id <> 'c1'
+GROUP BY u.id, m.arrival
+"""
+
+
 def _dot64(x: str, y: str) -> str:
     return (
         f"list_sum(list_transform(range(64), i -> "
@@ -1273,6 +1414,8 @@ EXTRA_QUERIES = {
     "supplier_pagerank": q_supplier_pagerank,
     "trade_graph_degrees": q_trade_graph_degrees,
     "trade_trust_from_anchor": q_trade_trust_from_anchor,
+    "trade_kcore": q_trade_kcore,
+    "trade_temporal_reach": q_trade_temporal_reach,
     "ivf_topk": q_ivf_topk,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
@@ -1302,6 +1445,8 @@ EXTRA_ORACLES = {
     "supplier_pagerank": ORACLE_SUPPLIER_PAGERANK,
     "trade_graph_degrees": ORACLE_TRADE_GRAPH_DEGREES,
     "trade_trust_from_anchor": ORACLE_TRADE_TRUST_FROM_ANCHOR,
+    "trade_kcore": ORACLE_TRADE_KCORE,
+    "trade_temporal_reach": ORACLE_TRADE_TEMPORAL_REACH,
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,

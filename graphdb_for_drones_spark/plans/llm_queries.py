@@ -525,6 +525,72 @@ FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_label_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level (multi-vector) retrieval: treat each label's vectors
+    as one multi-vector document and score it by MaxSim — the MAX cosine
+    between the query and any member vector (the single-query-vector
+    case of ColBERT late interaction; Khattab & Zaharia, SIGIR 2020) —
+    returning the top-5 labels with their best-matching member.
+
+    One scan, one partial-aggregated groupBy(label): max over rounded
+    cosines with min-vec_id tiebreak via a struct max (vec_id negated
+    inside the struct so the max picks the smallest id).  `+ 0.0`
+    normalizes a possible -0.0 from rounding so both engines hash the
+    same bits."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    score = F.round(S.cosine(F.col("embedding"), S._vec_lit(q)), 6) + F.lit(
+        0.0
+    )
+    best = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("label", "vec_id", score.alias("__s"))
+        .groupBy("label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__s").alias("s"), (-F.col("vec_id")).alias("nv")
+                )
+            ).alias("b")
+        )
+        .select(
+            "label",
+            (-F.col("b.nv")).alias("best_vec"),
+            F.col("b.s").alias("max_cosine"),
+        )
+    )
+    return best.orderBy(F.desc("max_cosine"), F.asc("label")).limit(5)
+
+
+ORACLE_LABEL_MAXSIM_TOPK = """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+s AS (
+  SELECT e.vec_id, ANY_VALUE(e.label) AS label,
+         ROUND(SUM(e.v * q.v) / (sqrt(SUM(e.v * e.v)) * sqrt(SUM(q.v * q.v))), 6)
+           + 0.0 AS cosine
+  FROM e JOIN q USING (i) GROUP BY e.vec_id
+),
+m AS (SELECT label, MAX(cosine) AS max_cosine FROM s GROUP BY label),
+b AS (
+  SELECT s.label, MIN(s.vec_id) AS best_vec, m.max_cosine
+  FROM s JOIN m ON m.label = s.label AND s.cosine = m.max_cosine
+  GROUP BY s.label, m.max_cosine
+)
+SELECT label, best_vec, max_cosine FROM b
+ORDER BY max_cosine DESC, label ASC LIMIT 5
+"""
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ 0.3, blocked by label (the
     blocking key stands in for an LSH bucket: per-block join, never
@@ -959,6 +1025,7 @@ LLM_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_lang_id": q_doc_lang_id,
     "embedding_topk": q_embedding_topk,
+    "label_maxsim_topk": q_label_maxsim_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
@@ -983,6 +1050,7 @@ LLM_ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "label_maxsim_topk": ORACLE_LABEL_MAXSIM_TOPK,
     "embedding_near_pairs": ORACLE_EMBEDDING_NEAR_PAIRS,
     "minhash_pairs_md5": ORACLE_MINHASH_PAIRS_MD5,
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,

@@ -584,3 +584,36 @@ def test_chunk_and_top_ngram_match_python_reference_on_random_texts(spark):
         assert got2[k][0] == expect2[k][0], (k, got2[k], expect2[k])
         assert got2[k][1] == expect2[k][1], (k, got2[k], expect2[k])
         assert abs(got2[k][2] - expect2[k][2]) < 1e-12
+
+
+def test_equal_frequency_bins_matches_rank_formula(spark):
+    # 12 rows, k=10: bins must follow rank*10 DIV 12 exactly under the
+    # (value, id) total order — including duplicate values split across
+    # a bin boundary by the id tiebreak
+    rows = [(f"d{i:02d}", (i * 7) % 5) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id string, v long")
+    got = {
+        r.doc_id: r.bin
+        for r in curation.equal_frequency_bins(df, "v", "doc_id", k=10).collect()
+    }
+    ranked = sorted(rows, key=lambda t: (t[1], t[0]))
+    expect = {doc: (i * 10) // 12 for i, (doc, _) in enumerate(ranked)}
+    assert got == expect
+
+
+def test_equal_frequency_bins_balanced_sizes(spark):
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", i % 17) for i in range(105)], "doc_id string, v long"
+    )
+    out = curation.equal_frequency_bins(df, "v", "doc_id", k=10).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.bin] = sizes.get(r.bin, 0) + 1
+    # equal-frequency: every bin within 1 of every other, all 10 present
+    assert set(sizes) == set(range(10))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_equal_frequency_bins_empty(spark):
+    df = spark.createDataFrame([], "doc_id string, v long")
+    assert curation.equal_frequency_bins(df, "v", "doc_id", k=10).count() == 0

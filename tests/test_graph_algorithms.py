@@ -177,3 +177,101 @@ def test_trust_propagation_fixed_depth_equals_early_exit(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_k_core_cascading_peel(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import k_core
+
+    # path A-B-C-D-E plus triangle X-Y-Z sharing node A via A-X.
+    # 2-core: the path peels end-in (E, then D, then C, then B, then
+    # A drops below 2 once X is its only neighbor... A-X also dies),
+    # leaving exactly the triangle — a CASCADE needing several rounds.
+    e = edges_df(
+        spark,
+        [
+            ("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"),
+            ("X", "Y"), ("Y", "Z"), ("Z", "X"), ("A", "X"),
+        ],
+    )
+    core = {r.id: r.core_degree for r in k_core(e, k=2).collect()}
+    assert core == {"X": 2, "Y": 2, "Z": 2}
+
+
+def test_k_core_empty_and_full(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import k_core
+
+    tri = edges_df(spark, [("X", "Y"), ("Y", "Z"), ("Z", "X")])
+    # k above the max degree → empty core
+    assert k_core(tri, k=3).count() == 0
+    # whole graph already a 2-core → survives intact (fixpoint round 0)
+    core = {r.id: r.core_degree for r in k_core(tri, k=2).collect()}
+    assert core == {"X": 2, "Y": 2, "Z": 2}
+
+
+def test_k_core_parallel_edges_and_self_loops_collapse(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import k_core
+
+    # degree counts DISTINCT neighbors: duplicates/reversed duplicates
+    # and self-loops must not inflate it past k
+    e = edges_df(
+        spark,
+        [("A", "B"), ("B", "A"), ("A", "B"), ("A", "A"), ("B", "B")],
+    )
+    assert k_core(e, k=2).count() == 0
+    core = {r.id: r.core_degree for r in k_core(e, k=1).collect()}
+    assert core == {"A": 1, "B": 1}
+
+
+def _tedges(spark, triples):
+    return spark.createDataFrame(
+        triples, "src string, dst string, ts long"
+    ).coalesce(1).localCheckpoint()
+
+
+def test_temporal_reach_respects_time(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        temporal_reach,
+    )
+
+    # A->B at t=5; B->C departs at t=3 (BEFORE arrival at B) → C is NOT
+    # reachable through it; B->D at t=7 is.
+    e = _tedges(spark, [("A", "B", 5), ("B", "C", 3), ("B", "D", 7)])
+    got = {r.id: (r.arrival, r.hops) for r in temporal_reach(e, "A", 3).collect()}
+    assert got == {"B": (5, 1), "D": (7, 2)}
+
+
+def test_temporal_reach_earliest_arrival_dominates(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        temporal_reach,
+    )
+
+    # two routes to B: direct at t=10, via X arriving t=4; the earlier
+    # arrival opens the B->C edge at t=6 that the direct route misses
+    e = _tedges(
+        spark,
+        [("A", "B", 10), ("A", "X", 2), ("X", "B", 4), ("B", "C", 6)],
+    )
+    got = {r.id: (r.arrival, r.hops) for r in temporal_reach(e, "A", 3).collect()}
+    assert got["B"] == (4, 2)
+    assert got["C"] == (6, 3)
+    assert got["X"] == (2, 1)
+
+
+def test_temporal_reach_hop_bound_and_tiebreak(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        temporal_reach,
+    )
+
+    e = _tedges(
+        spark,
+        [("A", "B", 1), ("B", "C", 2), ("C", "D", 3), ("A", "C", 2)],
+    )
+    got = {r.id: (r.arrival, r.hops) for r in temporal_reach(e, "A", 2).collect()}
+    # C reachable at arrival 2 both via 1 hop (A->C) and 2 hops
+    # (A->B->C): min hops at equal arrival
+    assert got["C"] == (2, 1)
+    # D rides the 2-hop A->C->D continuation (arrival 3)
+    assert got["D"] == (3, 2)
+    # with the hop bound at 1 only the direct neighbors remain
+    got1 = {r.id: (r.arrival, r.hops) for r in temporal_reach(e, "A", 1).collect()}
+    assert got1 == {"B": (1, 1), "C": (2, 1)}
