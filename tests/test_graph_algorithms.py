@@ -275,3 +275,92 @@ def test_temporal_reach_hop_bound_and_tiebreak(spark):
     # with the hop bound at 1 only the direct neighbors remain
     got1 = {r.id: (r.arrival, r.hops) for r in temporal_reach(e, "A", 1).collect()}
     assert got1 == {"B": (1, 1), "C": (2, 1)}
+
+
+def test_k_core_matches_python_reference_on_random_graphs(spark):
+    """Differential: engine k-core vs brute-force peeling on seeded
+    random graphs across several densities and k values."""
+    import random
+
+    from graphdb_for_drones_spark.operators.graph_algorithms import k_core
+
+    rng = random.Random(99)
+    for trial, (n, m) in enumerate([(12, 18), (20, 40), (25, 90)]):
+        pairs = set()
+        while len(pairs) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                pairs.add((f"n{min(a,b)}", f"n{max(a,b)}"))
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        e = edges_df(spark, sorted(pairs))
+        for k in (2, 3, 4):
+            alive = set(adj)
+            while True:
+                nxt = {
+                    u for u in alive
+                    if sum(1 for v in adj[u] if v in alive) >= k
+                }
+                if nxt == alive:
+                    break
+                alive = nxt
+            expect = {
+                u: sum(1 for v in adj[u] if v in alive)
+                for u in alive
+                if sum(1 for v in adj[u] if v in alive) > 0
+            }
+            # brute-force peel keeps isolated survivors only if deg>=k,
+            # so every surviving node has core_degree >= k > 0
+            got = {r.id: r.core_degree for r in k_core(e, k=k).collect()}
+            assert got == expect, (trial, k)
+
+
+def test_temporal_reach_matches_python_reference_on_random_graphs(spark):
+    """Differential: engine earliest-arrival reachability vs a
+    label-correcting Python reference on seeded random temporal
+    graphs (multi-edges, cycles, duplicate timestamps)."""
+    import random
+
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        temporal_reach,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n, m, hops = [(10, 30, 3), (14, 60, 4), (8, 40, 2)][trial]
+        triples = [
+            (
+                f"n{rng.randrange(n)}",
+                f"n{rng.randrange(n)}",
+                rng.randrange(1, 20),
+            )
+            for _ in range(m)
+        ]
+        triples = [(a, b, t) for a, b, t in triples if a != b]
+        anchor = "n0"
+        # reference: BFS layers keeping (node -> min arrival, hops of
+        # the earliest-arrival path with min-hop tiebreak)
+        best = {anchor: (-(1 << 62), 0)}
+        frontier = {anchor: (-(1 << 62), 0)}
+        for _ in range(hops):
+            nxt = {}
+            for a, b, t in triples:
+                if a in frontier and t > frontier[a][0]:
+                    cand = (t, frontier[a][1] + 1)
+                    if b not in nxt or cand < nxt[b]:
+                        nxt[b] = cand
+            for node, cand in nxt.items():
+                if node not in best or cand < best[node]:
+                    best[node] = cand
+            frontier = nxt
+        expect = {
+            node: v for node, v in best.items() if node != anchor
+        }
+        e = _tedges(spark, triples)
+        got = {
+            r.id: (r.arrival, r.hops)
+            for r in temporal_reach(e, anchor, hops).collect()
+        }
+        assert got == expect, trial
