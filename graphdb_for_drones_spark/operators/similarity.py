@@ -666,3 +666,158 @@ def ivf_open(
         cents = kmeans_centroids(embeddings, k, iters, seed, id_col, vec_col)
         ivf_write(ivf_index(embeddings, cents, id_col, vec_col), cents, path)
     return ivf_read(spark, path)
+
+
+# --------------------------------------------------------------------- #
+# Product quantization (PQ) — compressed-code ANN for the 100 TB path
+# --------------------------------------------------------------------- #
+
+
+def _micro(x: Column) -> Column:
+    """Nonnegative double → integer micro-units via floor(x·1e6 + 0.5):
+    the one rounding function every engine (and Python) computes the
+    same way — half-up without banker's ambiguity — so distances become
+    EXACT integers and every downstream sum/argmin is order-independent
+    and driver-hash-checkable."""
+    return F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic PQ codebooks by seeded sampling (Jégou, Douze,
+    Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011): the ``ksub`` vectors with the smallest ``md5("{id}:{seed}")``
+    digest (id tiebreak — kmeans_centroids' sampling rule) supply ALL
+    ``m`` subspace codebooks; sub-codeword ``c`` of subspace ``j`` is
+    sample ``c``'s j-th subvector.  One shared sample keeps the SQL twin
+    one ORDER BY instead of m; Lloyd refinement per subspace would reuse
+    ``kmeans_centroids`` on the sliced columns if recall demanded it.
+
+    Returns ``codebooks[j][c] = [float64]*dsub`` (dsub = dim/m), with
+    codeword order = ascending digest — the argmin tiebreak order."""
+    rk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    init = (
+        embeddings.select(F.col(id_col), F.col(vec_col), rk.alias("rk"))
+        .orderBy("rk", id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if not init:
+        raise ValueError("pq_codebooks: empty input")
+    dim = len(init[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [
+            [float(v) for v in r[vec_col][j * dsub : (j + 1) * dsub]]
+            for r in init
+        ]
+        for j in range(m)
+    ]
+
+
+def _sub_sq_dist(sub_col: Column, codeword: list) -> Column:
+    """Σ (xᵢ−cᵢ)² as a left-to-right fold over one subvector, in
+    integer micro-units."""
+    return _micro(
+        F.aggregate(
+            F.zip_with(
+                sub_col,
+                F.array(*[F.lit(float(c)) for c in codeword]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the
+    nearest sub-codeword by squared L2 (micro-unit ints; first-index
+    tiebreak via array_position-of-min).  Returns (id, code_0..code_m-1
+    int) — m bytes of information per vector standing in for dim·4:
+    the compression that lets a 100 TB corpus' index live in RAM.
+
+    Plan shape: subvector slices are STAGED as named columns behind a
+    select boundary (the lambda-CSE rule — each slice is referenced
+    ksub times), then every distance/argmin is pure codegen; one scan,
+    no shuffle, no Python."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    staged = df.select(
+        F.col(id_col),
+        *[
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(f"__s{j}")
+            for j in range(m)
+        ],
+    )
+    cols = [F.col(id_col)]
+    for j in range(m):
+        dists = F.array(
+            *[_sub_sq_dist(F.col(f"__s{j}"), cw) for cw in codebooks[j]]
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        cols.append(code.alias(f"code_{j}"))
+    return staged.select(*cols)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's
+    per-(subspace, codeword) squared distances become an m×ksub lookup
+    table of micro-unit ints (computed driver-side — the same
+    left-to-right fold and floor(x·1e6+0.5) as the encode path), and a
+    row's approximate distance is the Σ over subspaces of its codeword's
+    table cell — integer adds, order-independent, hash-checkable.
+
+    At scale the scan reads ONLY the m code bytes per row (here codes
+    are computed inline from the raw vectors; a materialized variant
+    would persist ``pq_encode``'s output like ``ivf_write``).  Returns
+    (id, adist long) ordered by (adist, id), ascending."""
+    import math as _math
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError("query dim mismatch")
+    dt = []
+    for j in range(m):
+        row = []
+        for cw in codebooks[j]:
+            acc = 0.0
+            for i in range(dsub):
+                d = float(query_vec[j * dsub + i]) - cw[i]
+                acc = acc + d * d
+            row.append(int(_math.floor(acc * 1_000_000.0 + 0.5)))
+        dt.append(row)
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    adist = None
+    for j in range(m):
+        cell = F.element_at(
+            F.array(*[F.lit(v) for v in dt[j]]), F.col(f"code_{j}") + 1
+        )
+        adist = cell if adist is None else adist + cell
+    return (
+        codes.select(F.col(id_col), adist.cast("long").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )

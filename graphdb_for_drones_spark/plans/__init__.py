@@ -103,6 +103,7 @@ _GATE_FIRST = [
     "trade_temporal_reach",
     "doc_difficulty_deciles",
     "label_maxsim_topk",
+    "pq_adc_topk",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -591,6 +591,80 @@ ORDER BY max_cosine DESC, label ASC LIMIT 5
 """
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_codebooks /
+    pq_adc_topk): 64-dim vectors → 8 subspaces × 16 sampled codewords,
+    asymmetric-distance top-10 for the vec_id=0 query.  PQ is the
+    100 TB memory path — 8 code bytes stand in for 256 vector bytes at
+    scan time.  Every distance is floor(x·1e6+0.5) integer micro-units,
+    argmin tiebreaks are first-codeword, and the ADC sum is integer —
+    so the whole approximate index construction is driver-hash-checked
+    (the IVF treatment, applied to PQ)."""
+    from graphdb_for_drones_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    data = cat.embeddings.filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in cat.embeddings.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    books = pq_codebooks(data, m=8, ksub=16, seed=42)
+    return pq_adc_topk(data, q, books, k=10)
+
+
+def _pq_oracle_sql(m: int = 8, ksub: int = 16, seed: int = 42) -> str:
+    dsub = 64 // m
+    sq = (
+        f"(CAST(e.embedding[j*{dsub}+i+1] AS DOUBLE)"
+        f" - CAST(s.embedding[j*{dsub}+i+1] AS DOUBLE))"
+    )
+    qsq = (
+        f"(CAST(q.embedding[j*{dsub}+i+1] AS DOUBLE)"
+        f" - CAST(s.embedding[j*{dsub}+i+1] AS DOUBLE))"
+    )
+    return f"""
+WITH smp AS (
+  SELECT embedding, ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS c
+  FROM (
+    SELECT vec_id, embedding,
+           md5(CAST(vec_id AS VARCHAR) || ':{seed}') AS rk
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY rk, vec_id LIMIT {ksub}
+  )
+),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+enc0 AS (
+  SELECT e.vec_id, t.j, s.c,
+    CAST(FLOOR(list_sum(list_transform(range({dsub}), i ->
+      {sq} * {sq})) * 1000000.0 + 0.5) AS BIGINT) AS d
+  FROM e CROSS JOIN smp s CROSS JOIN range({m}) t(j)
+),
+-- argmin with first-codeword tiebreak as ONE integer min: c < {ksub},
+-- so MIN(d*{ksub}+c) is the lexicographic (d, c) minimum
+codes AS (
+  SELECT vec_id, j, CAST(MIN(d * {ksub} + c) % {ksub} AS INTEGER) AS code
+  FROM enc0 GROUP BY vec_id, j
+),
+qd AS (
+  SELECT t.j, s.c,
+    CAST(FLOOR(list_sum(list_transform(range({dsub}), i ->
+      {qsq} * {qsq})) * 1000000.0 + 0.5) AS BIGINT) AS d
+  FROM q CROSS JOIN smp s CROSS JOIN range({m}) t(j)
+)
+SELECT codes.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adist
+FROM codes JOIN qd ON qd.j = codes.j AND qd.c = codes.code
+GROUP BY codes.vec_id
+ORDER BY adist ASC, vec_id ASC LIMIT 10
+"""
+
+
+ORACLE_PQ_ADC_TOPK = _pq_oracle_sql()
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ 0.3, blocked by label (the
     blocking key stands in for an LSH bucket: per-block join, never
@@ -1026,6 +1100,7 @@ LLM_QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "embedding_topk": q_embedding_topk,
     "label_maxsim_topk": q_label_maxsim_topk,
+    "pq_adc_topk": q_pq_adc_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
@@ -1051,6 +1126,7 @@ LLM_ORACLES = {
     "doc_lang_id": ORACLE_DOC_LANG_ID,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "label_maxsim_topk": ORACLE_LABEL_MAXSIM_TOPK,
+    "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "embedding_near_pairs": ORACLE_EMBEDDING_NEAR_PAIRS,
     "minhash_pairs_md5": ORACLE_MINHASH_PAIRS_MD5,
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,

@@ -243,3 +243,115 @@ def test_ivf_persisted_index_roundtrip(spark, tmp_path, monkeypatch):
     probe = idx2.filter(idx2.cluster.isin([int(cents1[0][0])]))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_pq_encode_codes_valid_and_deterministic(vectors):
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    df, _ = vectors
+    books = sim.pq_codebooks(df, m=4, ksub=8, seed=5)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    codes = sim.pq_encode(df, books).collect()
+    assert len(codes) == N
+    for r in codes:
+        for j in range(4):
+            assert 0 <= r[f"code_{j}"] < 8
+    # partitioning must not change a single code (pure projection)
+    again = sim.pq_encode(df.repartition(16), books).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+
+def test_pq_sampled_vector_encodes_to_itself(vectors):
+    # a vector that IS sample c has squared distance exactly 0 to its
+    # own subvectors, so every subspace code points at it (or an exact
+    # duplicate earlier in codeword order)
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    df, _ = vectors
+    books = sim.pq_codebooks(df, m=4, ksub=8, seed=5)
+    rk = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":5")))
+    sample = (
+        df.select("vec_id", "embedding", rk.alias("rk"))
+        .orderBy("rk", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    codes = {
+        r.vec_id: [r[f"code_{j}"] for j in range(4)]
+        for r in sim.pq_encode(df, books).collect()
+    }
+    for c, row in enumerate(sample):
+        got = codes[row.vec_id]
+        for j in range(4):
+            # distance 0 is the global min; first-index tiebreak may
+            # pick an earlier codeword only if ALSO at distance 0
+            assert books[j][got[j]] == [
+                float(v) for v in row.embedding[j * 4 : (j + 1) * 4]
+            ] or got[j] == c
+
+
+def test_pq_adc_self_query_hits_itself(vectors):
+    # querying WITH a sampled vector: its own code cells are all 0, so
+    # its adist is exactly 0 and it ranks first (id tiebreak)
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    df, _ = vectors
+    books = sim.pq_codebooks(df, m=4, ksub=8, seed=5)
+    rk = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":5")))
+    row0 = (
+        df.select("vec_id", "embedding", rk.alias("rk"))
+        .orderBy("rk", "vec_id")
+        .first()
+    )
+    q = [float(v) for v in row0.embedding]
+    top = sim.pq_adc_topk(df, q, books, k=3).collect()
+    assert top[0].vec_id == row0.vec_id
+    assert top[0].adist == 0
+
+
+def test_pq_adc_orders_like_exact_l2_on_separated_data(spark):
+    # 3 tight planted clusters around orthogonal axes: ADC must rank
+    # the query's own cluster ahead of the others even with tiny
+    # codebooks (inter-cluster distance >> quantization error)
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for cl in range(3):
+        base = np.zeros(8, dtype=np.float32)
+        base[cl] = 10.0
+        for i in range(12):
+            v = base + rng.randn(8).astype(np.float32) * 0.05
+            rows.append((cl * 100 + i, [float(x) for x in v], cl))
+    schema = StructType(
+        [
+            StructField("vec_id", IntegerType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).localCheckpoint()
+    books = sim.pq_codebooks(df, m=2, ksub=8, seed=7)
+    q = rows[0][1]  # a cluster-0 member
+    top = sim.pq_adc_topk(df, q, books, k=12).collect()
+    assert all(r.vec_id < 100 for r in top), [r.vec_id for r in top]
+
+
+def test_pq_rejects_bad_shapes(vectors):
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    df, _ = vectors
+    with pytest.raises(ValueError):
+        sim.pq_codebooks(df, m=5)  # 16 % 5 != 0
+    books = sim.pq_codebooks(df, m=4, ksub=8)
+    with pytest.raises(ValueError):
+        sim.pq_adc_topk(df, [0.0] * 7, books)
