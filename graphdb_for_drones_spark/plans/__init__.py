@@ -104,6 +104,8 @@ _GATE_FIRST = [
     "doc_difficulty_deciles",
     "label_maxsim_topk",
     "pq_adc_topk",
+    "user_funnel_counts",
+    "user_retention_cohorts",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

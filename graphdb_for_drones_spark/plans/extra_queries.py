@@ -713,6 +713,102 @@ GROUP BY u.id, m.arrival
 """
 
 
+def q_user_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users progressing view → click →
+    purchase with STRICTLY increasing event times (the product-
+    analytics conversion funnel; a MATCH_RECOGNIZE-lite as three
+    chained earliest-completion aggregations).  Stage k's timestamp is
+    the MIN event time of its type AFTER stage k-1's — each stage is
+    one partial-aggregated groupBy plus one broadcastable join against
+    the shrinking per-user stage table, so the funnel depth costs
+    linear passes, never a per-user sort.  Returns (stage, n_users)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+
+    def stage_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ms") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ms").alias("t"))
+        )
+
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t"))
+    )
+    t2 = stage_after(t1, "click")
+    t3 = stage_after(t2, "purchase")
+    stages = (
+        t1.select(F.lit(1).alias("stage"), "user_id")
+        .unionByName(t2.select(F.lit(2).alias("stage"), "user_id"))
+        .unionByName(t3.select(F.lit(3).alias("stage"), "user_id"))
+    )
+    return stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+ORACLE_USER_FUNNEL_COUNTS = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+t1 AS (
+  SELECT user_id, MIN(ms) AS t FROM e WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ms) AS t FROM e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ms > t1.t GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ms) AS t FROM e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ms > t2.t GROUP BY 1
+),
+u AS (
+  SELECT 1 AS stage, user_id FROM t1
+  UNION ALL SELECT 2, user_id FROM t2
+  UNION ALL SELECT 3, user_id FROM t3
+)
+SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_users
+FROM u GROUP BY stage
+"""
+
+
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day (epoch
+    days — integer arithmetic, timezone-free), distinct active users
+    per (cohort_day, day offset) — the classic retention triangle.
+    One min-aggregation for cohorts, one broadcast join back, one
+    grouped COUNT DISTINCT; all shuffles keyed on bounded-cardinality
+    (day, offset) keys."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "user_id", F.expr("unix_millis(ts) DIV 86400000").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset")
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+ORACLE_USER_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+SELECT c.cohort_day, e.day - c.cohort_day AS offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def _dot64(x: str, y: str) -> str:
     return (
         f"list_sum(list_transform(range(64), i -> "
@@ -1382,6 +1478,8 @@ EXTRA_QUERIES = {
     "trade_trust_from_anchor": q_trade_trust_from_anchor,
     "trade_kcore": q_trade_kcore,
     "trade_temporal_reach": q_trade_temporal_reach,
+    "user_funnel_counts": q_user_funnel_counts,
+    "user_retention_cohorts": q_user_retention_cohorts,
     "ivf_topk": q_ivf_topk,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
@@ -1413,6 +1511,8 @@ EXTRA_ORACLES = {
     "trade_trust_from_anchor": ORACLE_TRADE_TRUST_FROM_ANCHOR,
     "trade_kcore": ORACLE_TRADE_KCORE,
     "trade_temporal_reach": ORACLE_TRADE_TEMPORAL_REACH,
+    "user_funnel_counts": ORACLE_USER_FUNNEL_COUNTS,
+    "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
