@@ -794,6 +794,159 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 query retrieval: the top-``k`` documents for a bag of query
+    terms under Okapi BM25 (Robertson & Zaragoza 2009) —
+    idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) summed over matched
+    terms, idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Determinism: per-term weights are rounded to 9 dp and summed as
+    DECIMAL(28,10) (order-independent — the repo's float-aggregate
+    convention), the document score is rounded to 6 dp, and the top-k
+    order is (score DESC, doc_id ASC); the only libm call (``ln``) sits
+    before the 9-dp rounding, which absorbs sub-ulp engine differences.
+
+    Scale shape: ONE corpus scan carries per-doc length through the
+    explode, the ``term IN (...)`` filter prunes the exploded stream to
+    query terms before any shuffle (a handful of keys), term df is a
+    COUNT window over the tf rows (no join-back), and the one-row
+    (N, Σdl) corpus aggregate binds via crossJoin(broadcast) — the
+    constant-cost scalar-bind idiom (plan-shape whitelisted).  Top-k is
+    a TakeOrdered, never a full sort.
+    """
+    from graphdb_for_drones_spark.operators.text import tokens
+
+    terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("bm25_topk: empty query_terms")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__w"),
+    )
+    matched = staged.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("dl"),
+        F.explode("__w").alias("term"),
+    ).filter(F.col("term").isin(*terms))
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    docf = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    stats = staged.select(F.size("__w").cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+        F.sum("dl").alias("total_dl"),
+    )
+    avgdl = F.col("total_dl") * F.lit(1.0) / F.col("n_corpus")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_corpus") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    wgt = idf * (
+        (F.col("tf") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("dl") / avgdl)
+        )
+    )
+    per_doc = (
+        tf.withColumn("df", docf)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum(F.round(wgt, 9).cast("decimal(28,10)")).alias("__s"),
+        )
+    )
+    score = F.round(F.col("__s").cast("double"), 6)
+    return (
+        per_doc.select("doc_id", "n_terms_matched", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-bigram-LM fluency score per document (the CCNet /
+    perplexity-filter shape, Wenzek et al. 2020, with the corpus itself
+    as the LM): estimate P(w2|w1) = c(w1 w2) / Σₓ c(w1 x) from corpus
+    bigram counts, and score each document by the MEAN conditional
+    probability over its bigram occurrences — low-fluency (rare-
+    transition) documents score near 0, formulaic ones near 1.
+
+    Arithmetic-mean-of-rationals instead of log-perplexity: every P is
+    ONE IEEE division of exact integers (engine-identical, no libm),
+    summed as 9-dp DECIMAL(28,10) (order-independent), divided by the
+    bigram count, rounded to 6 dp — fully driver-hash-checkable.
+
+    Scale shape: bigrams stream through xxhash64 keys (the string-free
+    discipline; the SQL twin counts bigram STRINGS — equal modulo
+    64-bit collisions, the ngram_jaccard contract).  Corpus counts are
+    COUNT windows over the occurrence stream on (bigram) and (prefix)
+    keys — two shuffles, no join-back, hot keys spill through the
+    count-only window reducer (the dup_span precedent).  Zero-bigram
+    docs surface with n_bigrams=0, fluency=0.0 via the left join
+    (ANSI-safe: no division ever sees them).
+    """
+    from graphdb_for_drones_spark.operators.text import tokens
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__w"),
+    )
+    w = F.col("__w")
+    # slice length greatest(n-1, 0) makes 0/1-token docs yield [] (ANSI-
+    # safe: slice never sees a negative length) without a typed empty-
+    # array branch
+    shift = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, shift),
+        F.slice(w, 2, shift),
+        lambda a, c: F.struct(
+            F.xxhash64(a).alias("h1"), F.xxhash64(a, c).alias("h12")
+        ),
+    )
+    ex = staged.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.h1", "p.h12"
+    )
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("h12"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("h1"))
+    prob = F.col("c2") * F.lit(1.0) / F.col("c1")
+    per = (
+        ex.withColumn("c2", c2)
+        .withColumn("c1", c1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.round(prob, 9).cast("decimal(28,10)")).alias("__s"),
+        )
+    )
+    fluency = F.round(
+        F.col("__s").cast("double") / F.col("n_bigrams"), 6
+    )
+    return staged.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+            "n_bigrams"
+        ),
+        F.coalesce(fluency, F.lit(0.0)).alias("fluency"),
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     prob_col: Column,

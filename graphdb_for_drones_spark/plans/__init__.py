@@ -106,6 +106,11 @@ _GATE_FIRST = [
     "pq_adc_topk",
     "user_funnel_counts",
     "user_retention_cohorts",
+    # Session additions filling the last window slot (50 of 50).  The
+    # two sibling entries added alongside it (`doc_lm_fluency`,
+    # `ann_recall_at_k`) are local-replica-green and queue for the r6
+    # rotation:
+    "doc_bm25_topk",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -834,6 +834,101 @@ FROM r GROUP BY 1
 """
 
 
+# BM25 query-term bag for the retrieval entry: three mid-frequency terms
+# plus one rare ('dup', df ≈ 26 at sf0.01) so idf spread is exercised
+BM25_TERMS = ("vector", "join", "dup", "stream")
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/curation.bm25_topk): top-10 documents
+    for a 4-term query under Okapi BM25 with k1=1.2, b=0.75.  The
+    classic sparse-retrieval scorer a RAG / eval-harness pipeline runs
+    beside the dense (cosine/IVF/PQ) entries; per-term weights are
+    9-dp-rounded and decimal-summed so the one libm call (ln) never
+    reaches the driver hash."""
+    cat = Catalog(spark, sf_dir)
+    return curation.bm25_topk(cat.documents, BM25_TERMS, k=10)
+
+
+ORACLE_DOC_BM25_TOPK = rf"""
+WITH d AS (
+  SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS w FROM documents
+),
+st AS (
+  SELECT COUNT(*) AS n_corpus, SUM(len(w)) AS total_dl FROM d
+),
+t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+m AS (
+  SELECT doc_id, dl, term FROM t
+  WHERE term IN ('vector', 'join', 'dup', 'stream')
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+  FROM m GROUP BY 1, 2
+),
+sc AS (
+  SELECT doc_id, term, tf, dl, COUNT(*) OVER (PARTITION BY term) AS df
+  FROM tf
+),
+wg AS (
+  SELECT doc_id,
+    ln(1.0 + (st.n_corpus - df + 0.5) / (df + 0.5))
+      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+          / (st.total_dl * 1.0 / st.n_corpus))) AS wgt
+  FROM sc CROSS JOIN st
+)
+SELECT doc_id, COUNT(*) AS n_terms_matched,
+       ROUND(CAST(SUM(CAST(ROUND(wgt, 9) AS DECIMAL(28,10))) AS DOUBLE), 6)
+         AS bm25
+FROM wg GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_doc_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM fluency per document
+    (operators/curation.bigram_lm_scores): mean P(w2|w1) over each
+    document's bigram occurrences, with the corpus itself as the LM —
+    the perplexity-filter shape (CCNet) in exact rational arithmetic.
+    Engine counts xxhash64 bigram keys, oracle counts bigram strings —
+    equal modulo 64-bit collisions (the ngram_jaccard contract)."""
+    cat = Catalog(spark, sf_dir)
+    return curation.bigram_lm_scores(cat.documents)
+
+
+ORACLE_DOC_LM_FLUENCY = rf"""
+WITH d AS (
+  SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS w FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 2 THEN []
+              ELSE [w[i+1] for i in range(len(w)-1)] END AS p1,
+         CASE WHEN len(w) < 2 THEN []
+              ELSE [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]
+         END AS bg
+  FROM d
+),
+ex AS (SELECT doc_id, unnest(p1) AS w1, unnest(bg) AS g FROM b),
+cc AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY g) AS c2,
+         COUNT(*) OVER (PARTITION BY w1) AS c1
+  FROM ex
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CAST(ROUND(c2 * 1.0 / c1, 9) AS DECIMAL(28,10)))
+              AS DOUBLE) AS s
+  FROM cc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(ROUND(per.s / per.n_bigrams, 6), 0.0) AS fluency
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -852,6 +947,8 @@ CURATION_QUERIES = {
     "doc_chunk_stats": q_doc_chunk_stats,
     "curation_pipeline_stats": q_curation_pipeline_stats,
     "doc_difficulty_deciles": q_doc_difficulty_deciles,
+    "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_lm_fluency": q_doc_lm_fluency,
 }
 
 CURATION_ORACLES = {
@@ -871,4 +968,6 @@ CURATION_ORACLES = {
     "doc_chunk_stats": ORACLE_DOC_CHUNK_STATS,
     "curation_pipeline_stats": ORACLE_CURATION_PIPELINE_STATS,
     "doc_difficulty_deciles": ORACLE_DOC_DIFFICULTY_DECILES,
+    "doc_bm25_topk": ORACLE_DOC_BM25_TOPK,
+    "doc_lm_fluency": ORACLE_DOC_LM_FLUENCY,
 }

@@ -948,6 +948,60 @@ ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
 ORACLE_IVF_TOPK = _ivf_kmeans_oracle_sql()
 
 
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index EVALUATION: recall@10 of the 2-probe IVF search against
+    brute-force cosine top-10 for the vec_id=0 query — the accuracy
+    metric an ANN deployment tunes n_probe against (recall/latency
+    trade-off).  Both legs are existing catalog machinery (the
+    materialized IVF index and the codegen cosine scan); the score is
+    one integer intersection count and one division — hash-exact.
+
+    At 100 TB this is the OFFLINE eval loop: sample queries, run both
+    legs, aggregate recall; here one query keeps the oracle twin (the
+    unrolled-k-means SQL joined against the exact-scan SQL) tractable."""
+    from graphdb_for_drones_spark.operators.similarity import cosine_topk
+
+    cat = Catalog(spark, sf_dir)
+    idx, centroids = _ivf_open_for_sf(spark, sf_dir)
+    q = [
+        float(v)
+        for v in cat.embeddings.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    approx = ivf_search(idx, centroids, q, k=10, n_probe=2).select("vec_id")
+    exact = cosine_topk(
+        cat.embeddings.filter(F.col("vec_id") != 0), q, k=10
+    ).select("vec_id")
+    hits = approx.join(exact, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).alias("k"),
+        F.lit(2).alias("n_probe"),
+        "n_hits",
+        (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+    )
+
+
+def _ann_recall_oracle_sql() -> str:
+    # both legs reused verbatim as parenthesized WITH-subqueries: the
+    # unrolled-k-means IVF statement and the exact brute-force scan
+    from graphdb_for_drones_spark.plans.llm_queries import (
+        ORACLE_EMBEDDING_TOPK,
+    )
+
+    return f"""
+WITH iv AS (SELECT vec_id FROM ({ORACLE_IVF_TOPK}) t1),
+ex AS (SELECT vec_id FROM ({ORACLE_EMBEDDING_TOPK}) t2),
+h AS (SELECT COUNT(*) AS n_hits FROM iv JOIN ex USING (vec_id))
+SELECT 10 AS k, 2 AS n_probe, CAST(n_hits AS BIGINT) AS n_hits,
+       n_hits / 10.0 AS recall
+FROM h
+"""
+
+
+ORACLE_ANN_RECALL_AT_K = _ann_recall_oracle_sql()
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering for corpus curation (diversity sampling /
     topic buckets): the seeded deterministic k-means from the IVF path,
@@ -1484,6 +1538,7 @@ EXTRA_QUERIES = {
     "user_funnel_counts": q_user_funnel_counts,
     "user_retention_cohorts": q_user_retention_cohorts,
     "ivf_topk": q_ivf_topk,
+    "ann_recall_at_k": q_ann_recall_at_k,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
     "event_value_hist_quantiles": q_event_value_hist_quantiles,
@@ -1517,6 +1572,7 @@ EXTRA_ORACLES = {
     "user_funnel_counts": ORACLE_USER_FUNNEL_COUNTS,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "ann_recall_at_k": ORACLE_ANN_RECALL_AT_K,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
     "event_user_cm_counts": ORACLE_EVENT_USER_CM_COUNTS,

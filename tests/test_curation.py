@@ -617,3 +617,80 @@ def test_equal_frequency_bins_balanced_sizes(spark):
 def test_equal_frequency_bins_empty(spark):
     df = spark.createDataFrame([], "doc_id string, v long")
     assert curation.equal_frequency_bins(df, "v", "doc_id", k=10).count() == 0
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common words common words rareword", "en", "s"),
+            (2, "common words common words common words", "en", "s"),
+            (3, "other text entirely unrelated here now", "en", "s"),
+        ],
+    )
+    out = curation.bm25_topk(docs, ["rareword", "common"], k=3).collect()
+    # doc 1 matches the rare term (high idf) AND the common one
+    assert out[0].doc_id == 1
+    assert out[0].n_terms_matched == 2
+    # doc 3 matches nothing -> absent
+    assert all(r.doc_id != 3 for r in out)
+    # scores strictly ordered, ties impossible on this fixture
+    assert out[0].bm25 > out[1].bm25 > 0
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    # same tf for the query term; the longer doc is penalized via dl/avgdl
+    docs = _docs(
+        spark,
+        [
+            (1, "hit filler", "en", "s"),
+            (2, "hit " + " ".join(f"pad{i}" for i in range(40)), "en", "s"),
+        ],
+    )
+    out = curation.bm25_topk(docs, ["hit"], k=2).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+
+
+def test_bm25_empty_query_raises(spark):
+    docs = _docs(spark, [(1, "a b", "en", "s")])
+    with pytest.raises(ValueError):
+        curation.bm25_topk(docs, [])
+
+
+def test_bigram_lm_deterministic_transitions_score_one(spark):
+    # every observed bigram transition is the ONLY continuation of its
+    # prefix -> P(w2|w1) = 1 for all bigrams -> fluency exactly 1.0
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d", "en", "s"),
+            (2, "a b c d", "en", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.bigram_lm_scores(docs).collect()}
+    assert out[1].n_bigrams == 3 and out[1].fluency == 1.0
+    assert out[2].fluency == 1.0
+
+
+def test_bigram_lm_branching_prefix_halves_probability(spark):
+    # prefix 'a' continues to b and to c once each -> P = 1/2 for both
+    docs = _docs(
+        spark,
+        [
+            (1, "a b", "en", "s"),
+            (2, "a c", "en", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.bigram_lm_scores(docs).collect()}
+    assert out[1].fluency == 0.5 and out[2].fluency == 0.5
+
+
+def test_bigram_lm_short_and_empty_docs(spark):
+    docs = _docs(
+        spark,
+        [(1, "", "en", "s"), (2, "word", "en", "s"), (3, "x y", "en", "s")],
+    )
+    out = {r.doc_id: r for r in curation.bigram_lm_scores(docs).collect()}
+    assert out[1].n_bigrams == 0 and out[1].fluency == 0.0
+    assert out[2].n_bigrams == 0 and out[2].fluency == 0.0
+    assert out[3].n_bigrams == 1 and out[3].fluency == 1.0
