@@ -590,7 +590,26 @@ def simhash_from_hashes(hashes, bits: int = 64):
     the md5 fingerprint projection alone ~60× the necessary work).
     ``simhash_pairs``/``simhash_pairs_md5`` stage the array behind a
     projection boundary, which ``CollapseProject`` keeps (non-cheap
-    expression, referenced ``bits`` times)."""
+    expression, referenced ``bits`` times).
+
+    Pass the staged column's NAME (a ``str``) for the fast path: the
+    64-term vote is then built as ONE SQL string (one py4j call instead
+    of ~1000 — the pq_encode lesson) and uses ``if()`` + a flat sum
+    instead of the per-term ``when().cast()`` chain, whose 64 nested
+    casts codegen'd ~6× slower (measured 3.8 → 0.6 s on the sf0.01
+    fingerprint projection; bit-identical results either way)."""
+    if isinstance(hashes, str):
+        name = hashes
+        terms = []
+        for b in range(bits):
+            # shiftleft(1L, 63) wraps to the long min value — exactly
+            # the two's-complement mask the Column path uses
+            m = f"shiftleft(1L, {b})"
+            terms.append(
+                f"if(size(filter({name}, h -> (h & {m}) <> 0)) * 2"
+                f" > size({name}), {m}, 0L)"
+            )
+        return F.expr("cast(0 as bigint) + " + " + ".join(terms))
     n = F.size(hashes)
 
     def bit_set(m):
@@ -612,7 +631,18 @@ def simhash_from_hashes(hashes, bits: int = 64):
 def simhash_md5_from_hashes(hashes, bits: int = 60):
     """Bit voting for the md5 hash family (shift-and-test per bit; 60
     bits keeps every intermediate in signed-64 range on any engine).
-    Same staging contract as ``simhash_from_hashes``."""
+    Same staging contract — and same ``str``-name SQL fast path — as
+    ``simhash_from_hashes``."""
+    if isinstance(hashes, str):
+        name = hashes
+        terms = []
+        for b in range(bits):
+            terms.append(
+                f"if(size(filter({name}, h ->"
+                f" (shiftrightunsigned(h, {b}) & 1) = 1)) * 2"
+                f" > size({name}), shiftleft(1L, {b}), 0L)"
+            )
+        return F.expr("cast(0 as bigint) + " + " + ".join(terms))
     n = F.size(hashes)
 
     def bit_set(b):
@@ -779,7 +809,7 @@ def simhash_pairs_md5(
             F.col(id_col).alias("id"),
             word_hashes_md5(F.col(text_col)).alias("__h"),
         )
-        .select("id", simhash_md5_from_hashes(F.col("__h"), bits).alias("fp"))
+        .select("id", simhash_md5_from_hashes("__h", bits).alias("fp"))
     )
     return simhash_candidate_pairs(
         base, max_hamming, bands, bits, allow_partial_recall
@@ -804,7 +834,7 @@ def simhash_pairs(
             F.col(id_col).alias("id"),
             word_hashes_xx(F.col(text_col)).alias("__h"),
         )
-        .select("id", simhash_from_hashes(F.col("__h")).alias("fp"))
+        .select("id", simhash_from_hashes("__h").alias("fp"))
     )
     return simhash_candidate_pairs(
         base, max_hamming, bands, 64, allow_partial_recall
