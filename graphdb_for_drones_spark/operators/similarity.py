@@ -50,6 +50,19 @@ def _vec_lit(vec) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def _dot_sql(name: str, vec) -> str:
+    """``dot(F.col(name), _vec_lit(vec))`` as SQL TEXT — the same fold
+    tree after parsing (bit-identical results), but one py4j call
+    instead of ~130 per plane (the pq_encode lesson; literals use the
+    repr roundtrip, so the doubles are exactly ``F.lit(float(v))``'s)."""
+    arr = "array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")"
+    return (
+        f"aggregate(zip_with({name}, {arr}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec,
@@ -77,8 +90,19 @@ def hyperplanes(dim: int, n_planes: int = 32, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
-def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """Pack sign(v·pⱼ) bits into a long — one bucket key per vector."""
+def lsh_signature(vec_col, planes: np.ndarray) -> Column:
+    """Pack sign(v·pⱼ) bits into a long — one bucket key per vector.
+
+    Pass the vector column's NAME (a ``str``) for the SQL-text fast
+    path: n_planes × dim literal plane coefficients cost ~1 s of py4j
+    round-trips as Column algebra; one parsed string builds the same
+    tree in one call (bit-identical signatures)."""
+    if isinstance(vec_col, str):
+        terms = [
+            f"if({_dot_sql(vec_col, p)} > 0.0D, shiftleft(1L, {j}), 0L)"
+            for j, p in enumerate(planes)
+        ]
+        return F.expr("cast(0 as bigint) + " + " + ".join(terms))
     total = F.lit(0).cast("long")
     for j, p in enumerate(planes):
         bit = F.when(dot(vec_col, _vec_lit(p)) > 0, F.lit(1 << j)).otherwise(
@@ -101,7 +125,7 @@ def ann_index(
     per (vector, band).  Partition/bucket the output by (band, bucket) on
     disk and a query touches only its own buckets."""
     planes = hyperplanes(dim, n_planes, seed)
-    sig = lsh_signature(F.col(vec_col), planes)
+    sig = lsh_signature(vec_col, planes)
     width = n_planes // bands
     mask = (1 << width) - 1
     out = embeddings.select(id_col, vec_col, sig.alias("sig"))
@@ -310,7 +334,7 @@ def cosine_pairs_blocked(
         probe = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(probe["d"]) if probe is not None else 2
     planes = hyperplanes(dim, n_planes, seed)
-    sig = lsh_signature(F.col("v"), planes)
+    sig = lsh_signature("v", planes)
     width = n_planes // bands
     mask = (1 << width) - 1
     banded = big.select("blk", "id", sig.alias("sig")).select(
