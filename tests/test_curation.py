@@ -694,3 +694,89 @@ def test_bigram_lm_short_and_empty_docs(spark):
     assert out[1].n_bigrams == 0 and out[1].fluency == 0.0
     assert out[2].n_bigrams == 0 and out[2].fluency == 0.0
     assert out[3].n_bigrams == 1 and out[3].fluency == 1.0
+
+
+def test_bm25_and_bigram_lm_match_python_reference_on_random_texts(spark):
+    """Differential test: Spark BM25 scores and bigram-LM fluency must
+    agree with direct python implementations of the same formulas on
+    random corpora (repeats, short docs, empty docs, unicode)."""
+    import math
+    import random
+    from decimal import Decimal, ROUND_HALF_UP
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "δelta", "hit", "rare", "x"]
+    texts = []
+    for i in range(30):
+        n = rng.randint(0, 25)
+        words = [rng.choice(vocab) for _ in range(n)]
+        texts.append((i, " ".join(words)))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in texts],
+        "doc_id long, text string, lang string, source string",
+    ).localCheckpoint()
+
+    def norm_words(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    # --- BM25 reference (k1=1.2, b=0.75, same rounding pipeline) ---
+    terms = ["hit", "rare"]
+    k1, b = 1.2, 0.75
+    corpus = {i: norm_words(t) for i, t in texts}
+    N = len(corpus)
+    total_dl = sum(len(w) for w in corpus.values())
+    avgdl = total_dl * 1.0 / N
+    df = {
+        t: sum(1 for w in corpus.values() if t in w) for t in terms
+    }
+    ref_scores = {}
+    for i, w in corpus.items():
+        s = Decimal(0)
+        matched = 0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            wgt = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(w) / avgdl)
+            )
+            s += Decimal(round(wgt, 9)).quantize(
+                Decimal("0.0000000001"), rounding=ROUND_HALF_UP
+            )
+        if matched:
+            ref_scores[i] = (matched, round(float(s), 6))
+    top = sorted(
+        ref_scores.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:10]
+    got = curation.bm25_topk(docs, terms, k=10).collect()
+    assert [(r.doc_id, r.n_terms_matched, r.bm25) for r in got] == [
+        (i, m, s) for i, (m, s) in top
+    ]
+
+    # --- bigram-LM reference ---
+    from collections import Counter
+
+    c2, c1 = Counter(), Counter()
+    for w in corpus.values():
+        for a, bb in zip(w, w[1:]):
+            c2[(a, bb)] += 1
+            c1[a] += 1
+    expect = {}
+    for i, w in corpus.items():
+        bgs = list(zip(w, w[1:]))
+        if not bgs:
+            expect[i] = (0, 0.0)
+            continue
+        s = Decimal(0)
+        for g in bgs:
+            s += Decimal(round(c2[g] * 1.0 / c1[g[0]], 9)).quantize(
+                Decimal("0.0000000001"), rounding=ROUND_HALF_UP
+            )
+        expect[i] = (len(bgs), round(float(s) / len(bgs), 6))
+    got2 = {
+        r.doc_id: (r.n_bigrams, r.fluency)
+        for r in curation.bigram_lm_scores(docs).collect()
+    }
+    assert got2 == expect
