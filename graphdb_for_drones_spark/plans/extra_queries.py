@@ -128,6 +128,209 @@ GROUP BY n_name
 """
 
 
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (volume shipping): yearly revenue flowing between two
+    nations in BOTH directions (supplier nation → customer nation).
+    The nation filters are pushed into the DIMENSION sides before any
+    fact join — supplier and customer shrink to the two nations'
+    members before lineitem/orders shuffle — and the 25-row nation dims
+    broadcast; the pair predicate then runs on the already-pruned
+    stream.  Revenue decimal-summed (order-independent), year cast long
+    on both engines."""
+    cat = Catalog(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n1 = cat.nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("__snk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = cat.nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("__cnk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    s = cat.supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("__snk")
+    ).select("s_suppkey", "supp_nation")
+    c = cat.customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("__cnk")
+    ).select("c_custkey", "cust_nation")
+    o = cat.orders.select("o_orderkey", "o_custkey")
+    li = cat.lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("yr"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )
+
+
+ORACLE_NATION_TRADE_FLOWS = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): within the ASIA customer
+    market, the yearly share of revenue supplied by NATION_5 —
+    conditional aggregation (CASE inside SUM) over a 6-way join.  Both
+    numerator and denominator are exact decimal sums; the share is one
+    double division."""
+    cat = Catalog(spark, sf_dir)
+    asia_n = (
+        cat.nation.join(
+            F.broadcast(
+                cat.region.filter(F.col("r_name") == "ASIA").select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("__cnk"))
+    )
+    c = cat.customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(asia_n), F.col("c_nationkey") == F.col("__cnk")
+    ).select("c_custkey")
+    sn = cat.nation.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = cat.supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("__snk")
+    ).select("s_suppkey", "supp_nation")
+    o = cat.orders.select("o_orderkey", "o_custkey")
+    li = cat.lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("yr"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("yr")
+        .agg(
+            F.sum("rev").cast("double").alias("mkt_revenue"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("rev"))
+                .otherwise(zero)
+            )
+            .cast("double")
+            .alias("nation5_revenue"),
+        )
+        .select(
+            "yr",
+            "mkt_revenue",
+            "nation5_revenue",
+            (F.col("nation5_revenue") / F.col("mkt_revenue")).alias("share"),
+        )
+    )
+
+
+ORACLE_NATION_MARKET_SHARE = """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+),
+f AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         n_name AS supp_nation,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_custkey IN (SELECT c_custkey FROM asia_cust)
+),
+agg AS (
+  SELECT yr, CAST(SUM(rev) AS DOUBLE) AS mkt_revenue,
+         CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           AS nation5_revenue
+  FROM f GROUP BY yr
+)
+SELECT yr, mkt_revenue, nation5_revenue,
+       nation5_revenue / mkt_revenue AS share
+FROM agg
+"""
+
+
+def q_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): per (supplier nation, year)
+    profit on 'ECONOMY'-type parts, amount = revenue − retail cost of
+    the shipped quantity (this schema has no partsupp, so p_retailprice
+    stands in for ps_supplycost).  Both products are cast to
+    DECIMAL(18,6) BEFORE the subtraction, so every per-row amount and
+    the final sum are exact decimals on either engine."""
+    cat = Catalog(spark, sf_dir)
+    p = cat.part.filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = cat.nation.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = cat.supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("__snk")
+    ).select("s_suppkey", "supp_nation")
+    li = cat.lineitem.select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("yr"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+        F.col("l_quantity"),
+    )
+    amount = F.col("rev") - (
+        F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("supp_nation", "yr")
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+ORACLE_PART_TYPE_PROFIT = """
+SELECT n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                - CAST(p_retailprice * l_quantity AS DECIMAL(18,6)))
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY 1, 2
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit ANTI join (delete-rewrite building block, SURVEY §2.6 M3)."""
     cat = Catalog(spark, sf_dir)
@@ -1520,6 +1723,9 @@ FROM pu
 EXTRA_QUERIES = {
     "shipping_priority": q_shipping_priority,
     "region_volume": q_region_volume,
+    "nation_trade_flows": q_nation_trade_flows,
+    "nation_market_share": q_nation_market_share,
+    "part_type_profit": q_part_type_profit,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
     "orders_rollup": q_orders_rollup,
@@ -1554,6 +1760,9 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "region_volume": ORACLE_REGION_VOLUME,
+    "nation_trade_flows": ORACLE_NATION_TRADE_FLOWS,
+    "nation_market_share": ORACLE_NATION_MARKET_SHARE,
+    "part_type_profit": ORACLE_PART_TYPE_PROFIT,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
     "orders_rollup": ORACLE_ORDERS_ROLLUP,
