@@ -103,6 +103,22 @@ def _families(docs: DataFrame) -> dict[str, DataFrame]:
         "top_ngram": curation.top_ngram_stats(docs),
         "chunking": curation.chunk_documents(docs),
         "bloom_probe": _bloom_probe(docs),
+        # session additions: fluency emits one row per doc (exactly
+        # linear; copy-tagged words keep every bigram's corpus counts
+        # constant, so even the SCORES are copy-invariant); bm25 keeps
+        # its top-10 output constant while the scan/df work grows
+        # linearly — but only copy 0 matches the untagged query terms,
+        # so rows stay at 10 (time is the claim, like bloom_probe)
+        # the >= 0 filter forces count() through the window/agg side of
+        # the left join (a bare count of the doc-id spine would let the
+        # optimizer skip the fluency computation entirely — measured
+        # 0.1 s flat at both factors); rows stay one-per-doc
+        "bigram_lm": curation.bigram_lm_scores(docs).filter(
+            F.col("n_bigrams") >= 0
+        ),
+        "bm25": curation.bm25_topk(
+            docs, ["vector", "join", "dup", "stream"], k=10
+        ),
     }
 
 
@@ -133,6 +149,7 @@ EXACT_FAMILIES = (
     "tfidf_topk",
     "top_ngram",
     "chunking",
+    "bigram_lm",
 )
 
 
