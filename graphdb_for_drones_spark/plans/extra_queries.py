@@ -331,6 +331,102 @@ GROUP BY 1, 2
 """
 
 
+def q_supplier_shared_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite node similarity on the trade graph
+    (operators/graph_algorithms.cooccurrence_similarity): top-20
+    supplier pairs by shared-customer count with neighborhood jaccard —
+    the co-purchase similarity primitive.  Pair enumeration rides the
+    skew-adaptive posting-list path (map-side C(d,2) per customer,
+    streamed self-join for degenerate hot customers)."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        cooccurrence_similarity,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    e = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    return cooccurrence_similarity(
+        e, group_col="o_custkey", item_col="l_suppkey", k=20
+    ).select(
+        F.col("id_a").alias("supp_a"),
+        F.col("id_b").alias("supp_b"),
+        "n_common",
+        "jaccard",
+    )
+
+
+ORACLE_SUPPLIER_SHARED_CUSTOMERS = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+p AS (
+  SELECT a.s AS s_a, b.s AS s_b FROM e a
+  JOIN e b ON a.c = b.c AND a.s < b.s
+),
+cm AS (SELECT s_a, s_b, COUNT(*) AS n_common FROM p GROUP BY 1, 2),
+d AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s)
+SELECT cm.s_a AS supp_a, cm.s_b AS supp_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       n_common * 1.0 / (da.deg + db.deg - n_common) AS jaccard
+FROM cm JOIN d da ON da.s = cm.s_a JOIN d db ON db.s = cm.s_b
+ORDER BY n_common DESC, supp_a ASC, supp_b ASC LIMIT 20
+"""
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile of ``orders``
+    (operators/profiling.profile_table): per-column rows/nulls/exact-
+    distinct counts and typed min/max, ONE scan for all six columns
+    where the naive form (and the oracle twin) scans per column.
+    Timestamp extremes surface as epoch-ms doubles (engine-neutral)."""
+    from graphdb_for_drones_spark.operators.profiling import profile_table
+
+    cat = Catalog(spark, sf_dir)
+    return profile_table(
+        cat.orders,
+        numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+        string_cols=("o_orderstatus", "o_orderpriority"),
+        ts_cols=("o_orderdate",),
+    )
+
+
+def _profile_oracle_sql() -> str:
+    num = """
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_num,
+       CAST(MAX({c}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders"""
+    st = """
+SELECT '{c}', COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN({c}), MAX({c})
+FROM orders"""
+    ts = """
+SELECT '{c}', COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}),
+       CAST(epoch_ms(MIN({c})) AS DOUBLE), CAST(epoch_ms(MAX({c})) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM orders"""
+    parts = (
+        [num.format(c=c) for c in ("o_orderkey", "o_custkey", "o_totalprice")]
+        + [st.format(c=c) for c in ("o_orderstatus", "o_orderpriority")]
+        + [ts.format(c="o_orderdate")]
+    )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_ORDERS_PROFILE = _profile_oracle_sql()
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit ANTI join (delete-rewrite building block, SURVEY §2.6 M3)."""
     cat = Catalog(spark, sf_dir)
@@ -1726,6 +1822,8 @@ EXTRA_QUERIES = {
     "nation_trade_flows": q_nation_trade_flows,
     "nation_market_share": q_nation_market_share,
     "part_type_profit": q_part_type_profit,
+    "supplier_shared_customers": q_supplier_shared_customers,
+    "orders_profile": q_orders_profile,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
     "orders_rollup": q_orders_rollup,
@@ -1763,6 +1861,8 @@ EXTRA_ORACLES = {
     "nation_trade_flows": ORACLE_NATION_TRADE_FLOWS,
     "nation_market_share": ORACLE_NATION_MARKET_SHARE,
     "part_type_profit": ORACLE_PART_TYPE_PROFIT,
+    "supplier_shared_customers": ORACLE_SUPPLIER_SHARED_CUSTOMERS,
+    "orders_profile": ORACLE_ORDERS_PROFILE,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
     "orders_rollup": ORACLE_ORDERS_ROLLUP,

@@ -1,0 +1,86 @@
+"""Unit semantics for operators/profiling.profile_table and
+operators/graph_algorithms.cooccurrence_similarity (catalog twins are
+oracle-checked; these pin contracts on controlled inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators.graph_algorithms import (
+    cooccurrence_similarity,
+)
+from graphdb_for_drones_spark.operators.profiling import profile_table
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 2.0, None), (4, 5.5, "a")],
+        "k long, v double, s string",
+    ).localCheckpoint()
+    out = {
+        r.col_name: r
+        for r in profile_table(
+            df, numeric_cols=("k", "v"), string_cols=("s",)
+        ).collect()
+    }
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 4
+    assert out["k"].min_num == 1.0 and out["k"].max_num == 4.0
+    assert out["k"].min_str is None and out["k"].max_str is None
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert out["v"].min_num == 2.0 and out["v"].max_num == 5.5
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_str == "a" and out["s"].max_str == "b"
+    assert out["s"].min_num is None
+
+
+def test_profile_single_scan_plan(spark):
+    # the selling point: all columns profile off ONE scan (the naive
+    # per-column formulation—and the oracle—reads the table N times)
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("m")
+    )
+    plan = profile_table(
+        df, numeric_cols=("id", "m")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range") == 1
+
+
+def test_profile_empty_table_and_no_cols(spark):
+    df = spark.createDataFrame([], "k long").localCheckpoint()
+    rows = profile_table(df, numeric_cols=("k",)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_rows == 0 and r.n_nulls == 0 and r.n_distinct == 0
+    assert r.min_num is None
+    with pytest.raises(ValueError):
+        profile_table(df)
+
+
+def test_cooccurrence_counts_and_jaccard(spark):
+    # groups: g1 {a,b,c}, g2 {a,b}, g3 {b} -> pairs (a,b):2, (a,c):1, (b,c):1
+    e = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g1", "c"), ("g2", "a"), ("g2", "b"),
+         ("g3", "b")],
+        "g string, i string",
+    ).localCheckpoint()
+    out = {(r.id_a, r.id_b): r for r in
+           cooccurrence_similarity(e, "g", "i", k=10).collect()}
+    assert out[("a", "b")].n_common == 2
+    # deg(a)=2, deg(b)=3 -> jaccard = 2/(2+3-2)
+    assert out[("a", "b")].jaccard == pytest.approx(2 / 3)
+    assert out[("a", "c")].n_common == 1
+    assert out[("a", "c")].jaccard == pytest.approx(1 / 2)
+    assert out[("b", "c")].jaccard == pytest.approx(1 / 3)
+
+
+def test_cooccurrence_topk_ordering_deterministic(spark):
+    e = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"),
+         ("g1", "x"), ("g3", "x"), ("g3", "y"), ("g1", "y")],
+        "g string, i string",
+    ).localCheckpoint()
+    rows = cooccurrence_similarity(e, "g", "i", k=2).collect()
+    # (a,b)=2 and (x,y)=2 tie on count; (a,b) wins the id tiebreak
+    assert [(r.id_a, r.id_b) for r in rows] == [("a", "b"), ("x", "y")]
