@@ -182,3 +182,55 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         (F.max(tsm) - F.min(tsm)).alias("duration_ms"),
     )
+
+
+def resample_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket_ms: int = 3_600_000,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-filled time-series resampling: per group, the COMPLETE bucket
+    grid from the group's first to last event (``sequence`` + explode —
+    generated engine-side, no driver loop), left-joined with per-bucket
+    counts, gaps zero-filled — the resample/downsample step every
+    time-series dashboard and feature pipeline needs, with the property
+    aggregates can't give you: silent-outage buckets EXIST with n=0.
+
+    Returns (group, bucket_start epoch-ms long, n long[, total value
+    DECIMAL-summed → double]).  Scale shape: counts are one partial-
+    aggregated groupBy; the grid explode is bounded by span/bucket (not
+    rows); the join-back is a small-grid ⋈ small-counts equi join.
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    bucket = (ms - F.pmod(ms, F.lit(bucket_ms))).alias("bucket_start")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total")
+        )
+    counts = df.select(
+        F.col(group_col).alias("grp"), bucket, *([value_col] if value_col else [])
+    ).groupBy("grp", "bucket_start").agg(*aggs)
+    bounds = counts.groupBy("grp").agg(
+        F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi")
+    )
+    grid = bounds.select(
+        "grp",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(bucket_ms))
+        ).alias("bucket_start"),
+    )
+    out_cols = [
+        "grp",
+        "bucket_start",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+    ]
+    if value_col is not None:
+        out_cols.append(
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total")
+        )
+    return grid.join(counts, ["grp", "bucket_start"], "left").select(*out_cols)

@@ -499,6 +499,110 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 # --------------------------------------------------------------------- #
 
 
+def q_event_type_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: events beyond 3σ of
+    their type's mean — the streaming-alert / data-quality gate shape,
+    batch twin.  Both moments are EXACT decimal sums (S1 as
+    DECIMAL(18,6), S2 as DECIMAL(28,10)) unpacked to doubles in the
+    same op order on both engines, so the 3σ comparison itself is
+    bit-identical, not just approximately equal.  One scan: moments as
+    unbounded windows over event_type (the count-per-key window rule —
+    a groupBy+join-back would scan events twice)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    v = F.col("value")
+    n = F.count(F.lit(1)).over(w)
+    mean = F.sum(v.cast("decimal(18,6)")).over(w).cast("double") / n
+    ex2 = (
+        F.sum((v * v).cast("decimal(28,10)")).over(w).cast("double") / n
+    )
+    std = F.sqrt(ex2 - mean * mean)
+    flagged = cat.events.select(
+        "event_type",
+        v.alias("v"),
+        n.alias("__n"),
+        mean.alias("__m"),
+        std.alias("__s"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.max("__n").cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.abs(F.col("v") - F.col("__m")) > F.lit(3.0) * F.col("__s"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("__m"), 6).alias("mean_value"),
+        F.round(F.max("__s"), 6).alias("stddev_value"),
+    )
+
+
+ORACLE_EVENT_TYPE_OUTLIERS = """
+WITH st AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT e.event_type, e.value, st.n,
+         st.s1 / st.n AS m,
+         sqrt(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n)) AS s
+  FROM events e JOIN st USING (event_type)
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ABS(value - m) > 3.0 * s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       ROUND(MAX(m), 6) AS mean_value,
+       ROUND(MAX(s), 6) AS stddev_value
+FROM f GROUP BY event_type
+"""
+
+
+def q_events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample (operators/temporal.resample_counts):
+    per event type, the COMPLETE hourly grid from first to last event
+    with zero-filled counts and decimal-summed value totals — the
+    property plain windowed aggregation can't give you: a silent-outage
+    hour EXISTS as a row with n=0.  The grid is engine-side
+    ``sequence``+explode, bounded by span/bucket, never a driver loop."""
+    from graphdb_for_drones_spark.operators.temporal import resample_counts
+
+    cat = Catalog(spark, sf_dir)
+    return resample_counts(
+        cat.events, "ts", "event_type", 3_600_000, value_col="value"
+    ).select(
+        F.col("grp").alias("event_type"), "bucket_start", "n", "total"
+    )
+
+
+ORACLE_EVENTS_HOURLY_GAPFILLED = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) - epoch_ms(ts) % 3600000 AS BIGINT)
+           AS bucket_start,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+  FROM c GROUP BY 1
+),
+g AS (
+  SELECT event_type,
+         unnest(range(lo, hi + 3600000, 3600000)) AS bucket_start
+  FROM b
+)
+SELECT g.event_type, CAST(g.bucket_start AS BIGINT) AS bucket_start,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       COALESCE(c.total, 0.0) AS total
+FROM g LEFT JOIN c USING (event_type, bucket_start)
+"""
+
+
 def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 h length, 15 min slide): each event lands in 4
     overlapping windows.  Same F.window call runs under readStream with a
@@ -1824,6 +1928,8 @@ EXTRA_QUERIES = {
     "part_type_profit": q_part_type_profit,
     "supplier_shared_customers": q_supplier_shared_customers,
     "orders_profile": q_orders_profile,
+    "event_type_outliers": q_event_type_outliers,
+    "events_hourly_gapfilled": q_events_hourly_gapfilled,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
     "orders_rollup": q_orders_rollup,
@@ -1863,6 +1969,8 @@ EXTRA_ORACLES = {
     "part_type_profit": ORACLE_PART_TYPE_PROFIT,
     "supplier_shared_customers": ORACLE_SUPPLIER_SHARED_CUSTOMERS,
     "orders_profile": ORACLE_ORDERS_PROFILE,
+    "event_type_outliers": ORACLE_EVENT_TYPE_OUTLIERS,
+    "events_hourly_gapfilled": ORACLE_EVENTS_HOURLY_GAPFILLED,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
     "orders_rollup": ORACLE_ORDERS_ROLLUP,

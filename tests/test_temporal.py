@@ -179,3 +179,72 @@ def test_range_join_inverted_interval_dropped(spark):
         for r in range_join(pts, iv, "tsm", "s", "e", bucket_ms=100).collect()
     )
     assert got == [(1, "ok")]
+
+
+def test_resample_counts_fills_gaps_with_zero(spark):
+    from graphdb_for_drones_spark.operators.temporal import resample_counts
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 50), 2.0),
+        # hour 1 silent -> must EXIST with n=0
+        ("a", dt.datetime(2024, 1, 1, 2, 5), 4.0),
+        ("b", dt.datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    ).localCheckpoint()
+    out = {
+        (r.grp, r.bucket_start): (r.n, r.total)
+        for r in resample_counts(
+            df, "ts", "event_type", 3_600_000, value_col="value"
+        ).collect()
+    }
+    h0 = 1704067200000  # 2024-01-01T00:00Z
+    hr = 3_600_000
+    assert out[("a", h0)] == (2, 3.0)
+    assert out[("a", h0 + hr)] == (0, 0.0)  # the silent hour
+    assert out[("a", h0 + 2 * hr)] == (1, 4.0)
+    # group b spans one bucket only -> exactly one row
+    assert out[("b", h0 + 5 * hr)] == (1, 7.0)
+    assert len([k for k in out if k[0] == "b"]) == 1
+    assert len([k for k in out if k[0] == "a"]) == 3
+
+
+def test_resample_counts_without_value_col(spark):
+    from graphdb_for_drones_spark.operators.temporal import resample_counts
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 0))], "event_type string, ts timestamp"
+    ).localCheckpoint()
+    rows = resample_counts(df, "ts", "event_type").collect()
+    assert len(rows) == 1 and rows[0].n == 1
+    assert "total" not in rows[0].asDict()
+
+
+def test_zscore_outlier_entry_flags_planted_spike(spark, tmp_path):
+    # build a tiny parquet sf dir: one type with a far outlier
+    import datetime as dt
+    from graphdb_for_drones_spark.plans.extra_queries import (
+        q_event_type_outliers,
+    )
+
+    vals = [10.0] * 20 + [10.5] * 20 + [1000.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), i % 7, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = q_event_type_outliers(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 41 and r.n_outliers == 1
+    assert r.mean_value > 10 and r.stddev_value > 100
