@@ -107,9 +107,11 @@ _GATE_FIRST = [
     "user_funnel_counts",
     "user_retention_cohorts",
     # Session additions filling the last window slot (50 of 50).  The
-    # two sibling entries added alongside it (`doc_lm_fluency`,
-    # `ann_recall_at_k`) are local-replica-green and queue for the r6
-    # rotation:
+    # sibling entries added alongside it (`doc_lm_fluency`,
+    # `ann_recall_at_k`, `nation_trade_flows`, `nation_market_share`,
+    # `part_type_profit`, `supplier_shared_customers`, `orders_profile`,
+    # `event_type_outliers`, `events_hourly_gapfilled`) are
+    # local-replica-green and queue for the r6 rotation:
     "doc_bm25_topk",
 ]
 
