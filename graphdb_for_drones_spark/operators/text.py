@@ -34,13 +34,19 @@ def token_count(col: Column) -> Column:
 
 
 def bpe_ish_token_count(col: Column) -> Column:
-    """BPE-flavored token estimate: count word pieces + punctuation via a
-    regex over word/number/punct boundaries — a deterministic stand-in for
-    a real tokenizer's token count."""
-    pieces = F.filter(
-        F.split(col, r"(?=[^\w])|(?<=[^\w])"), lambda t: F.trim(t) != F.lit("")
-    )
-    return F.size(pieces).cast("long")
+    """BPE-flavored token estimate: word pieces + punctuation — a
+    deterministic stand-in for a real tokenizer's token count.
+
+    Counted as |maximal ``\\w+`` runs| + |non-word, non-space chars|,
+    which equals the boundary-split formulation (split at every
+    word/non-word boundary, drop whitespace pieces: each \\w run is one
+    piece, each remaining printable char its own piece — pinned in
+    tests) but uses only RE2-compatible patterns, so the DuckDB oracle
+    twin evaluates the same regex text and the metric is
+    driver-hash-checkable."""
+    words = F.size(F.regexp_extract_all(col, F.lit(r"\w+"), 0))
+    punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
+    return (words + punct).cast("long")
 
 
 def stopword_ratio_from_tokens(toks: Column, stopwords=STOPWORDS) -> Column:

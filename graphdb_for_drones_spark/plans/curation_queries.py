@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphdb_for_drones_spark.catalog import Catalog
 from graphdb_for_drones_spark.operators import curation
@@ -929,6 +930,117 @@ FROM d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per language: BPE-ish piece counts
+    (operators/text.bpe_ish_token_count — maximal word runs +
+    punctuation chars, RE2-compatible on both engines) beside
+    whitespace token counts, with the fertility ratio a tokenizer
+    budget planner watches.  Closes the one text-analysis metric that
+    was pytest-only (the old lookaround-split formulation had no RE2
+    twin)."""
+    from graphdb_for_drones_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    per = cat.documents.select(
+        "lang",
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        token_count(F.col("text")).alias("ws"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("ws").alias("ws_tokens"),
+    ).select(
+        "lang",
+        "n_docs",
+        "bpe_tokens",
+        "ws_tokens",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.col("bpe_tokens") * F.lit(1.0) / F.col("ws_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
+
+
+ORACLE_DOC_BPE_TOKEN_STATS = rf"""
+WITH per AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\w+'))
+           + len(regexp_extract_all(text, '[^\w\s]')) AS bpe,
+         len(list_filter({_WORDS}, x -> x <> '')) AS ws
+  FROM documents
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(ws) AS BIGINT) AS ws_tokens
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, bpe_tokens, ws_tokens,
+       CASE WHEN ws_tokens > 0 THEN bpe_tokens * 1.0 / ws_tokens
+            ELSE 0.0 END AS fertility
+FROM agg
+"""
+
+
+def q_doc_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate PASSAGE detection: 64/48-token chunks
+    (the doc_chunk_stats grid) whose exact chunk string occurs in >= 2
+    DISTINCT documents, rolled up per source — sub-document exact dedup,
+    the granularity document-level hashing cannot see (a boilerplate
+    header stamped into otherwise-unique docs).  Within-doc repeats
+    don't count (doc-distinct before the frequency window)."""
+    from graphdb_for_drones_spark.operators.curation import chunk_documents
+
+    cat = Catalog(spark, sf_dir)
+    chunks = chunk_documents(cat.documents, chunk_tokens=64, stride=48)
+    per_doc = chunks.select("doc_id", "chunk_md5").dropDuplicates(
+        ["doc_id", "chunk_md5"]
+    )
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("chunk_md5"))
+    flagged = per_doc.withColumn("__nd", ndocs)
+    src = cat.documents.select("doc_id", "source")
+    return (
+        flagged.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
+ORACLE_DOC_DUP_PASSAGES = rf"""
+WITH d AS (
+  SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS w FROM documents
+),
+x AS (
+  SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start_tok
+  FROM d WHERE len(w) > 0
+),
+c AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(w[start_tok+1 : start_tok+64], ' ')) AS h
+  FROM x
+),
+f AS (
+  SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS nd FROM c
+)
+SELECT s.source, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM f JOIN documents s USING (doc_id)
+GROUP BY s.source
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -949,6 +1061,8 @@ CURATION_QUERIES = {
     "doc_difficulty_deciles": q_doc_difficulty_deciles,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_lm_fluency": q_doc_lm_fluency,
+    "doc_bpe_token_stats": q_doc_bpe_token_stats,
+    "doc_dup_passages": q_doc_dup_passages,
 }
 
 CURATION_ORACLES = {
@@ -970,4 +1084,6 @@ CURATION_ORACLES = {
     "doc_difficulty_deciles": ORACLE_DOC_DIFFICULTY_DECILES,
     "doc_bm25_topk": ORACLE_DOC_BM25_TOPK,
     "doc_lm_fluency": ORACLE_DOC_LM_FLUENCY,
+    "doc_bpe_token_stats": ORACLE_DOC_BPE_TOKEN_STATS,
+    "doc_dup_passages": ORACLE_DOC_DUP_PASSAGES,
 }
