@@ -151,3 +151,64 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     ).drop("__t", "__tl", "__pr")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): per document, hash every word
+    ``k``-gram (engine-neutral md5-60), slide a ``window`` of
+    consecutive hashes, select the MINIMUM of each window (leftmost on
+    ties), and report the distinct selected set — the guarantee-bearing
+    fingerprint sample (any shared run of ``window + k - 1`` tokens
+    between two documents yields a shared selected hash; expected
+    density 2/(window+1)).
+
+    Returns (doc_id, n_grams, n_selected, min_fp) — all exact integers,
+    driver-hash-checkable.  Plan: two projection boundaries stage the
+    word array then the hash array (the slice-under-lambda rule: a
+    lambda-bound ``slice`` must target a plain attribute, which staging
+    guarantees); everything else is codegen array algebra — one scan,
+    zero shuffles, zero Python.  Docs shorter than ``k`` words
+    contribute their whole text as the single gram (the shingle-family
+    convention)."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+    from graphdb_for_drones_spark.operators.split import _md5_60bit
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: t != F.lit(""),
+    )
+    staged = df.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+    w = F.col("__w")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
+
+    def gram_hash(i):
+        return _md5_60bit(F.concat_ws(" ", F.slice(w, i + 1, k)))
+
+    grams = F.when(
+        F.size(w) < k, F.array(_md5_60bit(F.concat_ws(" ", w)))
+    ).otherwise(F.transform(idx, gram_hash))
+    hashed = staged.select("doc_id", grams.alias("__h"))
+    h = F.col("__h")
+    jdx = F.sequence(F.lit(0), F.greatest(F.size(h) - window, F.lit(0)))
+
+    def pick(j):
+        sl = F.slice(h, j + 1, window)
+        return F.struct(
+            F.array_min(sl).alias("fp"),
+            (j + F.array_position(sl, F.array_min(sl))).alias("pos"),
+        )
+
+    sel = F.array_distinct(F.transform(jdx, pick))
+    return hashed.select(
+        "doc_id",
+        F.size(h).cast("long").alias("n_grams"),
+        F.size(sel).cast("long").alias("n_selected"),
+        F.array_min(F.transform(sel, lambda s: s["fp"])).alias("min_fp"),
+    )

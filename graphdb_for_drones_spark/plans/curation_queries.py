@@ -1041,6 +1041,70 @@ GROUP BY s.source
 """
 
 
+def q_doc_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.winnow_fingerprints —
+    Schleimer et al. 2003, the MOSS plagiarism-detection sampler): per
+    document, the distinct window-minimum selection over word-3-gram
+    md5-60 hashes with a window of 4; (n_grams, n_selected, min_fp).
+    The selected density ≈ 2/(w+1) is what a fingerprint index stores
+    instead of every gram — sub-linear index size with a shared-run
+    detection guarantee.  Exact integers end to end; the SQL twin
+    reproduces every selected hash."""
+    from graphdb_for_drones_spark.operators.text import winnow_fingerprints
+
+    cat = Catalog(spark, sf_dir)
+    return winnow_fingerprints(cat.documents, k=3, window=4)
+
+
+# md5-60 of an md5-hex column ``mh``: first 15 hex nibbles folded into a
+# signed-64-safe BIGINT (the split-family convention), as inline SQL so
+# it can sit inside a list_transform lambda
+_HEX15_OF = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', substr({mh}, i+1, 1)) - 1 AS BIGINT)"
+    " << ((14 - i) * 4))) AS BIGINT)"
+)
+
+ORACLE_DOC_WINNOW_STATS = rf"""
+WITH d AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)]
+         END AS grams
+  FROM d
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(grams, s -> {_HEX15_OF.format(mh="md5(s)")}) AS hv
+  FROM g
+),
+sel AS (
+  -- (fp, pos) pairs dedup via an injective string encoding (DuckDB's
+  -- list_distinct cannot hash struct lists); min_fp over the
+  -- NON-distinct window mins — identical to the distinct min
+  SELECT doc_id, len(hv) AS n_grams,
+         list_distinct(list_transform(
+           range(greatest(len(hv) - 4, 0) + 1),
+           j -> CAST(list_min(hv[j+1:j+4]) AS VARCHAR) || ':' ||
+                CAST(j + list_position(hv[j+1:j+4], list_min(hv[j+1:j+4]))
+                     AS VARCHAR)
+         )) AS s,
+         list_min(list_transform(
+           range(greatest(len(hv) - 4, 0) + 1),
+           j -> list_min(hv[j+1:j+4])
+         )) AS mfp
+  FROM hs
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(s) AS BIGINT) AS n_selected,
+       CAST(mfp AS BIGINT) AS min_fp
+FROM sel
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -1063,6 +1127,7 @@ CURATION_QUERIES = {
     "doc_lm_fluency": q_doc_lm_fluency,
     "doc_bpe_token_stats": q_doc_bpe_token_stats,
     "doc_dup_passages": q_doc_dup_passages,
+    "doc_winnow_stats": q_doc_winnow_stats,
 }
 
 CURATION_ORACLES = {
@@ -1086,4 +1151,5 @@ CURATION_ORACLES = {
     "doc_lm_fluency": ORACLE_DOC_LM_FLUENCY,
     "doc_bpe_token_stats": ORACLE_DOC_BPE_TOKEN_STATS,
     "doc_dup_passages": ORACLE_DOC_DUP_PASSAGES,
+    "doc_winnow_stats": ORACLE_DOC_WINNOW_STATS,
 }

@@ -60,3 +60,67 @@ def test_text_profile_columns(spark):
     row = text_profile(df).first()
     for col in ("n_tokens", "stopword_ratio", "punct_ratio", "quality", "pred_lang", "fingerprint"):
         assert col in row.asDict()
+
+
+def test_winnow_matches_python_reference_and_guarantee(spark):
+    """Differential: Spark winnowing must equal a direct python
+    implementation (same md5-60, leftmost-min tie-break); plus the
+    winnowing GUARANTEE: two docs sharing a run of window+k-1 tokens
+    share at least one selected fingerprint."""
+    import hashlib
+    import random
+
+    from graphdb_for_drones_spark.operators.text import winnow_fingerprints
+
+    k, w = 3, 4
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = ["s1", "s2", "s3", "s4", "s5", "s6"]  # w + k - 1 = 6 tokens
+    texts = []
+    for i in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        if i in (3, 17):  # plant the shared run in two docs
+            at = rng.randint(0, len(words))
+            words = words[:at] + shared + words[at:]
+        texts.append((i, " ".join(words)))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in texts],
+        "doc_id long, text string, lang string, source string",
+    ).localCheckpoint()
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref(words):
+        if not words:
+            grams = [md5_60("")]
+        elif len(words) < k:
+            grams = [md5_60(" ".join(words))]
+        else:
+            grams = [
+                md5_60(" ".join(words[i : i + k]))
+                for i in range(len(words) - k + 1)
+            ]
+        sel = set()
+        for j in range(max(len(grams) - w, 0) + 1):
+            win = grams[j : j + w]
+            m = min(win)
+            sel.add((m, j + win.index(m) + 1))
+        return grams, sel
+
+    refs = {i: ref(t.lower().strip().split()) for i, t in texts}
+    got = {
+        r.doc_id: r
+        for r in winnow_fingerprints(docs, k=k, window=w).collect()
+    }
+    for i, (grams, sel) in refs.items():
+        assert got[i].n_grams == len(grams), i
+        assert got[i].n_selected == len(sel), i
+        assert got[i].min_fp == min(fp for fp, _ in sel), i
+    # the guarantee: docs 3 and 17 share a selected fingerprint value
+    fps3 = {fp for fp, _ in refs[3][1]}
+    fps17 = {fp for fp, _ in refs[17][1]}
+    shared_grams = {
+        md5_60(" ".join(shared[i : i + k])) for i in range(len(shared) - k + 1)
+    }
+    assert fps3 & fps17 & shared_grams
