@@ -234,3 +234,39 @@ def stratified_counts(
         .groupBy(F.col(stratum_col).alias("stratum"), "split")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col,
+    k: int = 100,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, exponential-jitter form): each row draws the md5-60
+    uniform u = h("{key}:w{seed}")/2^60 and gets the key −ln(u)/w; the
+    ``k`` SMALLEST keys are an exact weight-proportional sample — the
+    curation draw that samples documents ∝ quality/token weight instead
+    of uniformly (``stratified_sample``'s complement).
+
+    Zero-or-negative weights are excluded (they can never win).  The
+    es_key is rounded to 9 dp BEFORE the (key, id) rank so the one libm
+    call (ln) can't leak engine ulps into the order; the top-k is a
+    TakeOrdered, never a full sort.  Rerun-stable, repartition-stable,
+    and SQL-twin-checkable like the whole md5 split family."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = _md5_60bit(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":w{seed}"))
+    ) / F.lit(float(1 << 60))
+    es_key = F.round(-F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(key_col),
+            w.cast("double").alias("weight"),
+            es_key.alias("es_key"),
+        )
+        .orderBy(F.asc("es_key"), F.asc(key_col))
+        .limit(k)
+    )

@@ -1105,6 +1105,44 @@ FROM sel
 """
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators/split.weighted_sample_topk — Efraimidis-Spirakis
+    exponential keys over md5-60 uniforms): the 25 documents drawn
+    ∝ token count.  The quality-weighted counterpart of the uniform
+    stratified draw; longer docs win proportionally more often, yet the
+    draw is deterministic, rerun-stable, and hash-checked (9-dp key
+    rounding keeps ln() ulps out of the rank)."""
+    from graphdb_for_drones_spark.operators.split import weighted_sample_topk
+    from graphdb_for_drones_spark.operators.text import token_count
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return weighted_sample_topk(docs, "n_tokens", k=25)
+
+
+_MD5_60_W = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(concat(CAST(doc_id AS VARCHAR), ':w42')), i+1, 1)) - 1 AS BIGINT)"
+    " << ((14 - i) * 4))) AS BIGINT)"
+)
+
+ORACLE_DOC_WEIGHTED_SAMPLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_WORDS}, x -> x <> '')) AS BIGINT) AS w,
+         {_MD5_60_W} / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, CAST(w AS DOUBLE) AS weight,
+       ROUND(-ln(u) / w, 9) AS es_key
+FROM t WHERE w > 0
+ORDER BY es_key ASC, doc_id ASC LIMIT 25
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -1128,6 +1166,7 @@ CURATION_QUERIES = {
     "doc_bpe_token_stats": q_doc_bpe_token_stats,
     "doc_dup_passages": q_doc_dup_passages,
     "doc_winnow_stats": q_doc_winnow_stats,
+    "doc_weighted_sample": q_doc_weighted_sample,
 }
 
 CURATION_ORACLES = {
@@ -1152,4 +1191,5 @@ CURATION_ORACLES = {
     "doc_bpe_token_stats": ORACLE_DOC_BPE_TOKEN_STATS,
     "doc_dup_passages": ORACLE_DOC_DUP_PASSAGES,
     "doc_winnow_stats": ORACLE_DOC_WINNOW_STATS,
+    "doc_weighted_sample": ORACLE_DOC_WEIGHTED_SAMPLE,
 }

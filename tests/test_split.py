@@ -158,3 +158,28 @@ def test_stratified_sample_small_group_returns_whole_group(spark):
     out = stratified_sample(df, "lang", "doc_id", k=10).collect()
     assert len([r for r in out if r.lang == "solo"]) == 2
     assert len([r for r in out if r.lang == "big"]) == 3
+
+
+def test_weighted_sample_prefers_heavy_keys_statistically(spark):
+    from graphdb_for_drones_spark.operators.split import weighted_sample_topk
+
+    # 100 light (w=1) + 10 heavy (w=100) rows: heavy rows carry ~91% of
+    # total weight, so a 20-draw E-S sample must be heavy-dominated
+    rows = [(i, 1) for i in range(100)] + [(1000 + i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").localCheckpoint()
+    got = weighted_sample_topk(df, "w", k=20).collect()
+    heavy = sum(1 for r in got if r.doc_id >= 1000)
+    assert heavy >= 8  # all 10 heavy rows near-certainly in the top-20
+    # deterministic: identical on rerun and under repartition
+    again = weighted_sample_topk(df.repartition(7), "w", k=20).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in again]
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from graphdb_for_drones_spark.operators.split import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 7)], "doc_id long, w long"
+    ).localCheckpoint()
+    got = weighted_sample_topk(df, "w", k=10).collect()
+    assert [r.doc_id for r in got] == [3]
