@@ -499,6 +499,85 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 # --------------------------------------------------------------------- #
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, year): all four aggregation
+    granularities — (status, year), (status), (year), () — in one pass
+    (the ROLLUP entry's lattice-completing sibling; Spark compiles both
+    to one Expand + aggregate, not four scans).  Subtotal keys coalesce
+    to '(all)' / -1 so the nullable grouping columns stay
+    hash-comparable."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.select(
+            "o_orderstatus",
+            F.year(F.col("o_orderdate").cast("timestamp"))
+            .cast("long")
+            .alias("yr"),
+            "o_totalprice",
+        )
+        .cube("o_orderstatus", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            "n",
+            "total",
+        )
+    )
+
+
+ORACLE_ORDERS_CUBE = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS yr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, EXTRACT(year FROM o_orderdate))
+"""
+
+
+def q_events_pivot_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (crosstab): events per (type × day-of-week) as one wide
+    row per type with dow_1..dow_7 count columns (ISO dayofweek,
+    1=Sunday in Spark's dayofweek — pinned identically via CASE sums in
+    the oracle).  The reshape step a reporting layer runs after
+    aggregation; Spark's pivot compiles to one pass of conditional
+    aggregates, exactly the oracle's formulation."""
+    cat = Catalog(spark, sf_dir)
+    base = cat.events.select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    pivoted = (
+        base.groupBy("event_type")
+        .pivot("dow", list(range(1, 8)))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "event_type",
+        *[
+            F.coalesce(F.col(str(d)), F.lit(0)).cast("long").alias(f"dow_{d}")
+            for d in range(1, 8)
+        ],
+    )
+
+
+ORACLE_EVENTS_PIVOT_DOW = """
+SELECT event_type,
+""" + ",\n".join(
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark: 1=Sunday..7=Saturday
+    f"  CAST(SUM(CASE WHEN dayofweek(ts) = {d - 1} THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS dow_{d}"
+    for d in range(1, 8)
+) + """
+FROM events GROUP BY event_type
+"""
+
+
 def q_event_type_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score anomaly detection per event type: events beyond 3σ of
     their type's mean — the streaming-alert / data-quality gate shape,
@@ -1930,6 +2009,8 @@ EXTRA_QUERIES = {
     "orders_profile": q_orders_profile,
     "event_type_outliers": q_event_type_outliers,
     "events_hourly_gapfilled": q_events_hourly_gapfilled,
+    "orders_cube": q_orders_cube,
+    "events_pivot_dow": q_events_pivot_dow,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
     "orders_rollup": q_orders_rollup,
@@ -1971,6 +2052,8 @@ EXTRA_ORACLES = {
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "event_type_outliers": ORACLE_EVENT_TYPE_OUTLIERS,
     "events_hourly_gapfilled": ORACLE_EVENTS_HOURLY_GAPFILLED,
+    "orders_cube": ORACLE_ORDERS_CUBE,
+    "events_pivot_dow": ORACLE_EVENTS_PIVOT_DOW,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
     "orders_rollup": ORACLE_ORDERS_ROLLUP,
