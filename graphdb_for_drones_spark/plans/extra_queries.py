@@ -1777,6 +1777,110 @@ FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1
 """
 
 
+def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster KEEPER selection under a quality policy: within
+    each `dedup_clusters` component, keep the document with the most
+    tokens (doc_id ascending tiebreak) — the policy dimension of dedup
+    (production pipelines keep the best member, not the smallest id;
+    cf. the min-id keeper in `curation_pipeline_stats`).  Output per
+    multi-doc cluster: keeper, member count, total vs kept tokens (the
+    dedup token-savings ledger).  Argmax as one max-of-struct aggregate
+    (n_tokens, -doc_id) — no per-cluster sort."""
+    from graphdb_for_drones_spark.operators.dedup import ngram_jaccard_pairs
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        connected_components,
+    )
+    from graphdb_for_drones_spark.operators.text import token_count
+
+    cat = Catalog(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(cat.documents, threshold=0.1).select(
+        F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
+    )
+    comp = connected_components(pairs).select(
+        F.col("component").cast("long").alias("cluster_id"),
+        F.col("id").cast("long").alias("doc_id"),
+    )
+    toks = cat.documents.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    m = comp.join(toks, "doc_id")
+    best = F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("nid")))
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            best.alias("__b"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "cluster_id",
+            (-F.col("__b.nid")).cast("long").alias("keeper_id"),
+            "n_docs",
+            "total_tokens",
+            F.col("__b.n_tokens").cast("long").alias("keeper_tokens"),
+        )
+    )
+
+
+ORACLE_DEDUP_CLUSTER_KEEPERS = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)]
+         END AS sh
+  FROM d
+),
+ds AS (SELECT doc_id, len(list_distinct(sh)) AS n, list_distinct(sh) AS sh FROM s),
+inv AS (SELECT doc_id, n, unnest(sh) AS g FROM ds),
+c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT id_a, id_b FROM c WHERE inter * 1.0 / (na + nb - inter) >= 0.1
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+),
+closure AS (
+  SELECT DISTINCT src AS node, src AS r FROM e
+  UNION
+  SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM closure GROUP BY node),
+tok AS (
+  SELECT doc_id, len(list_filter(w, x -> x <> '')) AS n_tokens FROM d
+),
+mem AS (
+  SELECT comp.cluster_id, comp.doc_id, tok.n_tokens
+  FROM comp JOIN tok USING (doc_id)
+),
+r AS (
+  SELECT cluster_id, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs,
+         SUM(n_tokens) OVER (PARTITION BY cluster_id) AS tot
+  FROM mem
+)
+SELECT cluster_id, doc_id AS keeper_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tot AS BIGINT) AS total_tokens,
+       CAST(n_tokens AS BIGINT) AS keeper_tokens
+FROM r WHERE rn = 1 AND n_docs > 1
+"""
+
+
 def q_event_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (rows-only: HLL estimates are approximate
     by design; `tests/test_sketches.py` pins 5% accuracy vs exact):
@@ -2011,6 +2115,7 @@ EXTRA_QUERIES = {
     "events_hourly_gapfilled": q_events_hourly_gapfilled,
     "orders_cube": q_orders_cube,
     "events_pivot_dow": q_events_pivot_dow,
+    "dedup_cluster_keepers": q_dedup_cluster_keepers,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
     "orders_rollup": q_orders_rollup,
@@ -2054,6 +2159,7 @@ EXTRA_ORACLES = {
     "events_hourly_gapfilled": ORACLE_EVENTS_HOURLY_GAPFILLED,
     "orders_cube": ORACLE_ORDERS_CUBE,
     "events_pivot_dow": ORACLE_EVENTS_PIVOT_DOW,
+    "dedup_cluster_keepers": ORACLE_DEDUP_CLUSTER_KEEPERS,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
     "orders_rollup": ORACLE_ORDERS_ROLLUP,
