@@ -593,17 +593,30 @@ def cooccurrence_similarity(
     e = edges.select(
         F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
     )
-    posting = (
+    # ONE pass over the (possibly expensive) edge input: the unfiltered
+    # posting table is pinned via localCheckpoint and BOTH consumers —
+    # pair enumeration and item degrees — derive from it (a frame
+    # referenced twice re-executes its upstream pipeline; the trade
+    # entry's join+distinct source ran twice before, 6.7 → 6.0 s at
+    # sf0.1 — the remaining cost is the 12.5M-pair count itself, which
+    # is inherent: every one of the C(1000,2) supplier pairs shares a
+    # customer on this graph)
+    posting_all = (
         e.groupBy("__g")
         .agg(F.sort_array(F.collect_list("__i")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .localCheckpoint()
     )
+    posting = posting_all.filter(F.size("ids") >= 2)
     common = (
         posting_pairs(posting, ["__g"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    deg = e.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg = (
+        posting_all.select(F.explode("ids").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
     joined = common.join(
         deg.select(F.col("__i").alias("id_a"), F.col("deg").alias("__da")),
         "id_a",
