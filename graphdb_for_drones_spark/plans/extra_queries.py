@@ -578,6 +578,100 @@ FROM events GROUP BY event_type
 """
 
 
+def q_event_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value trend (operators/stats.ols_trend): least-squares
+    slope/intercept of event value over epoch-HOURS — the drift signal
+    a monitoring layer fits continuously.  x = epoch_ms DIV 3600000 is
+    an exact integer (epoch-ms squared would overflow the decimal
+    moment; hours keep x² within range), every moment is an exact
+    decimal sum, and the closed form unpacks in one documented op order
+    — unlike the engine-native regr_*/corr aggregates, which fold
+    doubles in partition order and can't be hash-paired."""
+    from graphdb_for_drones_spark.operators.stats import ols_trend
+
+    cat = Catalog(spark, sf_dir)
+    # integer `div`, not `/`-then-cast: the double quotient of an
+    # epoch-ms value can round across the floor boundary
+    ev = cat.events.select(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 3600000").alias("xh"),
+        "value",
+    )
+    return ols_trend(ev, ["event_type"], "xh", "value")
+
+
+ORACLE_EVENT_VALUE_TRENDS = """
+WITH b AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS xh, value FROM events
+),
+c AS (
+  SELECT event_type,
+         xh - MIN(xh) OVER (PARTITION BY event_type) AS x,
+         value - MIN(value) OVER (PARTITION BY event_type) AS y,
+         MIN(xh) OVER (PARTITION BY event_type) AS x0,
+         MIN(value) OVER (PARTITION BY event_type) AS y0
+  FROM b
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         ANY_VALUE(x0) AS x0, ANY_VALUE(y0) AS y0,
+         CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+  FROM c GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(x0 AS BIGINT) AS x0,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               + y0, 6)
+       END AS intercept0
+FROM m
+"""
+
+
+def q_lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    (operators/stats.pearson_corr) — the engine's `corr` surface made
+    deterministic: exact decimal moments, closed form in one op order,
+    NULL on zero variance instead of NaN."""
+    from graphdb_for_drones_spark.operators.stats import pearson_corr
+
+    cat = Catalog(spark, sf_dir)
+    return pearson_corr(
+        cat.lineitem, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+ORACLE_LINEITEM_PRICE_QTY_CORR = """
+WITH c AS (
+  SELECT l_returnflag,
+         l_quantity - MIN(l_quantity) OVER (PARTITION BY l_returnflag) AS x,
+         l_extendedprice - MIN(l_extendedprice)
+           OVER (PARTITION BY l_returnflag) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         ROUND((n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+       END AS r
+FROM m
+"""
+
+
 def q_event_type_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score anomaly detection per event type: events beyond 3σ of
     their type's mean — the streaming-alert / data-quality gate shape,
@@ -2116,6 +2210,8 @@ EXTRA_QUERIES = {
     "orders_cube": q_orders_cube,
     "events_pivot_dow": q_events_pivot_dow,
     "dedup_cluster_keepers": q_dedup_cluster_keepers,
+    "event_value_trends": q_event_value_trends,
+    "lineitem_price_qty_corr": q_lineitem_price_qty_corr,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
     "orders_rollup": q_orders_rollup,
@@ -2160,6 +2256,8 @@ EXTRA_ORACLES = {
     "orders_cube": ORACLE_ORDERS_CUBE,
     "events_pivot_dow": ORACLE_EVENTS_PIVOT_DOW,
     "dedup_cluster_keepers": ORACLE_DEDUP_CLUSTER_KEEPERS,
+    "event_value_trends": ORACLE_EVENT_VALUE_TRENDS,
+    "lineitem_price_qty_corr": ORACLE_LINEITEM_PRICE_QTY_CORR,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
     "orders_rollup": ORACLE_ORDERS_ROLLUP,

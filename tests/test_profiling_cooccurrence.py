@@ -84,3 +84,32 @@ def test_cooccurrence_topk_ordering_deterministic(spark):
     rows = cooccurrence_similarity(e, "g", "i", k=2).collect()
     # (a,b)=2 and (x,y)=2 tie on count; (a,b) wins the id tiebreak
     assert [(r.id_a, r.id_b) for r in rows] == [("a", "b"), ("x", "y")]
+
+
+def test_ols_trend_recovers_planted_line(spark):
+    from graphdb_for_drones_spark.operators.stats import ols_trend
+
+    # exact line y = 2x + 5 for key 'a'; constant x for key 'b' -> NULLs
+    rows = [("a", float(x), 2.0 * x + 5.0) for x in range(10)] + [
+        ("b", 3.0, float(v)) for v in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.k: r for r in ols_trend(df, ["k"], "x", "y").collect()}
+    assert out["a"].slope == 2.0
+    # intercept0 = fitted y at min x (x=0) = 5
+    assert out["a"].intercept0 == 5.0 and out["a"].x0 == 0.0
+    assert out["b"].slope is None and out["b"].intercept0 is None
+
+
+def test_pearson_corr_exact_cases(spark):
+    from graphdb_for_drones_spark.operators.stats import pearson_corr
+
+    rows = (
+        [("pos", float(x), 3.0 * x + 1.0) for x in range(8)]
+        + [("neg", float(x), -2.0 * x) for x in range(8)]
+        + [("flat", float(x), 7.0) for x in range(8)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.k: r.r for r in pearson_corr(df, ["k"], "x", "y").collect()}
+    assert out["pos"] == 1.0 and out["neg"] == -1.0
+    assert out["flat"] is None  # zero y variance -> NULL, not NaN
