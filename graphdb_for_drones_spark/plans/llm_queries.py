@@ -820,6 +820,83 @@ WHERE {cos} >= {threshold}
 ORACLE_ANN_NEAR_PAIRS = _ann_near_pairs_oracle_sql()
 
 
+def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (core-point DBSCAN, Ester et al. 1996)
+    over the LSH eps-neighbor graph: eps-neighbors = `ann_near_pairs`
+    edges (cosine >= 0.3 through the banded-LSH candidate path), core
+    points = nodes with >= 3 neighbors, clusters = connected components
+    of the core-core subgraph, reported as per-cluster core counts.
+    The density family beside k-means (`embedding_clusters`) and
+    threshold-components (`embedding_dup_clusters`): DBSCAN finds
+    arbitrary-shape dense regions and leaves sparse noise unclustered
+    by construction.  Every stage reuses a catalogued operator; the
+    oracle wraps the ann_near_pairs twin (planes inlined) with
+    degree/core CTEs and the recursive-closure fixpoint."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        connected_components,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = S.ann_near_pairs(cat.embeddings, dim=64, threshold=0.3).select(
+        "id_a", "id_b"
+    ).localCheckpoint()
+    und = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = und.groupBy(F.col("id_a").alias("vid")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    core = deg.filter(F.col("deg") >= 3).select("vid")
+    cc = (
+        pairs.join(core.select(F.col("vid").alias("id_a")), "id_a", "left_semi")
+        .join(core.select(F.col("vid").alias("id_b")), "id_b", "left_semi")
+    )
+    comp = connected_components(
+        cc.select(
+            F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
+            F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
+        )
+    )
+    return (
+        comp.groupBy(F.col("component").cast("long").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_core"))
+    )
+
+
+def _dbscan_oracle_sql(min_pts: int = 3) -> str:
+    inner = _ann_near_pairs_oracle_sql()
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM ({inner}) t
+),
+u AS (
+  SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p
+),
+deg AS (SELECT id_a AS vid, COUNT(*) AS deg FROM u GROUP BY id_a),
+core AS (SELECT vid FROM deg WHERE deg >= {min_pts}),
+cc AS (
+  SELECT p.id_a, p.id_b FROM p
+  JOIN core ca ON ca.vid = p.id_a JOIN core cb ON cb.vid = p.id_b
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM cc
+  UNION ALL SELECT id_b, id_a FROM cc
+),
+closure AS (
+  SELECT DISTINCT src AS node, src AS r FROM e
+  UNION
+  SELECT c.node, e.dst FROM closure c JOIN e ON e.src = c.r
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM closure GROUP BY node)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_core
+FROM comp GROUP BY cluster_id
+"""
+
+
+ORACLE_EMBEDDING_DBSCAN_CORES = _dbscan_oracle_sql()
+
+
 def q_doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive negative sampling over the corpus: 2 deterministic
     uniform non-self partners per document (md5 arithmetic end to end —
@@ -1104,6 +1181,7 @@ LLM_QUERIES = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
+    "embedding_dbscan_cores": q_embedding_dbscan_cores,
     "doc_split_counts": q_doc_split_counts,
     "doc_sample_per_source": q_doc_sample_per_source,
     "corpus_curation_stats": q_corpus_curation_stats,
@@ -1132,6 +1210,7 @@ LLM_ORACLES = {
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
+    "embedding_dbscan_cores": ORACLE_EMBEDDING_DBSCAN_CORES,
     "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,
     "doc_sample_per_source": ORACLE_DOC_SAMPLE_PER_SOURCE,
     "corpus_curation_stats": ORACLE_CORPUS_CURATION_STATS,
