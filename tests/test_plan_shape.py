@@ -143,3 +143,30 @@ def test_blocked_cosine_size_split_broadcasts_counts(spark):
     )
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nation_trade_flows_broadcasts_pruned_dims(spark):
+    plan = formatted_plan(QUERIES["nation_trade_flows"](spark, SF_DIR))
+    # nation-filtered supplier/customer sides and nation dims broadcast;
+    # only the lineitem-orders fact join shuffles
+    assert plan.count("BroadcastExchange") >= 2
+    # the two-nation filter reaches the nation scans (dimension-side
+    # pruning BEFORE the fact join, not a post-join filter)
+    pushed = plan.split("PushedFilters")
+    assert any("n_name" in seg.split("]")[0] for seg in pushed[1:])
+
+
+def test_part_type_profit_pushes_type_filter(spark):
+    plan = formatted_plan(QUERIES["part_type_profit"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters")
+    assert any("p_type" in seg.split("]")[0] for seg in pushed[1:])
+
+
+def test_bm25_prunes_term_stream_before_shuffle(spark):
+    df = QUERIES["doc_bm25_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the exploded term stream is filtered by the query-term IN list
+    # in-plan (a handful of keys survive to the tf shuffle)
+    assert "vector" in plan and "Exchange" in plan
+    # TakeOrdered (top-k), never a global Sort
+    assert "TakeOrderedAndProject" in plan
