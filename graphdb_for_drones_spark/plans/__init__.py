@@ -106,12 +106,15 @@ _GATE_FIRST = [
     "pq_adc_topk",
     "user_funnel_counts",
     "user_retention_cohorts",
-    # Session additions filling the last window slot (50 of 50).  The
-    # sibling entries added alongside it (`doc_lm_fluency`,
-    # `ann_recall_at_k`, `nation_trade_flows`, `nation_market_share`,
-    # `part_type_profit`, `supplier_shared_customers`, `orders_profile`,
-    # `event_type_outliers`, `events_hourly_gapfilled`) are
-    # local-replica-green and queue for the r6 rotation:
+    # Session additions filling the last window slot (50 of 50).  Every
+    # other entry added this session (BM25's siblings: fluency,
+    # recall@k, the Q7/Q8/Q9 trade analytics, co-occurrence similarity,
+    # table profiling, gap-filled resample, z-score outliers, BPE token
+    # stats, duplicate passages, winnowing, weighted sampling, CUBE,
+    # PIVOT, cluster keepers, OLS/corr, DBSCAN cores) sits beyond the
+    # 50-row window: each is local-replica-green
+    # (tests/test_queries_oracle.py covers every oracle) and queues for
+    # the r6 rotation:
     "doc_bm25_topk",
 ]
 
