@@ -80,3 +80,53 @@ def write_partitioned(
     from graphdb_for_drones_spark.catalog import invalidate_path
 
     invalidate_path(path)
+
+
+def read_csv_results(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Round-trip of the CSV result sink (header row; pass a schema for
+    exact types, else inference — acceptable for metric tables only)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the alternative columnar format for interchange with
+    Hive-side consumers; same predicate-pushdown/pruning behavior as
+    parquet through the Spark reader."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted managed table (`bucketBy`/`sortBy` +
+    saveAsTable): the CO-LOCATED JOIN layout — two tables bucketed on
+    the join key with the same bucket count join with NO shuffle
+    exchange on either side (and no sort, when ``sort_cols`` covers the
+    key), because partitioning is baked into the file layout.  At
+    100 TB this converts every recurring fact-fact join on the bucket
+    key from a full shuffle into a zip of pre-sorted buckets —
+    the single biggest recurring-shuffle eliminator Spark offers.
+    Verified by tests/test_io_formats.py::test_bucketed_join_is_shuffle_free."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        # external table at an explicit location (the warehouse dir is a
+        # static conf — tests and ad-hoc layouts pass a path instead)
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
