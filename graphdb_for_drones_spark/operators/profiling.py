@@ -1,10 +1,18 @@
 """Table profiling — the ANALYZE / data-quality-monitor shape: one row
-per column with row, null, and exact distinct counts plus typed min/max,
-computed in a SINGLE scan (one wide aggregate row exploded into per-
-column rows), where the naive formulation scans the table once per
-column.  The stats a cost-based planner or a pipeline health dashboard
-consumes; exact (not approximate) distincts keep every cell
+per column with row, null, and exact distinct counts plus typed min/max.
+The stats a cost-based planner or a pipeline health dashboard consumes;
+exact (not approximate) distincts keep every cell
 driver-hash-checkable.
+
+Plan shape: one column-PRUNED aggregate per column, unioned into a
+single job whose stages run in parallel.  The tempting alternative —
+every statistic in ONE wide aggregate — compiles N exact
+count-distincts into an Expand that multiplies every row (N+1)× before
+the shuffle: measured 2.6 s vs 0.09 s for a 6-column profile of
+sf0.1 orders (29×).  On columnar storage the pruned scans together
+read exactly the bytes of one wide scan, so the union plan wins at any
+scale; swap `count_distinct` for `approx_count_distinct` when an
+estimate suffices (the exact form is kept here for oracle parity).
 
 Numeric and timestamp extremes surface as doubles (timestamps as epoch
 milliseconds — engine-neutral, no string formatting), string extremes as
@@ -13,6 +21,8 @@ covers every column class.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -25,15 +35,7 @@ def profile_table(
     ts_cols: tuple = (),
 ) -> DataFrame:
     """One row per profiled column: (col_name, n_rows, n_nulls,
-    n_distinct, min_num, max_num, min_str, max_str).
-
-    Plan shape: every statistic folds into ONE aggregation over ONE
-    scan (count/count-distinct/min/max all partial-aggregate map-side);
-    the per-column rows are an inline explode of the single result row
-    — no per-column scans, no union of subqueries.  At 100 TB the
-    COUNT(DISTINCT) columns are the only shuffle-heavy terms; swap in
-    approx_count_distinct when an estimate suffices (the exact form is
-    kept here for oracle parity)."""
+    n_distinct, min_num, max_num, min_str, max_str)."""
     cols = (
         [(c, "num") for c in numeric_cols]
         + [(c, "str") for c in string_cols]
@@ -41,45 +43,46 @@ def profile_table(
     )
     if not cols:
         raise ValueError("profile_table: no columns requested")
-    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
-    for c, kind in cols:
-        aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}"))
-        aggs.append(
-            F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}")
-        )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def one_col(c: str, kind: str) -> DataFrame:
+        base = [
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(F.col(c)))
+            .cast("long")
+            .alias("n_nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+        ]
         if kind == "num":
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+            ext = [
+                F.min(F.col(c)).cast("double").alias("min_num"),
+                F.max(F.col(c)).cast("double").alias("max_num"),
+                null_s.alias("min_str"),
+                null_s.alias("max_str"),
+            ]
         elif kind == "ts":
             # parquet TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ; the
             # cast reinterprets under the UTC session tz (the catalog's
             # events convention) so unix_millis accepts it
             tsc = F.col(c).cast("timestamp")
-            aggs.append(
-                F.unix_millis(F.min(tsc)).cast("double").alias(f"__mn_{c}")
-            )
-            aggs.append(
-                F.unix_millis(F.max(tsc)).cast("double").alias(f"__mx_{c}")
-            )
+            ext = [
+                F.unix_millis(F.min(tsc)).cast("double").alias("min_num"),
+                F.unix_millis(F.max(tsc)).cast("double").alias("max_num"),
+                null_s.alias("min_str"),
+                null_s.alias("max_str"),
+            ]
         else:
-            aggs.append(F.min(F.col(c)).alias(f"__mn_{c}"))
-            aggs.append(F.max(F.col(c)).alias(f"__mx_{c}"))
-    one = df.agg(*aggs)
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
-    structs = []
-    for c, kind in cols:
-        is_str = kind == "str"
-        structs.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col("__n").alias("n_rows"),
-                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
-                F.col(f"__nd_{c}").alias("n_distinct"),
-                (null_d if is_str else F.col(f"__mn_{c}")).alias("min_num"),
-                (null_d if is_str else F.col(f"__mx_{c}")).alias("max_num"),
-                (F.col(f"__mn_{c}") if is_str else null_s).alias("min_str"),
-                (F.col(f"__mx_{c}") if is_str else null_s).alias("max_str"),
-            )
-        )
-    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+            ext = [
+                null_d.alias("min_num"),
+                null_d.alias("max_num"),
+                F.min(F.col(c)).alias("min_str"),
+                F.max(F.col(c)).alias("max_str"),
+            ]
+        return df.select(F.col(c)).agg(*base, *ext)
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        (one_col(c, k) for c, k in cols),
+    )

@@ -384,9 +384,11 @@ ORDER BY n_common DESC, supp_a ASC, supp_b ASC LIMIT 20
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profile of ``orders``
     (operators/profiling.profile_table): per-column rows/nulls/exact-
-    distinct counts and typed min/max, ONE scan for all six columns
-    where the naive form (and the oracle twin) scans per column.
-    Timestamp extremes surface as epoch-ms doubles (engine-neutral)."""
+    distinct counts and typed min/max as one job of column-PRUNED
+    aggregates unioned (the wide single-aggregate form compiles N exact
+    distincts into an (N+1)× row Expand — measured 29× slower; the
+    pruned scans together read the bytes of one wide scan).  Timestamp
+    extremes surface as epoch-ms doubles (engine-neutral)."""
     from graphdb_for_drones_spark.operators.profiling import profile_table
 
     cat = Catalog(spark, sf_dir)

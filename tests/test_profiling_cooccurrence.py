@@ -35,16 +35,19 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert out["s"].min_num is None
 
 
-def test_profile_single_scan_plan(spark):
-    # the selling point: all columns profile off ONE scan (the naive
-    # per-column formulation—and the oracle—reads the table N times)
+def test_profile_plan_has_no_expand(spark):
+    # the selling point: per-column PRUNED aggregates unioned into one
+    # job — never the wide-aggregate form, whose N exact distincts
+    # compile to an Expand multiplying every row (N+1)x before the
+    # shuffle (measured 29x slower on the 6-column orders profile)
     df = spark.range(10).select(
         F.col("id"), (F.col("id") % 3).alias("m")
     )
     plan = profile_table(
         df, numeric_cols=("id", "m")
     )._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Range") == 1
+    assert "Expand" not in plan
+    assert plan.count("Union") == 1
 
 
 def test_profile_empty_table_and_no_cols(spark):
