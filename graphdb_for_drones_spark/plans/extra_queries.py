@@ -674,6 +674,62 @@ FROM m
 """
 
 
+def q_event_type_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (MAD) outlier detection per event type: median absolute
+    deviation instead of mean/stddev, so the threshold itself is immune
+    to the outliers it hunts (a handful of 1000x spikes inflate sigma
+    and hide themselves from the 3-sigma gate — the classic z-score
+    failure MAD fixes; Leys et al. 2013).  Flag |x − median| >
+    3 · 1.4826 · MAD.  Exact interpolated percentiles on both engines
+    (the `order_price_percentiles` parity), two windowed passes over
+    one key-partitioned exchange."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    staged = cat.events.select(
+        "event_type", "value", med.alias("__med")
+    )
+    mad = F.expr("percentile(abs(value - __med), 0.5)").over(
+        Window.partitionBy("event_type")
+    )
+    flagged = staged.withColumn("__mad", mad)
+    thr = F.lit(3.0) * F.lit(1.4826) * F.col("__mad")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("__med")) > thr, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("__med"), 6).alias("median_value"),
+        F.round(F.max("__mad"), 6).alias("mad_value"),
+    )
+
+
+ORACLE_EVENT_TYPE_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, med.m,
+         ABS(e.value - med.m) AS ad
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev
+  GROUP BY event_type
+)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       ROUND(MAX(d.m), 6) AS median_value,
+       ROUND(MAX(mad.mad), 6) AS mad_value
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def q_event_type_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score anomaly detection per event type: events beyond 3σ of
     their type's mean — the streaming-alert / data-quality gate shape,
@@ -2213,6 +2269,7 @@ EXTRA_QUERIES = {
     "events_pivot_dow": q_events_pivot_dow,
     "dedup_cluster_keepers": q_dedup_cluster_keepers,
     "event_value_trends": q_event_value_trends,
+    "event_type_robust_outliers": q_event_type_robust_outliers,
     "lineitem_price_qty_corr": q_lineitem_price_qty_corr,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
@@ -2259,6 +2316,7 @@ EXTRA_ORACLES = {
     "events_pivot_dow": ORACLE_EVENTS_PIVOT_DOW,
     "dedup_cluster_keepers": ORACLE_DEDUP_CLUSTER_KEEPERS,
     "event_value_trends": ORACLE_EVENT_VALUE_TRENDS,
+    "event_type_robust_outliers": ORACLE_EVENT_TYPE_ROBUST_OUTLIERS,
     "lineitem_price_qty_corr": ORACLE_LINEITEM_PRICE_QTY_CORR,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,

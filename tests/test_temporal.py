@@ -248,3 +248,33 @@ def test_zscore_outlier_entry_flags_planted_spike(spark, tmp_path):
     r = out[0]
     assert r.n_events == 41 and r.n_outliers == 1
     assert r.mean_value > 10 and r.stddev_value > 100
+
+
+def test_mad_outliers_immune_to_spike_inflation(spark, tmp_path):
+    # the MAD gate must flag spikes that a handful of extreme values
+    # would hide from the plain 3-sigma gate (sigma inflation)
+    import datetime as dt
+    from graphdb_for_drones_spark.plans.extra_queries import (
+        q_event_type_outliers,
+        q_event_type_robust_outliers,
+    )
+
+    vals = [10.0] * 40 + [10.5] * 40 + [120.0] * 10  # moderate spikes
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i % 60), i % 7, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    robust = q_event_type_robust_outliers(spark, sf).collect()[0]
+    plain = q_event_type_outliers(spark, sf).collect()[0]
+    # the spikes inflate sigma enough that the plain gate misses them...
+    assert plain.n_outliers == 0
+    # ...while MAD (median-based) flags exactly the 10 spikes
+    assert robust.n_outliers == 10
+    assert robust.median_value == 10.5
