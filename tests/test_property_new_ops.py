@@ -1,0 +1,133 @@
+"""Property-based validation of the session's operators against
+independent pure-Python references on random inputs (the
+test_traversal_property pattern)."""
+
+import hashlib
+import math
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+GROUPS = list("wxyz")
+ITEMS = list("abcde")
+
+edge_strategy = st.lists(
+    st.tuples(st.sampled_from(GROUPS), st.sampled_from(ITEMS)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_strategy)
+def test_cooccurrence_matches_bruteforce(spark, edges):
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        cooccurrence_similarity,
+    )
+
+    distinct = sorted(set(edges))
+    if not distinct:
+        return
+    df = spark.createDataFrame(distinct, "g string, i string").localCheckpoint()
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in cooccurrence_similarity(df, "g", "i", k=1000).collect()
+    }
+    # brute force
+    by_group = defaultdict(set)
+    deg = defaultdict(int)
+    for g, i in distinct:
+        by_group[g].add(i)
+        deg[i] += 1
+    want = defaultdict(int)
+    for g, items in by_group.items():
+        items = sorted(items)
+        for a in range(len(items)):
+            for b in range(a + 1, len(items)):
+                want[(items[a], items[b])] += 1
+    assert set(got) == set(want)
+    for k, n in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(
+            n / (deg[k[0]] + deg[k[1]] - n)
+        )
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=-2, max_value=50), min_size=1, max_size=25),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_matches_es_reference(spark, weights, k):
+    from graphdb_for_drones_spark.operators.split import weighted_sample_topk
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").localCheckpoint()
+    got = [(r.doc_id, r.es_key) for r in weighted_sample_topk(df, "w", k=k).collect()]
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ref = []
+    for i, w in rows:
+        if w <= 0:
+            continue
+        u = md5_60(f"{i}:w42") / float(1 << 60)
+        ref.append((round(-math.log(u) / w, 9), i))
+    ref.sort()
+    assert got == [(i, key) for key, i in ref[:k]]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ts=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=50_000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_resample_grid_contiguous_and_total_preserving(spark, ts):
+    import datetime as dt
+
+    from graphdb_for_drones_spark.operators.temporal import resample_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(g, base + dt.timedelta(seconds=s)) for g, s in ts]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp").localCheckpoint()
+    out = resample_counts(df, "ts", "grp", bucket_ms=3_600_000).collect()
+    per_group = defaultdict(list)
+    for r in out:
+        per_group[r.grp].append((r.bucket_start, r.n))
+    want_counts = defaultdict(int)
+    for g, s in ts:
+        want_counts[g] += 1
+    for g, buckets in per_group.items():
+        buckets.sort()
+        starts = [b for b, _ in buckets]
+        # contiguous hourly grid, no holes
+        assert starts == list(
+            range(starts[0], starts[-1] + 3_600_000, 3_600_000)
+        )
+        # total events preserved across the grid
+        assert sum(n for _, n in buckets) == want_counts[g]
+    assert set(per_group) == set(want_counts)
