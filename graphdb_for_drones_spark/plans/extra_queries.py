@@ -674,6 +674,50 @@ FROM m
 """
 
 
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    estimate): LEAD over each user's (ts, event_id)-ordered stream —
+    event_id breaks timestamp ties, so the order is total and the
+    matrix deterministic — counted per (from_type, to_type) with the
+    row-normalized transition probability.  The sequence-analytics
+    primitive under next-action prediction and funnel diagnosis; one
+    sort-within-user window + one partial-aggregated groupBy."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cat.events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") * F.lit(1.0) / tot).alias("p"),
+    )
+
+
+ORACLE_EVENT_TYPE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       n * 1.0 / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM c
+"""
+
+
 def q_event_type_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (MAD) outlier detection per event type: median absolute
     deviation instead of mean/stddev, so the threshold itself is immune
@@ -2270,6 +2314,7 @@ EXTRA_QUERIES = {
     "dedup_cluster_keepers": q_dedup_cluster_keepers,
     "event_value_trends": q_event_value_trends,
     "event_type_robust_outliers": q_event_type_robust_outliers,
+    "event_type_transitions": q_event_type_transitions,
     "lineitem_price_qty_corr": q_lineitem_price_qty_corr,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
@@ -2317,6 +2362,7 @@ EXTRA_ORACLES = {
     "dedup_cluster_keepers": ORACLE_DEDUP_CLUSTER_KEEPERS,
     "event_value_trends": ORACLE_EVENT_VALUE_TRENDS,
     "event_type_robust_outliers": ORACLE_EVENT_TYPE_ROBUST_OUTLIERS,
+    "event_type_transitions": ORACLE_EVENT_TYPE_TRANSITIONS,
     "lineitem_price_qty_corr": ORACLE_LINEITEM_PRICE_QTY_CORR,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
