@@ -674,6 +674,50 @@ FROM m
 """
 
 
+def q_event_type_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (the TWAP / telemetry
+    duty-cycle primitive): each observation holds until the type's next
+    event, so its weight is that interval in exact epoch-ms integers;
+    twap = Σ(v·w)/Σ(w) with decimal-exact sums (per-row double product,
+    order-independent decimal reduction — the repo's float convention).
+    The stream's last observation per type has no successor and drops
+    out (standard TWAP windowing).  Order is total via (ts, event_id)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    seq = cat.events.select(
+        "event_type",
+        "value",
+        (F.lead(ms).over(w) - ms).alias("__w"),
+    ).filter(F.col("__w").isNotNull())
+    num = F.sum(
+        (F.col("value") * F.col("__w")).cast("decimal(28,10)")
+    ).cast("double")
+    den = F.sum("__w").cast("double")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("__w").cast("long").alias("total_ms"),
+        F.round(num / den, 6).alias("twap"),
+    )
+
+
+ORACLE_EVENT_TYPE_TWAP = """
+WITH seq AS (
+  SELECT event_type, value,
+         LEAD(epoch_ms(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)
+           - epoch_ms(ts) AS w
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(w) AS BIGINT) AS total_ms,
+       ROUND(CAST(SUM(CAST(value * w AS DECIMAL(28,10))) AS DOUBLE)
+             / CAST(SUM(w) AS DOUBLE), 6) AS twap
+FROM seq WHERE w IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix (first-order Markov
     estimate): LEAD over each user's (ts, event_id)-ordered stream —
@@ -2315,6 +2359,7 @@ EXTRA_QUERIES = {
     "event_value_trends": q_event_value_trends,
     "event_type_robust_outliers": q_event_type_robust_outliers,
     "event_type_transitions": q_event_type_transitions,
+    "event_type_twap": q_event_type_twap,
     "lineitem_price_qty_corr": q_lineitem_price_qty_corr,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
@@ -2363,6 +2408,7 @@ EXTRA_ORACLES = {
     "event_value_trends": ORACLE_EVENT_VALUE_TRENDS,
     "event_type_robust_outliers": ORACLE_EVENT_TYPE_ROBUST_OUTLIERS,
     "event_type_transitions": ORACLE_EVENT_TYPE_TRANSITIONS,
+    "event_type_twap": ORACLE_EVENT_TYPE_TWAP,
     "lineitem_price_qty_corr": ORACLE_LINEITEM_PRICE_QTY_CORR,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
