@@ -674,6 +674,105 @@ FROM m
 """
 
 
+def q_shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→shipment delay distribution: integer-day lag between
+    o_orderdate and each l_shipdate, bucketed by week — the date-
+    arithmetic family (datediff) as a fulfillment-latency histogram.
+    All integers; the fact join shuffles on orderkey only."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.select("o_orderkey", "o_orderdate")
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    lag_days = F.datediff(
+        F.col("l_shipdate").cast("timestamp").cast("date"),
+        F.col("o_orderdate").cast("timestamp").cast("date"),
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.floor(lag_days / 7).cast("long").alias("lag_weeks"))
+        .groupBy("lag_weeks")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    )
+
+
+ORACLE_SHIPPING_DELAY_HISTOGRAM = """
+SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT)
+         AS lag_weeks,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM analysis rollup per market segment: Recency = days from each
+    customer's last order to the corpus max date, Frequency = orders
+    per customer, Monetary = customer spend — averaged per segment with
+    decimal-exact sums (the marketing-analytics standard).  The corpus
+    max date binds as a one-row broadcast scalar (whitelisted NLJ
+    idiom)."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").cast("date").alias("d"),
+        "o_totalprice",
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__m"),
+    )
+    maxd = o.agg(F.max("d").alias("__maxd"))
+    rfm = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("__maxd"), F.col("last_d")).cast("long").alias("rec"),
+        "freq",
+        "__m",
+    )
+    seg = cat.customer.select("c_custkey", "c_mktsegment")
+    return (
+        rfm.join(seg, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("rec").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_recency_days"),
+            F.round(
+                F.sum("freq").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_frequency"),
+            F.round(
+                F.sum("__m").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_RFM_SEGMENTS = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+  FROM orders
+),
+pc AS (
+  SELECT o_custkey, MAX(d) AS last_d, COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+  FROM o GROUP BY o_custkey
+),
+mx AS (SELECT MAX(d) AS maxd FROM o),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', last_d, mx.maxd) AS rec, freq, m
+  FROM pc CROSS JOIN mx
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 6) AS avg_recency_days,
+       ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_frequency,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+FROM rfm JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_event_type_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per event type (the TWAP / telemetry
     duty-cycle primitive): each observation holds until the type's next
@@ -2360,6 +2459,8 @@ EXTRA_QUERIES = {
     "event_type_robust_outliers": q_event_type_robust_outliers,
     "event_type_transitions": q_event_type_transitions,
     "event_type_twap": q_event_type_twap,
+    "shipping_delay_histogram": q_shipping_delay_histogram,
+    "customer_rfm_segments": q_customer_rfm_segments,
     "lineitem_price_qty_corr": q_lineitem_price_qty_corr,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
@@ -2409,6 +2510,8 @@ EXTRA_ORACLES = {
     "event_type_robust_outliers": ORACLE_EVENT_TYPE_ROBUST_OUTLIERS,
     "event_type_transitions": ORACLE_EVENT_TYPE_TRANSITIONS,
     "event_type_twap": ORACLE_EVENT_TYPE_TWAP,
+    "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,
+    "customer_rfm_segments": ORACLE_CUSTOMER_RFM_SEGMENTS,
     "lineitem_price_qty_corr": ORACLE_LINEITEM_PRICE_QTY_CORR,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
