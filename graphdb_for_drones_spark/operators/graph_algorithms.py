@@ -632,3 +632,44 @@ def cooccurrence_similarity(
         .orderBy(F.desc("n_common"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    source: str,
+    rounds: int = 4,
+) -> DataFrame:
+    """Single-source shortest paths with nonnegative integer weights by
+    bounded Bellman-Ford relaxation: ``rounds`` supersteps of
+    d_k(v) = min(d_{k-1}(v), min over edges (d_{k-1}(u) + w(u,v))) —
+    after k rounds every node holds its cheapest cost over paths of
+    <= k edges (textbook relaxation invariant; with rounds >= the
+    shortest-path hop diameter this is the exact SSSP).
+
+    Input: (src, dst, w long) DIRECTED edges (symmetrize upstream for
+    undirected graphs).  Returns (id, cost long) for reached nodes.
+    Integer costs + MIN reductions are order-independent, so the whole
+    iterative computation is driver-hash-checkable against an unrolled
+    SQL twin (the fixed-point-pagerank treatment).  Each superstep is
+    one join + one min-agg over the best-so-far table — node-bounded,
+    never path-bounded (a recursive path enumeration explodes
+    combinatorially on dense graphs; relaxation cannot).  The best
+    table localCheckpoints per round (small: one row per reached node).
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    best = spark.createDataFrame(
+        [(source, 0)], "id string, cost long"
+    ).localCheckpoint()
+    for _ in range(rounds):
+        relaxed = (
+            e.join(best, e["src"] == best["id"])
+            .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        best = (
+            best.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return best

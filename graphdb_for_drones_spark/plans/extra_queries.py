@@ -674,6 +674,83 @@ FROM m
 """
 
 
+def q_trade_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from customer c1 over the
+    undirected trade graph (operators/graph_algorithms.weighted_sssp —
+    bounded Bellman-Ford relaxation): edge cost = GREATEST(1, 10 − n)
+    for n trade lines between the pair (affinity-inverse — heavy trade
+    is cheap to route through), 4 relaxation rounds.  The classic
+    node-bounded relaxation loop — hash-checkable because integer MIN
+    reductions are order-independent; the oracle unrolls the 4 rounds
+    as CTEs (a recursive path enumeration would explode on this dense
+    graph — relaxation cannot)."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        weighted_sssp,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    n_lines = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = n_lines.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.greatest(F.lit(1).cast("long"), F.lit(10) - F.col("n"))
+        .cast("long")
+        .alias("w"),
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    best = weighted_sssp(edges, "c1", rounds=4)
+    return best.filter(F.col("id") != "c1")
+
+
+def _sssp_oracle_sql(rounds: int = 4) -> str:
+    ctes = []
+    prev = "d0"
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""d{k} AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, {prev}.cost + e.w AS cost
+    FROM {prev} JOIN e ON e.src = {prev}.id
+  ) GROUP BY id
+)"""
+        )
+        prev = f"d{k}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH e0 AS (
+  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS n
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+wts AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst,
+         CAST(GREATEST(1, 10 - n) AS BIGINT) AS w
+  FROM e0
+),
+e AS (SELECT src, dst, w FROM wts UNION ALL SELECT dst, src, w FROM wts),
+d0(id, cost) AS (VALUES ('c1', CAST(0 AS BIGINT))),
+{body}
+SELECT id, CAST(cost AS BIGINT) AS cost FROM {prev} WHERE id <> 'c1'
+"""
+
+
+ORACLE_TRADE_CHEAPEST_ROUTE = _sssp_oracle_sql()
+
+
 def q_shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order→shipment delay distribution: integer-day lag between
     o_orderdate and each l_shipdate, bucketed by week — the date-
@@ -2460,6 +2537,7 @@ EXTRA_QUERIES = {
     "event_type_transitions": q_event_type_transitions,
     "event_type_twap": q_event_type_twap,
     "shipping_delay_histogram": q_shipping_delay_histogram,
+    "trade_cheapest_route": q_trade_cheapest_route,
     "customer_rfm_segments": q_customer_rfm_segments,
     "lineitem_price_qty_corr": q_lineitem_price_qty_corr,
     "customers_without_orders": q_customers_without_orders,
@@ -2511,6 +2589,7 @@ EXTRA_ORACLES = {
     "event_type_transitions": ORACLE_EVENT_TYPE_TRANSITIONS,
     "event_type_twap": ORACLE_EVENT_TYPE_TWAP,
     "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,
+    "trade_cheapest_route": ORACLE_TRADE_CHEAPEST_ROUTE,
     "customer_rfm_segments": ORACLE_CUSTOMER_RFM_SEGMENTS,
     "lineitem_price_qty_corr": ORACLE_LINEITEM_PRICE_QTY_CORR,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,

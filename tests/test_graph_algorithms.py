@@ -364,3 +364,52 @@ def test_temporal_reach_matches_python_reference_on_random_graphs(spark):
             for r in temporal_reach(e, anchor, hops).collect()
         }
         assert got == expect, trial
+
+
+def test_weighted_sssp_matches_python_bellman_ford(spark):
+    """Differential: bounded-relaxation SSSP vs a python reference on
+    random weighted digraphs (cycles, multi-edges, unreachable nodes)."""
+    import random
+
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        weighted_sssp,
+    )
+
+    rng = random.Random(7)
+    nodes = list("abcdef")
+    for trial in range(4):
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+            for _ in range(rng.randint(3, 14))
+        ]
+        rounds = 4
+        df = spark.createDataFrame(
+            edges, "src string, dst string, w long"
+        ).localCheckpoint()
+        got = {
+            r.id: r.cost for r in weighted_sssp(df, "a", rounds=rounds).collect()
+        }
+        # reference: k rounds of relaxation
+        best = {"a": 0}
+        for _ in range(rounds):
+            nxt = dict(best)
+            for s, d, w in edges:
+                if s in best and best[s] + w < nxt.get(d, 1 << 60):
+                    nxt[d] = best[s] + w
+            best = nxt
+        assert got == best, (trial, edges)
+
+
+def test_weighted_sssp_exact_at_hop_diameter(spark):
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        weighted_sssp,
+    )
+
+    # chain with a costly shortcut: a->b->c->d (1+1+1) vs a->d (10)
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "d", 10)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.id: r.cost for r in weighted_sssp(df, "a", rounds=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # with rounds=1 only the direct (costlier) edge is visible
+    got1 = {r.id: r.cost for r in weighted_sssp(df, "a", rounds=1).collect()}
+    assert got1["d"] == 10
