@@ -657,7 +657,13 @@ def weighted_sssp(
     table localCheckpoints per round (small: one row per reached node).
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    # pin the edge list once: it is re-referenced every round, and an
+    # expensive upstream (join + groupBy weight derivation) would
+    # otherwise re-execute per superstep (measured 5.4 → 3.5 s on the
+    # trade entry at sf0.1)
+    e = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).localCheckpoint()
     best = spark.createDataFrame(
         [(source, 0)], "id string, cost long"
     ).localCheckpoint()
