@@ -943,6 +943,102 @@ FROM shifted s JOIN idx p ON p.rnk = s.pr
 ORACLE_DOC_NEGATIVE_PAIRS = _doc_negative_pairs_oracle_sql()
 
 
+def q_embedding_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health diagnostic: the distribution of pairwise
+    cosine similarity over a DETERMINISTIC random pair sample (one
+    md5-drawn partner per vector — split.negative_pairs reused as the
+    sampler), binned to width 0.1 over [-1, 1].  A collapsed embedding
+    space (anisotropy / dead model) shows up as mass piling near 1.0;
+    the 2N-pair sample makes the diagnostic O(N) where the true
+    pairwise distribution is O(N²).  Exact: md5 draw + rounded-6dp
+    cosine + integer binning, all hash-checked."""
+    from graphdb_for_drones_spark.operators.split import negative_pairs
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    pairs = negative_pairs(emb.select("vec_id"), "vec_id", k=1).select(
+        F.col("vec_id").alias("id_a"), F.col("neg_vec_id").alias("id_b")
+    )
+    vecs = emb.select(
+        F.col("vec_id"), F.col("embedding"), S.norm2(F.col("embedding")).alias("__n")
+    )
+    joined = pairs.join(
+        vecs.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("__va"),
+            F.col("__n").alias("__na"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        ),
+        "id_b",
+    )
+    cos = F.round(
+        S.dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
+    bin_ = F.least(
+        F.floor((cos + F.lit(1.0)) / F.lit(0.1)).cast("long"), F.lit(19)
+    )
+    return joined.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def _embedding_distance_hist_oracle_sql(seed: int = 42, buckets: int = 64) -> str:
+    def md5i(expr: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(15), i -> "
+            f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i+1, 1)) - 1 AS BIGINT)"
+            " << ((14 - i) * 4))) AS BIGINT)"
+        )
+
+    h = md5i("CAST(vec_id AS VARCHAR) || ':r0'")
+    draw = md5i(f"CAST(vec_id AS VARCHAR) || ':0:{seed}'")
+    cos = (
+        "ROUND(list_sum(list_transform(range(64), "
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(range(64), "
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(range(64), "
+        "i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH idx AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY ({h}) % {buckets}, {h}, vec_id) - 1
+           AS rnk
+  FROM embeddings
+),
+n AS (SELECT COUNT(*) AS n FROM embeddings),
+drawn AS (
+  SELECT i.vec_id, i.rnk,
+         ({draw.replace('vec_id', 'i.vec_id')}) % (n.n - 1) AS slot
+  FROM idx i CROSS JOIN n
+),
+shifted AS (
+  SELECT vec_id, slot + (CASE WHEN slot >= rnk THEN 1 ELSE 0 END) AS pr
+  FROM drawn
+),
+p AS (
+  SELECT s.vec_id AS id_a, x.vec_id AS id_b
+  FROM shifted s JOIN idx x ON x.rnk = s.pr
+),
+sc AS (
+  SELECT LEAST(CAST(FLOOR(({cos} + 1.0) / 0.1) AS BIGINT), 19) AS bin
+  FROM p JOIN embeddings a ON a.vec_id = p.id_a
+  JOIN embeddings b ON b.vec_id = p.id_b
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sc GROUP BY bin
+"""
+
+
+ORACLE_EMBEDDING_DISTANCE_HIST = _embedding_distance_hist_oracle_sql()
+
+
 def q_corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation pipeline as one declarative plan —
     quality gate (q >= 0.5) → exact-dedup keeper (min doc_id per
@@ -1182,6 +1278,7 @@ LLM_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
     "embedding_dbscan_cores": q_embedding_dbscan_cores,
+    "embedding_distance_hist": q_embedding_distance_hist,
     "doc_split_counts": q_doc_split_counts,
     "doc_sample_per_source": q_doc_sample_per_source,
     "corpus_curation_stats": q_corpus_curation_stats,
@@ -1211,6 +1308,7 @@ LLM_ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
     "embedding_dbscan_cores": ORACLE_EMBEDDING_DBSCAN_CORES,
+    "embedding_distance_hist": ORACLE_EMBEDDING_DISTANCE_HIST,
     "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,
     "doc_sample_per_source": ORACLE_DOC_SAMPLE_PER_SOURCE,
     "corpus_curation_stats": ORACLE_CORPUS_CURATION_STATS,
