@@ -249,7 +249,13 @@ def mixture_weights(
         F.sum(token_count(F.col(text_col))).alias("n_tokens"),
     )
     w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    total = F.sum("n_tokens").over(w)
+    # ANSI guards (degenerate-fixture sweep): an all-empty corpus has
+    # total 0; a zero-token domain has share 0 and cannot be upweighted
+    # to any token target — both surface as 0.0, never a job failure
+    share = F.when(total > 0, F.col("n_tokens") / total).otherwise(
+        F.lit(0.0)
+    )
     if target is None:
         tgt = F.lit(1.0) / F.count(F.lit(1)).over(w)
     else:
@@ -267,7 +273,7 @@ def mixture_weights(
         "n_docs",
         "n_tokens",
         share.alias("token_share"),
-        (tgt / share).alias("weight"),
+        F.when(share > 0, tgt / share).otherwise(F.lit(0.0)).alias("weight"),
     )
 
 

@@ -50,12 +50,15 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def stopword_ratio_from_tokens(toks: Column, stopwords=STOPWORDS) -> Column:
-    """Stopword share over a LOWERCASED token-array column.  Pass a
-    materialized column on hot paths: subexpression elimination skips
-    lambda-bearing subtrees, so an inline ``tokens(...)`` argument is
-    re-tokenized at each of the two references here."""
+    """Stopword share over a LOWERCASED token-array column; 0.0 for
+    token-less documents (ANSI mode makes the bare division a JOB
+    FAILURE on an empty doc — caught by the degenerate-fixture sweep).
+    Pass a materialized column on hot paths: subexpression elimination
+    skips lambda-bearing subtrees, so an inline ``tokens(...)``
+    argument is re-tokenized at each of the two references here."""
     sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return sw / F.size(toks)
+    n = F.size(toks)
+    return F.when(n > 0, sw / n).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(col: Column, stopwords=STOPWORDS) -> Column:
@@ -63,8 +66,10 @@ def stopword_ratio(col: Column, stopwords=STOPWORDS) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
+    """Punctuation character share; 0.0 for empty text (ANSI guard)."""
     no_punct = F.regexp_replace(col, r"[^\w\s]", "")
-    return (F.length(col) - F.length(no_punct)) / F.length(col)
+    n = F.length(col)
+    return F.when(n > 0, (n - F.length(no_punct)) / n).otherwise(F.lit(0.0))
 
 
 def quality_score_parts(n_tok: Column, sw_ratio: Column, p_ratio: Column) -> Column:

@@ -130,8 +130,13 @@ WITH per AS (
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
-       n_tokens * 1.0 / SUM(n_tokens) OVER () AS token_share,
-       (1.0 / COUNT(*) OVER ()) / (n_tokens * 1.0 / SUM(n_tokens) OVER ()) AS weight
+       CASE WHEN SUM(n_tokens) OVER () > 0
+            THEN n_tokens * 1.0 / SUM(n_tokens) OVER () ELSE 0.0 END
+         AS token_share,
+       CASE WHEN n_tokens > 0 AND SUM(n_tokens) OVER () > 0
+            THEN (1.0 / COUNT(*) OVER ())
+                 / (n_tokens * 1.0 / SUM(n_tokens) OVER ())
+            ELSE 0.0 END AS weight
 FROM per
 """
 

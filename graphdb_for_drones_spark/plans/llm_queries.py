@@ -294,15 +294,15 @@ ORACLE_DOC_TOKEN_STATS = r"""
 SELECT doc_id,
   len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
     AS n_tokens,
-  ROUND(
+  ROUND(CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) > 0 THEN
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         t -> t IN ('the','a','of','and','in','to','is')))
     * 1.0 /
-    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')),
-    6) AS stopword_ratio,
-  ROUND(
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> ''))
+    ELSE 0.0 END, 6) AS stopword_ratio,
+  ROUND(CASE WHEN length(text) > 0 THEN
     (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-    * 1.0 / length(text), 6) AS punct_ratio
+    * 1.0 / length(text) ELSE 0.0 END, 6) AS punct_ratio
 FROM documents
 """
 
@@ -345,13 +345,15 @@ WITH t AS (
   SELECT lang,
     len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
       AS n_tok,
+    CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) > 0 THEN
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         x -> x IN ('the','a','of','and','in','to','is')))
     * 1.0 /
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))
-      AS sw_ratio,
+    ELSE 0.0 END AS sw_ratio,
+    CASE WHEN length(text) > 0 THEN
     (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-    * 1.0 / length(text) AS p_ratio
+    * 1.0 / length(text) ELSE 0.0 END AS p_ratio
   FROM documents
 ),
 q AS (
@@ -1081,13 +1083,15 @@ WITH t AS (
   SELECT doc_id, text,
     len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
       AS n_tok,
+    CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) > 0 THEN
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         x -> x IN ('the','a','of','and','in','to','is')))
     * 1.0 /
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))
-      AS sw_ratio,
+    ELSE 0.0 END AS sw_ratio,
+    CASE WHEN length(text) > 0 THEN
     (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-    * 1.0 / length(text) AS p_ratio
+    * 1.0 / length(text) ELSE 0.0 END AS p_ratio
   FROM documents
 ),
 pass AS (
