@@ -674,6 +674,65 @@ FROM m
 """
 
 
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend quartiles via the ranking-window surface NTILE /
+    PERCENT_RANK / CUME_DIST (the remaining SQL window functions the
+    catalog didn't exercise), rolled up per quartile with spend bounds
+    and the quartile's max cumulative share.  The global order is
+    (spend, custkey) — total, so every window value is deterministic.
+
+    Scale note: a global NTILE is inherently a single total order; this
+    entry exercises the SQL surface at dimension size (customers),
+    while the DISTRIBUTED equal-frequency path for fact-scale data is
+    `doc_difficulty_deciles` (value-bucketed rank, no one-partition
+    window)."""
+    cat = Catalog(spark, sf_dir)
+    spend = (
+        cat.orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    ranked = spend.select(
+        "spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.min("spend"), 2).alias("min_spend"),
+        F.round(F.max("spend"), 2).alias("max_spend"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
+
+
+ORACLE_CUSTOMER_SPEND_QUARTILES = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT spend,
+         NTILE(4) OVER (ORDER BY spend, o_custkey) AS quartile,
+         PERCENT_RANK() OVER (ORDER BY spend, o_custkey) AS pr,
+         CUME_DIST() OVER (ORDER BY spend, o_custkey) AS cd
+  FROM spend
+)
+SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(MIN(spend), 2) AS min_spend,
+       ROUND(MAX(spend), 2) AS max_spend,
+       ROUND(MAX(pr), 6) AS max_percent_rank,
+       ROUND(MAX(cd), 6) AS max_cume_dist
+FROM r GROUP BY quartile
+"""
+
+
 def q_trade_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths from customer c1 over the
     undirected trade graph (operators/graph_algorithms.weighted_sssp —
@@ -2538,6 +2597,7 @@ EXTRA_QUERIES = {
     "event_type_twap": q_event_type_twap,
     "shipping_delay_histogram": q_shipping_delay_histogram,
     "trade_cheapest_route": q_trade_cheapest_route,
+    "customer_spend_quartiles": q_customer_spend_quartiles,
     "customer_rfm_segments": q_customer_rfm_segments,
     "lineitem_price_qty_corr": q_lineitem_price_qty_corr,
     "customers_without_orders": q_customers_without_orders,
@@ -2590,6 +2650,7 @@ EXTRA_ORACLES = {
     "event_type_twap": ORACLE_EVENT_TYPE_TWAP,
     "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,
     "trade_cheapest_route": ORACLE_TRADE_CHEAPEST_ROUTE,
+    "customer_spend_quartiles": ORACLE_CUSTOMER_SPEND_QUARTILES,
     "customer_rfm_segments": ORACLE_CUSTOMER_RFM_SEGMENTS,
     "lineitem_price_qty_corr": ORACLE_LINEITEM_PRICE_QTY_CORR,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
