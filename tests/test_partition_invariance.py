@@ -1,0 +1,44 @@
+"""Reduction-order independence, pinned: entries whose outputs carry
+floats derived from decimal-exact sums (or rounded folds) must return
+BIT-IDENTICAL rows regardless of shuffle width — the property that
+makes them driver-hash-checkable at all, and the one a partitioning
+change on a real cluster would silently break if any aggregate
+regressed to raw double folding."""
+
+import os
+
+import pytest
+
+from graphdb_for_drones_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+FLOAT_BEARING = [
+    "pricing_summary",
+    "region_volume",
+    "doc_quality",
+    "mixture_weights",
+    "event_type_outliers",
+    "doc_bm25_topk",
+    "doc_lm_fluency",
+    "event_type_twap",
+    "event_value_trends",
+    "lineitem_price_qty_corr",
+    "supplier_pagerank",
+    "customer_rfm_segments",
+    "nation_market_share",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", FLOAT_BEARING)
+def test_result_invariant_under_shuffle_width(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert wide == narrow, f"{name}: results vary with shuffle width"
