@@ -674,6 +674,58 @@ FROM m
 """
 
 
+def q_events_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (30-minute gap) per user — the
+    streaming-capable session operator (the same call runs under
+    readStream with a watermark), beside the batch lag+cumsum twin
+    `user_sessions`.  Sessions are identical by definition: a session
+    is a maximal run of events with < gap between neighbors, so the
+    islands formulation in the oracle reproduces every (start, n, last)
+    tuple exactly (epoch-ms integers)."""
+    cat = Catalog(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    sessed = (
+        cat.events.select("user_id", ts.alias("ts"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.unix_millis(F.max("ts")).alias("last_ms"),
+        )
+    )
+    return sessed.select(
+        "user_id",
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        "n_events",
+        "last_ms",
+    )
+
+
+ORACLE_EVENTS_NATIVE_SESSION_WINDOWS = """
+WITH seq AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ms
+  FROM events
+),
+marked AS (
+  SELECT user_id, ms,
+         CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+numbered AS (
+  SELECT user_id, ms,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+)
+SELECT user_id, CAST(MIN(ms) AS BIGINT) AS session_start_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(ms) AS BIGINT) AS last_ms
+FROM numbered GROUP BY user_id, sess
+"""
+
+
 def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-spend quartiles via the ranking-window surface NTILE /
     PERCENT_RANK / CUME_DIST (the remaining SQL window functions the
@@ -2598,6 +2650,7 @@ EXTRA_QUERIES = {
     "shipping_delay_histogram": q_shipping_delay_histogram,
     "trade_cheapest_route": q_trade_cheapest_route,
     "customer_spend_quartiles": q_customer_spend_quartiles,
+    "events_native_session_windows": q_events_native_session_windows,
     "customer_rfm_segments": q_customer_rfm_segments,
     "lineitem_price_qty_corr": q_lineitem_price_qty_corr,
     "customers_without_orders": q_customers_without_orders,
@@ -2651,6 +2704,7 @@ EXTRA_ORACLES = {
     "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,
     "trade_cheapest_route": ORACLE_TRADE_CHEAPEST_ROUTE,
     "customer_spend_quartiles": ORACLE_CUSTOMER_SPEND_QUARTILES,
+    "events_native_session_windows": ORACLE_EVENTS_NATIVE_SESSION_WINDOWS,
     "customer_rfm_segments": ORACLE_CUSTOMER_RFM_SEGMENTS,
     "lineitem_price_qty_corr": ORACLE_LINEITEM_PRICE_QTY_CORR,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
