@@ -212,9 +212,13 @@ def resample_counts(
             .cast("double")
             .alias("total")
         )
+    # pinned: both the grid bounds and the final join consume this
+    # frame, and an unpinned double reference re-scans the events
+    # source twice (the multi-reference rule); post-aggregation it is
+    # bucket-count sized
     counts = df.select(
         F.col(group_col).alias("grp"), bucket, *([value_col] if value_col else [])
-    ).groupBy("grp", "bucket_start").agg(*aggs)
+    ).groupBy("grp", "bucket_start").agg(*aggs).localCheckpoint()
     bounds = counts.groupBy("grp").agg(
         F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi")
     )
