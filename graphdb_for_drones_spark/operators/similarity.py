@@ -834,6 +834,64 @@ def pq_adc_topk(
     are computed inline from the raw vectors; a materialized variant
     would persist ``pq_encode``'s output like ``ivf_write``).  Returns
     (id, adist long) ordered by (adist, id), ascending."""
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    return pq_adc_topk_from_codes(codes, query_vec, codebooks, k, id_col)
+
+
+def pq_path_for(source_path: str, m: int = 8, ksub: int = 16, seed: int = 42) -> str:
+    """Deterministic PQ code-table directory for (source data, params)."""
+    fp = _source_fingerprint(source_path)
+    return os.path.join(_index_root(), f"pq-m{m}-k{ksub}-s{seed}-{fp}")
+
+
+def pq_write(codes: DataFrame, codebooks: list, path: str) -> None:
+    """Persist PQ codes atomically (the ivf_write rename contract):
+    the code table as parquet — m small ints per vector, the RAM-sized
+    stand-in for dim·4 bytes — plus the codebooks as JSON."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+    with open(os.path.join(tmp, "codebooks.json"), "w") as fh:
+        json.dump(
+            [[[float(x) for x in cw] for cw in book] for book in codebooks], fh
+        )
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(path):  # pragma: no cover - genuine IO failure
+            raise
+
+
+def pq_read(spark: SparkSession, path: str) -> tuple[DataFrame, list]:
+    with open(os.path.join(path, "codebooks.json")) as fh:
+        books = json.load(fh)
+    return spark.read.parquet(os.path.join(path, "codes")), books
+
+
+def pq_open(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """Load the PQ code table at ``path`` if present, else build
+    (seeded codebooks + encode), persist, and load — queries amortize
+    the encode pass exactly like ``ivf_open`` amortizes Lloyd; an ADC
+    probe then reads ONLY the m code bytes per row."""
+    if not os.path.isdir(path):
+        books = pq_codebooks(embeddings, m, ksub, seed, id_col, vec_col)
+        pq_write(pq_encode(embeddings, books, id_col, vec_col), books, path)
+    return pq_read(spark, path)
+
+
+def pq_query_table(query_vec, codebooks: list) -> list:
+    """The query's m×ksub asymmetric-distance lookup table in integer
+    micro-units — the same fold and floor(x·1e6+0.5) as the encode
+    path, computed driver-side once per query."""
     import math as _math
 
     m = len(codebooks)
@@ -850,7 +908,21 @@ def pq_adc_topk(
                 acc = acc + d * d
             row.append(int(_math.floor(acc * 1_000_000.0 + 0.5)))
         dt.append(row)
-    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    return dt
+
+
+def pq_adc_topk_from_codes(
+    codes: DataFrame,
+    query_vec,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over a MATERIALIZED code table: the scan reads m ints
+    per row (nothing else), each mapped through the query's lookup
+    table and integer-summed — the serving path of the PQ story."""
+    dt = pq_query_table(query_vec, codebooks)
+    m = len(codebooks)
     adist = None
     for j in range(m):
         cell = F.element_at(

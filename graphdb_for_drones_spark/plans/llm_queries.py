@@ -602,9 +602,12 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin tiebreaks are first-codeword, and the ADC sum is integer —
     so the whole approximate index construction is driver-hash-checked
     (the IVF treatment, applied to PQ)."""
+    import os as _os
+
     from graphdb_for_drones_spark.operators.similarity import (
-        pq_adc_topk,
-        pq_codebooks,
+        pq_adc_topk_from_codes,
+        pq_open,
+        pq_path_for,
     )
 
     cat = Catalog(spark, sf_dir)
@@ -613,8 +616,15 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in cat.embeddings.filter(F.col("vec_id") == 0).first().embedding
     ]
-    books = pq_codebooks(data, m=8, ksub=16, seed=42)
-    return pq_adc_topk(data, q, books, k=10)
+    # the code table is MATERIALIZED on first touch (pq_open — the
+    # ivf_open amortization applied to PQ): probes read m small ints
+    # per row, never the raw vectors; the fingerprinted path rebuilds
+    # on source change, and the oracle still re-derives every code
+    path = pq_path_for(
+        _os.path.join(sf_dir, "embeddings.parquet"), m=8, ksub=16, seed=42
+    )
+    codes, books = pq_open(spark, data, path, m=8, ksub=16, seed=42)
+    return pq_adc_topk_from_codes(codes, q, books, k=10)
 
 
 def _pq_oracle_sql(m: int = 8, ksub: int = 16, seed: int = 42) -> str:
