@@ -217,3 +217,89 @@ def winnow_fingerprints(
         F.size(sel).cast("long").alias("n_selected"),
         F.array_min(F.transform(sel, lambda s: s["fp"])).alias("min_fp"),
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """BPE merge induction, first scan: corpus-wide frequencies of
+    adjacent CHARACTER pairs within words — exactly the statistic a BPE
+    tokenizer trainer (Sennrich et al. 2016, arXiv:1508.07909) computes
+    to pick its first merge; re-running on re-segmented text yields the
+    next merge, so this is the distributed kernel of vocab training.
+
+    Returns the top-``k`` (pair, pair_count) rows under the total order
+    (count DESC, pair ASC) — tie-free, hash-checkable.  Plan: two
+    nested explodes (words, then in-word char pairs) feeding a hash
+    aggregate whose key space is bounded by |alphabet|² — map-side
+    partial aggregation collapses the exploded stream before the
+    shuffle, and the top-k is a TakeOrdered over the tiny aggregate.
+    One scan, one bounded shuffle, zero Python — at 100 TB the shuffle
+    carries at most a few thousand (pair, count) rows per task.
+
+    Mirrors the tokenizer-training half of the reference's text
+    handling surface (the reference stores VC/DID payloads as text and
+    outsources all tokenization; SURVEY.md §2 text-analysis family)."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: F.length(t) >= 2,
+    )
+    w = df.select(F.explode(words).alias("__word"))
+    word = F.col("__word")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(word) - 1),
+        lambda i: word.substr(i, F.lit(2)),
+    )
+    return (
+        w.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def vocab_stats(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group vocabulary report: token count, type (distinct-term)
+    count, hapax-legomenon count (terms occurring exactly once in the
+    group), and the type-token ratio — the Heaps-law numbers a
+    tokenizer-budget / vocab-size planner reads per corpus slice.
+
+    Plan: ONE shuffle on (group, term) with map-side combine builds the
+    per-term counts; the rollup to one row per group is a second,
+    group-cardinality-sized aggregate.  Deliberately avoids
+    ``countDistinct`` so no Expand node appears (the multi-distinct
+    Expand tax measured in PERF.md); hapax falls out of the same
+    per-term counts for free.  TTR is one IEEE division of exact
+    integers — bit-identical across engines."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: t != F.lit(""),
+    )
+    toks = df.select(
+        F.col(group_col), F.explode(words).alias("__term")
+    )
+    per = toks.groupBy(group_col, "__term").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per.groupBy(group_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    ).select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.col("n_types") * F.lit(1.0) / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+    )

@@ -1148,6 +1148,58 @@ ORDER BY es_key ASC, doc_id ASC LIMIT 25
 """
 
 
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training merge scan (operators/text.bpe_merge_pairs):
+    the 20 most frequent adjacent character pairs inside words — the
+    statistic BPE vocab training computes to pick each merge.  Tie-free
+    total order (count DESC, pair ASC); exact integers end to end."""
+    from graphdb_for_drones_spark.operators.text import bpe_merge_pairs
+
+    cat = Catalog(spark, sf_dir)
+    return bpe_merge_pairs(cat.documents, k=20)
+
+
+ORACLE_BPE_MERGE_CANDIDATES = rf"""
+WITH d AS (
+  SELECT {_WORDS} AS w FROM documents
+),
+t AS (SELECT unnest(w) AS word FROM d),
+p AS (
+  SELECT unnest([word[i+1:i+2] for i in range(len(word)-1)]) AS pair
+  FROM t WHERE len(word) >= 2
+)
+SELECT pair, COUNT(*) AS pair_count
+FROM p GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT 20
+"""
+
+
+def q_source_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary (Heaps-law) report
+    (operators/text.vocab_stats): token count, type count, hapax count,
+    type-token ratio — what a vocab-size planner reads per corpus
+    slice.  One (source, term) shuffle with map-side combine; no
+    Expand (countDistinct deliberately avoided)."""
+    from graphdb_for_drones_spark.operators.text import vocab_stats
+
+    cat = Catalog(spark, sf_dir)
+    return vocab_stats(cat.documents, group_col="source")
+
+
+ORACLE_SOURCE_VOCAB_STATS = rf"""
+WITH d AS (
+  SELECT source, list_filter({_WORDS}, x -> x <> '') AS w FROM documents
+),
+t AS (SELECT source, unnest(w) AS term FROM d),
+per AS (SELECT source, term, COUNT(*) AS c FROM t GROUP BY 1, 2)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       COUNT(*) * 1.0 / SUM(c) AS type_token_ratio
+FROM per GROUP BY source
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -1172,6 +1224,8 @@ CURATION_QUERIES = {
     "doc_dup_passages": q_doc_dup_passages,
     "doc_winnow_stats": q_doc_winnow_stats,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "source_vocab_stats": q_source_vocab_stats,
 }
 
 CURATION_ORACLES = {
@@ -1197,4 +1251,6 @@ CURATION_ORACLES = {
     "doc_dup_passages": ORACLE_DOC_DUP_PASSAGES,
     "doc_winnow_stats": ORACLE_DOC_WINNOW_STATS,
     "doc_weighted_sample": ORACLE_DOC_WEIGHTED_SAMPLE,
+    "bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
+    "source_vocab_stats": ORACLE_SOURCE_VOCAB_STATS,
 }

@@ -124,3 +124,62 @@ def test_winnow_matches_python_reference_and_guarantee(spark):
         md5_60(" ".join(shared[i : i + k])) for i in range(len(shared) - k + 1)
     }
     assert fps3 & fps17 & shared_grams
+
+
+def test_bpe_merge_pairs_matches_python_reference(spark):
+    from collections import Counter
+
+    from graphdb_for_drones_spark.operators.text import bpe_merge_pairs
+
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "  Banana   bandana  "),
+        (2, "a b c"),          # 1-char words contribute nothing
+        (3, ""),               # empty doc
+        (4, "zzzz zz"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in texts],
+        "doc_id long, text string, lang string, source string",
+    )
+    ref = Counter()
+    for _, t in texts:
+        for w in t.lower().strip().split():
+            for i in range(len(w) - 1):
+                ref[w[i : i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.pair, r.pair_count)
+        for r in bpe_merge_pairs(docs, k=10).collect()
+    ]
+    assert got == want
+    # top merge on this corpus is a real pair, counted across words
+    assert ref[got[0][0]] == got[0][1]
+
+
+def test_vocab_stats_matches_python_reference(spark):
+    from collections import Counter
+
+    from graphdb_for_drones_spark.operators.text import vocab_stats
+
+    texts = [
+        (0, "sA", "the cat sat on the mat"),
+        (1, "sA", "the dog"),
+        (2, "sB", "one two two three three three"),
+        (3, "sB", ""),  # contributes no tokens
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s) for i, s, t in texts],
+        "doc_id long, text string, lang string, source string",
+    )
+    per = {}
+    for _, s, t in texts:
+        per.setdefault(s, Counter()).update(t.lower().strip().split())
+    got = {r.source: r for r in vocab_stats(docs).collect()}
+    assert set(got) == set(per)
+    for s, c in per.items():
+        n_tok = sum(c.values())
+        assert got[s].n_tokens == n_tok, s
+        assert got[s].n_types == len(c), s
+        assert got[s].n_hapax == sum(1 for v in c.values() if v == 1), s
+        assert got[s].type_token_ratio == len(c) * 1.0 / n_tok, s
