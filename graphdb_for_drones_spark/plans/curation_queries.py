@@ -1200,6 +1200,90 @@ FROM per GROUP BY source
 """
 
 
+def q_mixture_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reshaping END-TO-END: `mixture_weights` (uniform token
+    target) normalized by the max weight into per-source keep
+    probabilities, applied by the deterministic md5 sampler, rolled up
+    to kept docs/tokens and the ACHIEVED token share per source — the
+    composition proving the weights operator actually reshapes the
+    corpus (over-represented sources are downsampled hardest; the
+    achieved shares flatten toward uniform).  Plan: the weight/keep_p
+    frame is a domain-cardinality aggregate broadcast back onto the
+    scan; the sample itself is a shuffle-free projection filter — one
+    corpus scan, one tiny rollup."""
+    from graphdb_for_drones_spark.operators.text import token_count
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.withColumn("n_tokens", token_count(F.col("text")))
+    wts = curation.mixture_weights(cat.documents, domain_col="source")
+    wmax = F.max("weight").over(Window.partitionBy())
+    kp = wts.select(
+        "source",
+        F.when(wmax > 0, F.col("weight") / wmax)
+        .otherwise(F.lit(0.0))
+        .alias("keep_p"),
+    )
+    kept = curation.deterministic_sample(
+        docs.join(F.broadcast(kp), "source"), F.col("keep_p")
+    )
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+    total = F.sum("kept_tokens").over(Window.partitionBy())
+    return agg.select(
+        "source",
+        "kept_docs",
+        "kept_tokens",
+        F.when(total > 0, F.col("kept_tokens") / total)
+        .otherwise(F.lit(0.0))
+        .alias("kept_token_share"),
+    )
+
+
+ORACLE_MIXTURE_RESAMPLE_STATS = rf"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(list_filter({_WORDS}, x -> x <> ''))) AS n_tokens
+  FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source,
+         CASE WHEN n_tokens > 0 AND SUM(n_tokens) OVER () > 0
+              THEN (1.0 / COUNT(*) OVER ())
+                   / (n_tokens * 1.0 / SUM(n_tokens) OVER ())
+              ELSE 0.0 END AS weight
+  FROM per
+),
+kp AS (
+  SELECT source,
+         CASE WHEN MAX(weight) OVER () > 0
+              THEN weight / MAX(weight) OVER () ELSE 0.0 END AS keep_p
+  FROM wts
+),
+d AS (
+  SELECT doc_id, source,
+         len(list_filter({_WORDS}, x -> x <> '')) AS n_tokens,
+         {_MD5_60} * 1.0 / 1152921504606846976 AS u
+  FROM documents
+),
+k AS (
+  SELECT d.source, d.n_tokens
+  FROM d JOIN kp USING (source) WHERE d.u < kp.keep_p
+),
+agg AS (
+  SELECT source, COUNT(*) AS kept_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+  FROM k GROUP BY source
+)
+SELECT source, kept_docs, kept_tokens,
+       CASE WHEN SUM(kept_tokens) OVER () > 0
+            THEN kept_tokens * 1.0 / SUM(kept_tokens) OVER ()
+            ELSE 0.0 END AS kept_token_share
+FROM agg
+"""
+
+
 CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -1226,6 +1310,7 @@ CURATION_QUERIES = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "source_vocab_stats": q_source_vocab_stats,
+    "mixture_resample_stats": q_mixture_resample_stats,
 }
 
 CURATION_ORACLES = {
@@ -1253,4 +1338,5 @@ CURATION_ORACLES = {
     "doc_weighted_sample": ORACLE_DOC_WEIGHTED_SAMPLE,
     "bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "source_vocab_stats": ORACLE_SOURCE_VOCAB_STATS,
+    "mixture_resample_stats": ORACLE_MIXTURE_RESAMPLE_STATS,
 }
