@@ -599,7 +599,7 @@ def simhash_from_hashes(hashes, bits: int = 64):
     casts codegen'd ~6× slower (measured 3.8 → 0.6 s on the sf0.01
     fingerprint projection; bit-identical results either way)."""
     if isinstance(hashes, str):
-        name = hashes
+        name = "`" + hashes.replace("`", "``") + "`"
         terms = []
         for b in range(bits):
             # shiftleft(1L, 63) wraps to the long min value — exactly
@@ -634,7 +634,7 @@ def simhash_md5_from_hashes(hashes, bits: int = 60):
     Same staging contract — and same ``str``-name SQL fast path — as
     ``simhash_from_hashes``."""
     if isinstance(hashes, str):
-        name = hashes
+        name = "`" + hashes.replace("`", "``") + "`"
         terms = []
         for b in range(bits):
             terms.append(

@@ -50,6 +50,13 @@ def _vec_lit(vec) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for SQL-text interpolation so names
+    needing quoting (dots, spaces, hyphens) parse as one identifier —
+    matching what the Column-algebra paths resolve."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dot_sql(name: str, vec) -> str:
     """``dot(F.col(name), _vec_lit(vec))`` as SQL TEXT — the same fold
     tree after parsing (bit-identical results), but one py4j call
@@ -57,7 +64,7 @@ def _dot_sql(name: str, vec) -> str:
     repr roundtrip, so the doubles are exactly ``F.lit(float(v))``'s)."""
     arr = "array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")"
     return (
-        f"aggregate(zip_with({name}, {arr}, "
+        f"aggregate(zip_with({_quote_ident(name)}, {arr}, "
         f"(x, y) -> cast(x as double) * cast(y as double)), "
         f"0.0D, (acc, x) -> acc + x)"
     )
@@ -645,13 +652,60 @@ def ivf_path_for(
     return os.path.join(_index_root(), f"ivf-k{k}-i{iters}-s{seed}-{fp}")
 
 
+def _sweep_stale_tmp(path: str) -> None:
+    """Remove crash leftovers: sibling ``<path>.tmp.<pid>`` dirs a
+    builder that died between its parquet write and the rename leaked.
+    Safe to run before (re)building — a LIVE concurrent builder of the
+    same deterministic index that loses its tmp dir simply falls into
+    the existing rename-race branch (the winner's identical index is
+    kept); nothing else creates these names."""
+    import glob as _glob
+
+    for leftover in _glob.glob(f"{path}.tmp.*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+
+
+def _sweep_stale_fingerprints(path: str) -> None:
+    """After a fresh build at ``path`` (= ``<params>-<fingerprint>``),
+    drop sibling index dirs with the SAME params but a DIFFERENT source
+    fingerprint: the fingerprint changes exactly when the source parquet
+    is rewritten, so those dirs can never be opened again (``*_path_for``
+    will never produce their name for any live source state).  Without
+    this, every source rewrite (e.g. each degenerate-fixture test run)
+    leaks one dead index dir forever.
+
+    Only engages for ``*_path_for``-shaped names (``<params>-<16 hex>``)
+    and only removes siblings of that exact shape — a hand-chosen path
+    like ``/indexes/ivf-test`` never triggers a sweep."""
+    import re as _re
+
+    base = os.path.basename(path)
+    m = _re.fullmatch(r"(.+)-([0-9a-f]{16})", base)
+    if not m:
+        return
+    prefix = m.group(1)
+    parent = os.path.dirname(path) or "."
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        if entry == base or not _re.fullmatch(
+            _re.escape(prefix) + r"-[0-9a-f]{16}", entry
+        ):
+            continue
+        sibling = os.path.join(parent, entry)
+        if os.path.isdir(sibling):
+            shutil.rmtree(sibling, ignore_errors=True)
+
+
 def ivf_write(index: DataFrame, centroids: list, path: str) -> None:
     """Persist an IVF index atomically: parquet partitioned by ``cluster``
     (a probe's ``cluster IN (...)`` filter becomes directory pruning) plus
     the k·dim centroid list as JSON.  Writes land in a temp dir that is
     renamed into place, so readers never observe a partial index; if a
     concurrent builder won the rename race, its (identical, deterministic)
-    index is kept."""
+    index is kept.  Stale ``.tmp.*`` leftovers from a crashed builder are
+    swept first, so they can't accumulate forever."""
+    _sweep_stale_tmp(path)
     tmp = f"{path}.tmp.{os.getpid()}"
     index.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(tmp, "index")
@@ -689,6 +743,7 @@ def ivf_open(
     if not os.path.isdir(path):
         cents = kmeans_centroids(embeddings, k, iters, seed, id_col, vec_col)
         ivf_write(ivf_index(embeddings, cents, id_col, vec_col), cents, path)
+        _sweep_stale_fingerprints(path)
     return ivf_read(spark, path)
 
 
@@ -762,6 +817,7 @@ def _sub_sq_dist_sql(sub_name: str, codeword: list) -> str:
     plan at m=8, ksub=16 (thousands of py4j round-trips), dominating
     the whole query."""
     arr = "array(" + ",".join(_lit_d(c) for c in codeword) + ")"
+    sub_name = _quote_ident(sub_name)
     return (
         f"cast(floor(aggregate(zip_with({sub_name}, {arr}, "
         f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
@@ -848,6 +904,7 @@ def pq_write(codes: DataFrame, codebooks: list, path: str) -> None:
     """Persist PQ codes atomically (the ivf_write rename contract):
     the code table as parquet — m small ints per vector, the RAM-sized
     stand-in for dim·4 bytes — plus the codebooks as JSON."""
+    _sweep_stale_tmp(path)
     tmp = f"{path}.tmp.{os.getpid()}"
     codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
     with open(os.path.join(tmp, "codebooks.json"), "w") as fh:
@@ -885,6 +942,7 @@ def pq_open(
     if not os.path.isdir(path):
         books = pq_codebooks(embeddings, m, ksub, seed, id_col, vec_col)
         pq_write(pq_encode(embeddings, books, id_col, vec_col), books, path)
+        _sweep_stale_fingerprints(path)
     return pq_read(spark, path)
 
 

@@ -254,10 +254,18 @@ def weighted_sample_topk(
     es_key is rounded to 9 dp BEFORE the (key, id) rank so the one libm
     call (ln) can't leak engine ulps into the order; the top-k is a
     TakeOrdered, never a full sort.  Rerun-stable, repartition-stable,
-    and SQL-twin-checkable like the whole md5 split family."""
+    and SQL-twin-checkable like the whole md5 split family.
+
+    u maps the 60-bit hash to (0, 1] via (h+1)/2^60 — a plain h/2^60
+    hits u=0 with probability 2^-60, where Spark's ln(0) yields NULL
+    (NULLS FIRST would rank it #1) while DuckDB's -ln(0)/w is +inf and
+    ranks last; the half-open shift removes the divergence entirely."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = _md5_60bit(
-        F.concat(F.col(key_col).cast("string"), F.lit(f":w{seed}"))
+    u = (
+        _md5_60bit(
+            F.concat(F.col(key_col).cast("string"), F.lit(f":w{seed}"))
+        )
+        + F.lit(1)
     ) / F.lit(float(1 << 60))
     es_key = F.round(-F.log(u) / w, 9)
     return (

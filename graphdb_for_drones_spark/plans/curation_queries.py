@@ -1138,7 +1138,7 @@ ORACLE_DOC_WEIGHTED_SAMPLE = rf"""
 WITH t AS (
   SELECT doc_id,
          CAST(len(list_filter({_WORDS}, x -> x <> '')) AS BIGINT) AS w,
-         {_MD5_60_W} / 1152921504606846976.0 AS u
+         ({_MD5_60_W} + 1) / 1152921504606846976.0 AS u
   FROM documents
 )
 SELECT doc_id, CAST(w AS DOUBLE) AS weight,

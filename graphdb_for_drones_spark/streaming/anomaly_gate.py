@@ -10,8 +10,12 @@ quarantine table before the events reach downstream aggregates.
 Shape: the stats table is SMALL (one row per key) — pinned once with
 ``localCheckpoint`` and re-joined (broadcastable) against each
 micro-batch inside ``foreachBatch``.  No state accumulates beyond the
-appended flags; checkpointed sources + ``availableNow`` drains give
-effectively-once appends (the decontam/dedup-guard contract).  Keys
+written flags.  Writes are idempotent per micro-batch: each batch's
+flags land in a ``batch_id=<n>`` partition via dynamic partition
+overwrite, so a micro-batch retried after the write but before the
+checkpoint commit (foreachBatch's at-least-once window) overwrites its
+own partition with identical rows instead of appending duplicates —
+exactly-once output given the gate's deterministic scoring.  Keys
 unseen in the reference window pass through unflagged (no stats row —
 the inner join drops them), mirroring how a production gate treats
 cold keys until the next stats refresh.
@@ -81,10 +85,18 @@ def start_anomaly_gate(
     micro-batch)."""
     pinned = stats.localCheckpoint()
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        flag_outliers(
-            batch_df, pinned, key_col, value_col, n_sigma
-        ).write.mode("append").parquet(out_dir)
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent-per-batch: dynamic partition overwrite into a
+        # batch_id partition replaces (not duplicates) a retried batch's
+        # output — foreachBatch alone is only at-least-once.
+        (
+            flag_outliers(batch_df, pinned, key_col, value_col, n_sigma)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     writer = stream_events.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -91,3 +91,23 @@ def test_stream_gate_matches_batch_and_skips_cold_keys(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert read_quarantine(spark, out).count() == 2
+
+    # retry/replay: a drain from a FRESH checkpoint reprocesses every
+    # micro-batch (the worst-case foreachBatch retry) — dynamic
+    # batch_id-partition overwrite must leave the quarantine identical,
+    # not doubled
+    q3 = start_anomaly_gate(
+        (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(sdir))
+        ),
+        stats,
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt_replay"),
+    )
+    q3.awaitTermination(120)
+    assert {r.event_id for r in read_quarantine(spark, out).collect()} == {
+        1001,
+        1002,
+    }

@@ -1,6 +1,7 @@
 """Similarity search: exact brute-force vs numpy ground truth, ANN
 self-consistency."""
 
+import os
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -355,3 +356,84 @@ def test_pq_rejects_bad_shapes(vectors):
     books = sim.pq_codebooks(df, m=4, ksub=8)
     with pytest.raises(ValueError):
         sim.pq_adc_topk(df, [0.0] * 7, books)
+
+
+def test_index_dir_hygiene_sweeps_tmp_and_stale_fingerprints(
+    spark, tmp_path
+):
+    # Crash leftovers (<path>.tmp.<pid>) and dead fingerprints
+    # (<params>-<oldfp> after a source rewrite) must not accumulate:
+    # a fresh build sweeps both.  Hand-chosen paths (no 16-hex suffix)
+    # never trigger the fingerprint sweep.
+    import random
+
+    import graphdb_for_drones_spark.operators.similarity as sim
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+
+    root = tmp_path / "indexes"
+    root.mkdir()
+    path = str(root / ("ivf-k4-i1-s3-" + "ab" * 8))
+    # plant a crash leftover and a stale-fingerprint sibling
+    (root / (os.path.basename(path) + ".tmp.999")).mkdir()
+    stale = root / ("ivf-k4-i1-s3-" + "cd" * 8)
+    stale.mkdir()
+    (stale / "junk").write_text("x")
+    # an unrelated params set and a hand-named dir must survive
+    other_params = root / ("ivf-k8-i1-s3-" + "ef" * 8)
+    other_params.mkdir()
+    hand_named = root / "ivf-test"
+    hand_named.mkdir()
+
+    idx, cents = sim.ivf_open(spark, emb, path, k=4, iters=1, seed=3)
+    assert idx.count() == 30 and len(cents) == 4
+    entries = sorted(os.listdir(root))
+    assert os.path.basename(path) in entries
+    assert not any(e.endswith(".tmp.999") for e in entries)
+    assert os.path.basename(str(stale)) not in entries
+    assert os.path.basename(str(other_params)) in entries
+    assert "ivf-test" in entries
+
+
+def test_sql_fast_paths_accept_quoted_identifiers(spark):
+    # the str-name SQL fast paths must handle column names that need
+    # backtick quoting (dots/hyphens) identically to the Column path
+    import graphdb_for_drones_spark.operators.dedup as dd
+    import graphdb_for_drones_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [3, 5, 9]), (2, [1, 2, 4])], "id long, h array<long>"
+    ).withColumn("my.col-weird", F.col("h"))
+
+    fast = df.select(
+        F.col("id"), dd.simhash_from_hashes("my.col-weird").alias("s")
+    )
+    slow = df.select(
+        F.col("id"), dd.simhash_from_hashes(F.col("`my.col-weird`")).alias("s")
+    )
+    assert fast.collect() == slow.collect()
+
+    fast_md5 = df.select(
+        dd.simhash_md5_from_hashes("my.col-weird").alias("s")
+    ).collect()
+    slow_md5 = df.select(
+        dd.simhash_md5_from_hashes(F.col("`my.col-weird`")).alias("s")
+    ).collect()
+    assert fast_md5 == slow_md5
+
+    vdf = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1.0])], "id long, v array<float>"
+    ).withColumn("emb.dotted", F.col("v"))
+    planes = sim.hyperplanes(3, n_planes=8, seed=2)
+    sig_fast = vdf.select(
+        sim.lsh_signature("emb.dotted", planes).alias("g")
+    ).collect()
+    sig_slow = vdf.select(
+        sim.lsh_signature(F.col("`emb.dotted`"), planes).alias("g")
+    ).collect()
+    assert sig_fast == sig_slow
