@@ -303,3 +303,81 @@ def vocab_stats(
             "type_token_ratio"
         ),
     )
+
+
+def hashed_logit_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 7,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Model-based quality filtering: a linear classifier over hashed
+    bag-of-words features — the fastText-style quality filter shape
+    (hashing trick, Weinberger et al. 2009; the filter family behind
+    CCNet / FineWeb-style "model score > threshold" corpus pruning) —
+    in EXACT integer arithmetic so the score is engine-neutral and
+    driver-hash-checkable.
+
+    Per token: bucket b = md5_60("{tok}:q{seed}") % n_buckets, weight
+    w10(b) = ((b*37 + 11) % 21) - 10 (integer tenths in [-1.0, +1.0]).
+    Per document: logit10 = Σ w10 (exact long), score = logit10/(10·n)
+    (ONE IEEE division — bit-identical everywhere), keep = logit10 > 0.
+
+    The weight table is a deterministic stand-in for trained
+    coefficients — swapping in a real model is a literal-map change —
+    while the Spark-side plumbing is exactly what serving a trained
+    linear filter at 100 TB needs: pure codegen projection (hash →
+    bucket → weight → fold), no Python on the row path, no shuffle
+    until the caller aggregates.
+
+    Mirrors the reference's attribute-scoring UDF surface
+    (demo_offline/04_query/03_query_vc.py's per-row verdict columns)
+    re-expressed as whole-stage-codegen expressions."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: t != F.lit(""),
+    )
+
+    def w10(tok: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(tok, F.lit(f":q{seed}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        b = F.pmod(h, F.lit(n_buckets))
+        return F.pmod(b * F.lit(37) + F.lit(11), F.lit(21)) - F.lit(10)
+
+    # stage the weight array behind a projection boundary (lambda-CSE:
+    # Spark eliminates no common subexpression containing a lambda, and
+    # z10 + n both reference it)
+    staged = df.withColumn("__w10", F.transform(words, w10))
+    z10 = F.aggregate(
+        F.col("__w10"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(F.col("__w10")).cast("long")
+    out = staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        n.alias("n_tokens"),
+        z10.alias("logit10"),
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.col("logit10").cast("double")
+            / (F.lit(10.0) * F.col("n_tokens").cast("double")),
+            9,
+        ),
+    )
+    return out.select(
+        id_col,
+        *carry_cols,
+        "n_tokens",
+        "logit10",
+        score.alias("score"),
+        (F.col("logit10") > 0).alias("keep"),
+    )

@@ -5,13 +5,14 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-5 rotation: the 3 curation queries whose round-4 driver rows failed on
-oracle typing (HUGEINT vs long — fixed by CAST AS BIGINT this round), the
-21 queries last driver-checked in rounds 1-3, and the 3 r4-green queries
-whose plans changed since that run (contamination df-cap, adaptive blocked
-cosine) lead the dict; the rotated-out r4 window stays covered by the local
-oracle replica (``tests/test_queries_oracle.py`` runs every oracle-paired
-query).
+Round-6 rotation: every query that has never had a driver row leads the
+window — the 32 oracle-paired entries added in rounds 4-5 beyond those
+rounds' windows, the round-6 addition (doc_quality_logit), the changed
+doc_weighted_sample (u now maps to (0,1] on both sides), and the 4
+declared rows-only surfaces — then flagship re-gates fill the remaining
+slots.  With this round every cataloged query has had a driver row in
+rounds 4-6; rotated-out entries stay covered by the local oracle replica
+(``tests/test_queries_oracle.py`` runs every oracle-paired query).
 """
 
 from graphdb_for_drones_spark.plans.queries import QUERIES as _BASE_QUERIES
@@ -42,80 +43,65 @@ _MERGED_ORACLES = {
 # Queries promoted to the head of the gate window this round.  Order within
 # the first 50 does not matter; membership does.
 _GATE_FIRST = [
-    # Round-4 driver hash FAILs, root-caused to un-cast SUM(BIGINT) in the
-    # DuckDB oracles (HUGEINT vs long); oracles fixed this round — these
-    # three MUST get a green driver row in round 5:
-    "doc_pack_stats",
-    "mixture_weights",
-    "doc_quality_sample_stats",
-    # Last driver-checked in rounds 1-3, rotated out by the r4 window
-    # (VERDICT r4 "Next round" #2 — sweep the tail back in):
-    "doc_token_stats",
-    "doc_lang_summary",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "embedding_topk",
-    "embedding_near_pairs",
-    "ann_topk",
-    "vc_verify_count",  # rows-only (driver compares row count only)
-    "doc_quality",
-    "media_feature_stats",
-    "shipping_priority",
-    "region_volume",
-    "customers_without_orders",
-    "customers_with_orders",
-    "orders_rollup",
-    "events_sliding_windows",
-    "user_sessions",
-    "ann_near_pairs",
-    "doc_split_counts",
-    "corpus_curation_stats",
-    "doc_negative_pairs",
-    # Green in r4 but their plans/oracles changed SINCE that driver run
-    # (df-cap engaged in the contamination entries; adaptive LSH routing
-    # added to the blocked-cosine join) — must be re-gated, not trusted:
-    "contamination_check",
-    "contamination_containment",
-    "embedding_dup_clusters",
-    # New in round 5 (never driver-checked).  With 44 gate-first
-    # entries the window's remaining 6 slots fill in catalog order with
-    # the flagship traversal family (delegation/chain/mission/wot/abac
-    # — green in r4 AND re-gated here); everything rotated out is
-    # r1-r4-green and stays covered by the local oracle replica:
-    "doc_dup_span_stats",
-    "doc_gopher_rules",
-    "doc_tfidf_topk",
-    "semantic_dedup_stats",
-    "customer_pii_scrub",
-    "event_type_salted_counts",
-    "curation_pipeline_stats",
-    "supplier_pagerank",
-    "doc_top_ngram_stats",
-    "doc_sample_per_source",
-    "source_bloom_probe_stats",
-    "doc_chunk_stats",
-    "trade_graph_degrees",
-    "trade_trust_from_anchor",
-    "event_user_cm_counts",
-    # Late round-5 additions (never driver-checked — each takes one of
-    # the catalog-order filler slots, whose occupants were r4-green):
-    "trade_kcore",
-    "trade_temporal_reach",
-    "doc_difficulty_deciles",
-    "label_maxsim_topk",
-    "pq_adc_topk",
-    "user_funnel_counts",
-    "user_retention_cohorts",
-    # Session additions filling the last window slot (50 of 50).  Every
-    # other entry added this session (BM25's siblings: fluency,
-    # recall@k, the Q7/Q8/Q9 trade analytics, co-occurrence similarity,
-    # table profiling, gap-filled resample, z-score outliers, BPE token
-    # stats, duplicate passages, winnowing, weighted sampling, CUBE,
-    # PIVOT, cluster keepers, OLS/corr, DBSCAN cores) sits beyond the
-    # 50-row window: each is local-replica-green
-    # (tests/test_queries_oracle.py covers every oracle) and queues for
-    # the r6 rotation:
-    "doc_bm25_topk",
+    # ---- Round-6 rotation ----------------------------------------------
+    # The 32 oracle-paired queries that have NEVER had a driver row
+    # (added rounds 4-5 beyond the 50-row windows; every one is green in
+    # the local oracle replica, tests/test_queries_oracle.py):
+    "embedding_dbscan_cores",
+    "embedding_distance_hist",
+    "nation_trade_flows",
+    "nation_market_share",
+    "part_type_profit",
+    "supplier_shared_customers",
+    "orders_profile",
+    "event_type_outliers",
+    "events_hourly_gapfilled",
+    "orders_cube",
+    "events_pivot_dow",
+    "dedup_cluster_keepers",
+    "event_value_trends",
+    "event_type_robust_outliers",
+    "event_type_transitions",
+    "event_type_twap",
+    "shipping_delay_histogram",
+    "trade_cheapest_route",
+    "customer_spend_quartiles",
+    "events_native_session_windows",
+    "customer_rfm_segments",
+    "lineitem_price_qty_corr",
+    "ann_recall_at_k",
+    "doc_lm_fluency",
+    "doc_bpe_token_stats",
+    "doc_dup_passages",
+    "doc_winnow_stats",
+    "doc_weighted_sample",  # engine+oracle changed this round: u -> (h+1)/2^60
+    "bpe_merge_candidates",
+    "source_vocab_stats",
+    "mixture_resample_stats",
+    # New in round 6 (never driver-checked):
+    "doc_quality_logit",
+    # Declared rows-only twins/surfaces, never driver-recorded (driver
+    # does the weaker rows-only check for these by design):
+    "minhash_pairs",
+    "simhash_pairs",
+    "event_hll_rollup",
+    "doc_pack_greedy_stats",
+    # ---- Filler: flagship re-gates (all r4/r5-green; keeps the window's
+    # remaining slots on the operators users hit first) -------------------
+    "mission_count",
+    "delegation_reachable",
+    "flat_chain_count",
+    "wot_path_count",
+    "abac_check",
+    "path_count_diamond",
+    "top_customers",
+    "pricing_summary",
+    "vc_count_per_region",
+    "latest_event_per_user",
+    "event_type_stats",
+    "cdc_apply_events",
+    "ngram_jaccard",
+    "minhash_pairs_md5",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

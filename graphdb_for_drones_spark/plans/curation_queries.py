@@ -1284,7 +1284,70 @@ FROM agg
 """
 
 
+
+def q_doc_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering rollup
+    (operators/text.hashed_logit_scores — fastText-style linear
+    classifier over hashed bag-of-words features, exact integer
+    arithmetic): per source, how many documents the model keeps and the
+    token-weighted mean logit.  The heuristic twin is ``doc_quality``
+    (rule scores); this is the TRAINED-FILTER shape — hash → bucket →
+    weight lookup → fold — that corpus pruning runs at 100 TB, with a
+    deterministic weight table standing in for fitted coefficients."""
+    from graphdb_for_drones_spark.operators.text import hashed_logit_scores
+
+    cat = Catalog(spark, sf_dir)
+    scored = hashed_logit_scores(cat.documents, carry_cols=("source",))
+    # ANSI guard: a source of only-empty documents has SUM(n_tokens)=0
+    mean_logit = F.when(
+        F.sum("n_tokens") > 0,
+        F.round(
+            F.sum("logit10").cast("double")
+            / (F.lit(10.0) * F.sum("n_tokens").cast("double")),
+            9,
+        ),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("kept_docs"),
+        mean_logit.alias("mean_logit"),
+    )
+
+
+_TOK_MD5_60_Q7 = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(concat(x, ':q7')), i+1, 1)) - 1 AS BIGINT)"
+    " << ((14 - i) * 4))) AS BIGINT)"
+)
+
+ORACLE_DOC_QUALITY_LOGIT = rf"""
+WITH d AS (
+  SELECT doc_id, source, list_filter({_WORDS}, x -> x <> '') AS w
+  FROM documents
+),
+t AS (
+  SELECT source,
+         CAST(len(w) AS BIGINT) AS n,
+         CAST(COALESCE(list_sum(list_transform(w, x ->
+           ((({_TOK_MD5_60_Q7} % 64) * 37 + 11) % 21) - 10)), 0) AS BIGINT)
+           AS z10
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE z10 > 0) AS BIGINT) AS kept_docs,
+       CASE WHEN SUM(n) > 0 THEN
+         ROUND(CAST(CAST(SUM(z10) AS BIGINT) AS DOUBLE)
+               / (10.0 * CAST(SUM(n) AS BIGINT)), 9)
+       END AS mean_logit
+FROM t GROUP BY source
+"""
+
+
 CURATION_QUERIES = {
+    "doc_quality_logit": q_doc_quality_logit,
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
     "mixture_weights": q_mixture_weights,
@@ -1314,6 +1377,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "doc_quality_logit": ORACLE_DOC_QUALITY_LOGIT,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "doc_pack_stats": ORACLE_DOC_PACK_STATS,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,

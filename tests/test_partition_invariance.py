@@ -27,6 +27,7 @@ FLOAT_BEARING = [
     "supplier_pagerank",
     "customer_rfm_segments",
     "nation_market_share",
+    "doc_quality_logit",
 ]
 
 

@@ -183,3 +183,50 @@ def test_vocab_stats_matches_python_reference(spark):
         assert got[s].n_types == len(c), s
         assert got[s].n_hapax == sum(1 for v in c.values() if v == 1), s
         assert got[s].type_token_ratio == len(c) * 1.0 / n_tok, s
+
+
+def test_hashed_logit_scores_exact_and_edge_safe(spark):
+    import hashlib
+
+    from graphdb_for_drones_spark.operators.text import hashed_logit_scores
+
+    def py_w10(tok, n_buckets=64, seed=7):
+        h = int(hashlib.md5(f"{tok}:q{seed}".encode()).hexdigest()[:15], 16)
+        return ((h % n_buckets) * 37 + 11) % 21 - 10
+
+    texts = [
+        (0, "the cat  SAT on the mat"),  # mixed case + double space
+        (1, "singleton"),
+        (2, ""),  # empty: n=0, logit 0, score NULL, keep False
+        (3, "   "),  # whitespace-only behaves as empty
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in hashed_logit_scores(docs).collect()}
+
+    for doc_id, text in texts:
+        toks = text.lower().strip().split()
+        z10 = sum(py_w10(t) for t in toks)
+        r = got[doc_id]
+        assert r.n_tokens == len(toks), doc_id
+        assert r.logit10 == z10, doc_id
+        assert r.keep == (z10 > 0), doc_id
+        if toks:
+            assert r.score == round(z10 / (10.0 * len(toks)), 9)
+        else:
+            assert r.score is None
+
+    # carry_cols passthrough keeps the plan single-scan (no join back)
+    docs2 = spark.createDataFrame(
+        [(0, "a b c", "sX")], "doc_id long, text string, source string"
+    )
+    out = hashed_logit_scores(docs2, carry_cols=("source",))
+    assert out.columns == [
+        "doc_id",
+        "source",
+        "n_tokens",
+        "logit10",
+        "score",
+        "keep",
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
