@@ -381,3 +381,75 @@ def hashed_logit_scores(
         score.alias("score"),
         (F.col("logit10") > 0).alias("keep"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative distributed BPE vocabulary training (Sennrich et al.
+    2016, arXiv:1508.07909): ``n_merges`` rounds of [count adjacent
+    symbol pairs corpus-wide → pick the most frequent → merge every
+    occurrence], the loop ``bpe_merge_pairs`` is one superstep of.
+
+    Symbol encoding keeps every round in plain string algebra: merge
+    ``r`` mints the single private-use character chr(0xE000+r-1), so a
+    word is always a string of 1-char symbols — adjacent-pair extraction
+    stays the 2-char-substr kernel and applying a merge is ONE
+    ``replace(word, pair, symbol)`` (left-to-right non-overlapping in
+    the JVM, DuckDB and Python alike — exactly the trainer's
+    simultaneous-merge semantics).  Corpus text must not contain
+    private-use codepoints (asserted nowhere: a real deployment would
+    escape them on ingest).
+
+    Returns (rank, pair, pair_count) for the merges found, in rank
+    order; stops early if a round finds no pair.  Distribution shape:
+    the word list materializes ONCE (localCheckpoint — at 100 TB this
+    is the tokenizer-training working set, a few GB of distinct words
+    would be even better); each round is one map-side-combined count
+    over it (key space ≤ (alphabet+r)², a few KB crossing the shuffle)
+    plus a 1-row argmax collect — the kmeans_centroids driver-loop
+    contract.  Re-encoding stacks ``replace`` expressions lazily; round
+    r re-applies r-1 cheap codegen replaces rather than materializing
+    the corpus per round."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    spark = df.sparkSession
+    words_arr = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: F.length(t) >= 2,
+    )
+    words = df.select(F.explode(words_arr).alias("__word")).localCheckpoint()
+
+    encoded = F.col("__word")
+    found: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
+        staged = words.select(encoded.alias("__enc"))
+        word = F.col("__enc")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(word) - 1, F.lit(0))),
+            lambda i: word.substr(i, F.lit(2)),
+        )
+        top = (
+            staged.filter(F.length(word) >= 2)
+            .select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, count = top[0]["pair"], int(top[0]["pair_count"])
+        found.append((r, pair, count))
+        encoded = F.replace(
+            encoded, F.lit(pair), F.lit(chr(0xE000 + r - 1))
+        )
+
+    from graphdb_for_drones_spark.traversal import _local_df
+
+    return _local_df(
+        spark, found, "rank int, pair string, pair_count long"
+    )

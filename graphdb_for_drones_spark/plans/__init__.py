@@ -80,6 +80,7 @@ _GATE_FIRST = [
     "mixture_resample_stats",
     # New in round 6 (never driver-checked):
     "doc_quality_logit",
+    "bpe_train_merges",
     # Declared rows-only twins/surfaces, never driver-recorded (driver
     # does the weaker rows-only check for these by design):
     "minhash_pairs",
@@ -101,7 +102,6 @@ _GATE_FIRST = [
     "event_type_stats",
     "cdc_apply_events",
     "ngram_jaccard",
-    "minhash_pairs_md5",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

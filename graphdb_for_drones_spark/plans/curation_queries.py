@@ -1346,7 +1346,70 @@ FROM t GROUP BY source
 """
 
 
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed BPE vocabulary training, 6 merges
+    (operators/text.bpe_train): each round counts adjacent symbol pairs
+    corpus-wide, picks the most frequent (count DESC, pair ASC — the
+    tie-free trainer order) and merges every occurrence into a fresh
+    private-use symbol.  The merges are DATA-DEPENDENT — round r's
+    statistics run over text re-segmented by rounds 1..r-1 — yet the
+    whole trainer stays oracle-checkable: the DuckDB twin unrolls the
+    supersteps with scalar-subquery argmaxes and the same
+    chr(0xE000+r-1) symbol minting.  ``bpe_merge_candidates`` is one
+    superstep of this loop; this entry is the loop."""
+    from graphdb_for_drones_spark.operators.text import bpe_train
+
+    cat = Catalog(spark, sf_dir)
+    return bpe_train(cat.documents, n_merges=6)
+
+
+def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
+    """Unrolled BPE-trainer supersteps.  Stage r: pair counts over the
+    stage-(r-1) segmentation, 1-row argmax, then re-segment via ONE
+    replace (left-to-right non-overlapping — the trainer's
+    simultaneous-merge semantics in every engine)."""
+    ctes = [
+        rf"""w0 AS (
+  SELECT w FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+  WHERE len(w) >= 2
+)"""
+    ]
+    stage_selects = []
+    for r in range(1, n_merges + 1):
+        sym = 0xE000 + r - 1
+        ctes.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS pair_count FROM (
+    SELECT unnest([w[i+1:i+2] for i in range(len(w)-1)]) AS pair
+    FROM w{r-1} WHERE len(w) >= 2
+  ) GROUP BY pair
+),
+m{r} AS (SELECT pair, pair_count FROM p{r}
+         ORDER BY pair_count DESC, pair ASC LIMIT 1),
+w{r} AS (
+  SELECT CASE WHEN (SELECT count(*) FROM m{r}) = 0 THEN w
+              ELSE replace(w, (SELECT pair FROM m{r}), chr({sym})) END AS w
+  FROM w{r - 1}
+)"""
+        )
+        stage_selects.append(
+            f"SELECT {r} AS rank, pair, pair_count FROM m{r}"
+        )
+    union = "\nUNION ALL\n".join(stage_selects)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT rank, pair, pair_count FROM ({union})"
+        + " WHERE pair IS NOT NULL ORDER BY rank"
+    )
+
+
+ORACLE_BPE_TRAIN_MERGES = _bpe_train_oracle_sql()
+
+
 CURATION_QUERIES = {
+    "bpe_train_merges": q_bpe_train_merges,
     "doc_quality_logit": q_doc_quality_logit,
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
@@ -1377,6 +1440,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
     "doc_quality_logit": ORACLE_DOC_QUALITY_LOGIT,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "doc_pack_stats": ORACLE_DOC_PACK_STATS,

@@ -230,3 +230,54 @@ def test_hashed_logit_scores_exact_and_edge_safe(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_bpe_train_matches_pure_python_trainer(spark):
+    from collections import Counter
+
+    from graphdb_for_drones_spark.operators.text import bpe_train
+
+    texts = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "wider wide wide widest"),
+        (3, "a"),  # single char: no pairs
+        (4, ""),
+    ]
+
+    def py_train(corpus, n_merges):
+        words = []
+        for _, t in corpus:
+            words += [w for w in t.lower().strip().split() if len(w) >= 2]
+        merges = []
+        for r in range(1, n_merges + 1):
+            counts = Counter()
+            for w in words:
+                for i in range(len(w) - 1):
+                    counts[w[i : i + 2]] += 1
+            if not counts:
+                break
+            # (count DESC, pair ASC) — the engine/oracle total order
+            pair, count = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((r, pair, count))
+            sym = chr(0xE000 + r - 1)
+            words = [w.replace(pair, sym) for w in words]
+        return merges
+
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [
+        (r.rank, r.pair, r.pair_count)
+        for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    want = py_train(texts, 6)
+    assert got == want
+    # multi-round re-segmentation must surface at least one merge whose
+    # pair contains an earlier-minted symbol (e.g. 'e'+<st> from
+    # 'lowest/newest/widest') — otherwise the loop isn't iterating
+    assert any(ord(c) >= 0xE000 for _, p, _ in got[1:] for c in p)
+
+    # pairless corpus: no merges, stable empty schema
+    tiny = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = bpe_train(tiny, n_merges=3)
+    assert out.columns == ["rank", "pair", "pair_count"]
+    assert out.count() == 0
