@@ -383,11 +383,11 @@ def hashed_logit_scores(
     )
 
 
-def bpe_train(
+def bpe_train_list(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
-) -> DataFrame:
+) -> list:
     """Iterative distributed BPE vocabulary training (Sennrich et al.
     2016, arXiv:1508.07909): ``n_merges`` rounds of [count adjacent
     symbol pairs corpus-wide → pick the most frequent → merge every
@@ -448,8 +448,67 @@ def bpe_train(
             encoded, F.lit(pair), F.lit(chr(0xE000 + r - 1))
         )
 
+    return found
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """`bpe_train_list` as a DataFrame (rank, pair, pair_count)."""
     from graphdb_for_drones_spark.traversal import _local_df
 
     return _local_df(
-        spark, found, "rank int, pair string, pair_count long"
+        df.sparkSession,
+        bpe_train_list(df, n_merges, text_col),
+        "rank int, pair string, pair_count long",
+    )
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility/compression diagnostic: segment the corpus
+    with a learned BPE merge table (rank-order simultaneous-replace
+    application — the training-time segmentation, so `bpe_train_list`'s
+    own corpus statistics are exactly reproduced) and roll up per
+    ``group_col``: word count, raw character count, BPE symbol count
+    and symbols-per-char compression.  Because every merge minted a
+    1-char private-use symbol, the symbol count after segmentation is
+    just the encoded word's LENGTH — the whole pass is one stacked
+    chain of ``replace`` calls, pure codegen, one scan + a bounded
+    rollup shuffle."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    words_arr = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda t: F.length(t) >= 2,
+    )
+    w = df.select(
+        F.col(group_col), F.explode(words_arr).alias("__word")
+    )
+    encoded = F.col("__word")
+    for r, pair, _count in merges:
+        encoded = F.replace(encoded, F.lit(pair), F.lit(chr(0xE000 + r - 1)))
+    staged = w.select(
+        F.col(group_col),
+        F.length("__word").cast("long").alias("__chars"),
+        F.length(encoded).cast("long").alias("__syms"),
+    )
+    ratio = F.when(
+        F.sum("__chars") > 0,
+        F.round(
+            F.sum("__syms").cast("double") / F.sum("__chars").cast("double"),
+            9,
+        ),
+    )
+    return staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__chars").alias("n_chars"),
+        F.sum("__syms").alias("n_symbols"),
+        ratio.alias("compression"),
     )

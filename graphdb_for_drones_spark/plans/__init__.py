@@ -81,6 +81,7 @@ _GATE_FIRST = [
     # New in round 6 (never driver-checked):
     "doc_quality_logit",
     "bpe_train_merges",
+    "doc_bpe_compression",
     # Declared rows-only twins/surfaces, never driver-recorded (driver
     # does the weaker rows-only check for these by design):
     "minhash_pairs",
@@ -101,7 +102,6 @@ _GATE_FIRST = [
     "latest_event_per_user",
     "event_type_stats",
     "cdc_apply_events",
-    "ngram_jaccard",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

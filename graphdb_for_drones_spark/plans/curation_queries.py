@@ -1408,7 +1408,76 @@ w{r} AS (
 ORACLE_BPE_TRAIN_MERGES = _bpe_train_oracle_sql()
 
 
+
+def q_doc_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression per source
+    (operators/text.bpe_segment_stats): train 6 BPE merges on the corpus
+    (the bpe_train_merges loop), segment the corpus with them
+    (rank-order replace chain — pure codegen), and report words / raw
+    chars / BPE symbols / symbols-per-char.  The end-to-end
+    train-then-apply tokenizer lifecycle in one oracle-paired entry —
+    the statistic that tells a pipeline whether its vocabulary actually
+    compresses its corpus."""
+    from graphdb_for_drones_spark.operators.text import (
+        bpe_segment_stats,
+        bpe_train_list,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    merges = bpe_train_list(cat.documents, n_merges=6)
+    return bpe_segment_stats(cat.documents, merges)
+
+
+def _bpe_compression_oracle_sql(n_merges: int = 6) -> str:
+    """The trainer's unrolled supersteps with (source, raw length)
+    carried through, then the per-source rollup over the final
+    segmentation."""
+    ctes = [
+        rf"""w0 AS (
+  SELECT source, CAST(len(w) AS BIGINT) AS rawlen, w
+  FROM (SELECT source, unnest({_WORDS}) AS w FROM documents)
+  WHERE len(w) >= 2
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        sym = 0xE000 + r - 1
+        ctes.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS pair_count FROM (
+    SELECT unnest([w[i+1:i+2] for i in range(len(w)-1)]) AS pair
+    FROM w{r-1} WHERE len(w) >= 2
+  ) GROUP BY pair
+),
+m{r} AS (SELECT pair, pair_count FROM p{r}
+         ORDER BY pair_count DESC, pair ASC LIMIT 1),
+w{r} AS (
+  SELECT source, rawlen,
+         CASE WHEN (SELECT count(*) FROM m{r}) = 0 THEN w
+              ELSE replace(w, (SELECT pair FROM m{r}), chr({sym})) END AS w
+  FROM w{r - 1}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(rawlen) AS BIGINT) AS n_chars,
+       CAST(SUM(len(w)) AS BIGINT) AS n_symbols,
+       CASE WHEN SUM(rawlen) > 0 THEN
+         ROUND(CAST(CAST(SUM(len(w)) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(rawlen) AS BIGINT) AS DOUBLE), 9)
+       END AS compression
+FROM w{n_merges} GROUP BY source"""
+    )
+
+
+ORACLE_DOC_BPE_COMPRESSION = _bpe_compression_oracle_sql()
+
+
 CURATION_QUERIES = {
+    "doc_bpe_compression": q_doc_bpe_compression,
     "bpe_train_merges": q_bpe_train_merges,
     "doc_quality_logit": q_doc_quality_logit,
     "contamination_check": q_contamination_check,
@@ -1440,6 +1509,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "doc_bpe_compression": ORACLE_DOC_BPE_COMPRESSION,
     "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
     "doc_quality_logit": ORACLE_DOC_QUALITY_LOGIT,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,

@@ -281,3 +281,42 @@ def test_bpe_train_matches_pure_python_trainer(spark):
     out = bpe_train(tiny, n_merges=3)
     assert out.columns == ["rank", "pair", "pair_count"]
     assert out.count() == 0
+
+
+def test_bpe_segment_stats_matches_python_segmentation(spark):
+    from graphdb_for_drones_spark.operators.text import (
+        bpe_segment_stats,
+        bpe_train_list,
+    )
+
+    texts = [
+        (0, "low lower lowest low low", "sA"),
+        (1, "new newer newest new", "sA"),
+        (2, "wider wide wide widest", "sB"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, source string")
+    merges = bpe_train_list(docs, n_merges=5)
+    assert merges, "trainer found no merges on a repetitive corpus"
+
+    def segment(word):
+        for r, pair, _ in merges:
+            word = word.replace(pair, chr(0xE000 + r - 1))
+        return word
+
+    per = {}
+    for _, t, s in texts:
+        for w in t.lower().strip().split():
+            if len(w) < 2:
+                continue
+            d = per.setdefault(s, [0, 0, 0])
+            d[0] += 1
+            d[1] += len(w)
+            d[2] += len(segment(w))
+
+    got = {r.source: r for r in bpe_segment_stats(docs, merges).collect()}
+    assert set(got) == set(per)
+    for s, (nw, nc, ns) in per.items():
+        r = got[s]
+        assert (r.n_words, r.n_chars, r.n_symbols) == (nw, nc, ns), s
+        assert r.compression == round(ns / nc, 9), s
+        assert r.n_symbols < r.n_chars, "merges should compress this corpus"
