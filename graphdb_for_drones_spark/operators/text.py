@@ -404,28 +404,38 @@ def bpe_train_list(
     escape them on ingest).
 
     Returns (rank, pair, pair_count) for the merges found, in rank
-    order; stops early if a round finds no pair.  Distribution shape:
-    the word list materializes ONCE (localCheckpoint — at 100 TB this
-    is the tokenizer-training working set, a few GB of distinct words
-    would be even better); each round is one map-side-combined count
-    over it (key space ≤ (alphabet+r)², a few KB crossing the shuffle)
-    plus a 1-row argmax collect — the kmeans_centroids driver-loop
-    contract.  Re-encoding stacks ``replace`` expressions lazily; round
-    r re-applies r-1 cheap codegen replaces rather than materializing
-    the corpus per round."""
+    order; stops early if a round finds no pair.  Distribution shape
+    (the classic trainer optimization): the corpus collapses ONCE to
+    the distinct-word VOCABULARY with occurrence counts
+    (one shuffle, then localCheckpoint), and every round scans |vocab|
+    rows — not |corpus| tokens — weighting each word's pairs by its
+    count.  At 100 TB the token stream is the corpus but the vocabulary
+    is ~millions of rows: rounds cost O(|vocab|), the whole train is
+    one corpus pass + n_merges vocab passes.  Per round: one
+    map-side-combined weighted count (key space ≤ (alphabet+r)², a few
+    KB crossing the shuffle) plus a 1-row argmax collect — the
+    kmeans_centroids driver-loop contract.  Re-encoding stacks
+    ``replace`` expressions lazily; round r re-applies r-1 cheap
+    codegen replaces rather than materializing the vocab per round.
+    Measured at sf0.1 (6 merges, local[32]): 3.3 s on the token stream
+    → see PERF.md for the vocab-path number."""
     from graphdb_for_drones_spark.operators.dedup import normalize_text
 
-    spark = df.sparkSession
     words_arr = F.filter(
         F.split(normalize_text(F.col(text_col)), " "),
         lambda t: F.length(t) >= 2,
     )
-    words = df.select(F.explode(words_arr).alias("__word")).localCheckpoint()
+    vocab = (
+        df.select(F.explode(words_arr).alias("__word"))
+        .groupBy("__word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__wc"))
+        .localCheckpoint()
+    )
 
     encoded = F.col("__word")
     found: list[tuple[int, str, int]] = []
     for r in range(1, n_merges + 1):
-        staged = words.select(encoded.alias("__enc"))
+        staged = vocab.select(encoded.alias("__enc"), F.col("__wc"))
         word = F.col("__enc")
         pairs = F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(word) - 1, F.lit(0))),
@@ -433,9 +443,9 @@ def bpe_train_list(
         )
         top = (
             staged.filter(F.length(word) >= 2)
-            .select(F.explode(pairs).alias("pair"))
+            .select(F.explode(pairs).alias("pair"), F.col("__wc"))
             .groupBy("pair")
-            .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+            .agg(F.sum("__wc").cast("long").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
             .limit(1)
             .collect()
