@@ -136,11 +136,17 @@ def main() -> None:
             indent=1,
         )
 
+    # the first 38 HEADLINE names are the round-4 bench set, frozen for
+    # cross-round comparability (the full-catalog "value" grows every
+    # time the catalog does)
+    headline38 = round(sum(timings[n] for n in HEADLINE[:38] if n in timings), 3)
+
     def line_for(subset: dict[str, float]) -> str:
         return json.dumps(
             {
                 "metric": "headline wall-clock local[%s]" % CPUS,
                 "value": round(sum(timings.values()), 3),
+                "value_headline38": headline38,
                 "unit": "sec",
                 "queries": subset,
                 "n_total": len(timings),

@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for SQL-text interpolation so names
+    needing quoting (dots, spaces, hyphens) parse as one identifier —
+    matching what the Column-algebra paths resolve.  The single home of
+    this logic; the similarity-module fast paths import it too."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def normalize_text(col):
     """Lowercase + collapse whitespace: the usual pre-dedup normalizer."""
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
@@ -599,7 +607,7 @@ def simhash_from_hashes(hashes, bits: int = 64):
     casts codegen'd ~6× slower (measured 3.8 → 0.6 s on the sf0.01
     fingerprint projection; bit-identical results either way)."""
     if isinstance(hashes, str):
-        name = "`" + hashes.replace("`", "``") + "`"
+        name = quote_ident(hashes)
         terms = []
         for b in range(bits):
             # shiftleft(1L, 63) wraps to the long min value — exactly
@@ -634,7 +642,7 @@ def simhash_md5_from_hashes(hashes, bits: int = 60):
     Same staging contract — and same ``str``-name SQL fast path — as
     ``simhash_from_hashes``."""
     if isinstance(hashes, str):
-        name = "`" + hashes.replace("`", "``") + "`"
+        name = quote_ident(hashes)
         terms = []
         for b in range(bits):
             terms.append(

@@ -51,10 +51,10 @@ def _vec_lit(vec) -> Column:
 
 
 def _quote_ident(name: str) -> str:
-    """Backtick-quote a column name for SQL-text interpolation so names
-    needing quoting (dots, spaces, hyphens) parse as one identifier —
-    matching what the Column-algebra paths resolve."""
-    return "`" + name.replace("`", "``") + "`"
+    """Single-home quoting logic lives in dedup.quote_ident."""
+    from graphdb_for_drones_spark.operators.dedup import quote_ident
+
+    return quote_ident(name)
 
 
 def _dot_sql(name: str, vec) -> str:
@@ -625,6 +625,17 @@ def _index_root() -> str:
     )
 
 
+def _source_id(source_path: str) -> str:
+    """8-hex digest of the source's ABSOLUTE PATH only — stable across
+    rewrites of the same source, distinct between sources.  Embedded in
+    index names so the stale-fingerprint sweep can tell "this source was
+    rewritten" (safe to delete) from "that's a different source's live
+    index" (must keep)."""
+    return hashlib.sha256(
+        os.path.abspath(source_path).encode()
+    ).hexdigest()[:8]
+
+
 def _source_fingerprint(source_path: str) -> str:
     """Digest of the source parquet's file names + sizes + mtimes, so a
     rewritten source yields a different index path (stale indexes are
@@ -647,49 +658,65 @@ def _source_fingerprint(source_path: str) -> str:
 def ivf_path_for(
     source_path: str, k: int = 8, iters: int = 2, seed: int = 42
 ) -> str:
-    """Deterministic index directory for (source data, build params)."""
+    """Deterministic index directory for (source data, build params):
+    ``ivf-<params>-<source id>-<content fingerprint>``."""
+    sid = _source_id(source_path)
     fp = _source_fingerprint(source_path)
-    return os.path.join(_index_root(), f"ivf-k{k}-i{iters}-s{seed}-{fp}")
+    return os.path.join(
+        _index_root(), f"ivf-k{k}-i{iters}-s{seed}-{sid}-{fp}"
+    )
 
 
-def _sweep_stale_tmp(path: str) -> None:
+def _sweep_stale_tmp(path: str, min_age_s: float = 3600.0) -> None:
     """Remove crash leftovers: sibling ``<path>.tmp.<pid>`` dirs a
     builder that died between its parquet write and the rename leaked.
-    Safe to run before (re)building — a LIVE concurrent builder of the
-    same deterministic index that loses its tmp dir simply falls into
-    the existing rename-race branch (the winner's identical index is
-    kept); nothing else creates these names."""
+    Only dirs OLDER than ``min_age_s`` are swept — a live concurrent
+    builder's in-progress tmp (same deterministic index, different pid)
+    is minutes old at most, and deleting it mid-write would fail ITS
+    parquet job, not fall into the rename-race branch."""
     import glob as _glob
+    import time as _time
 
+    now = _time.time()
     for leftover in _glob.glob(f"{path}.tmp.*"):
+        try:
+            if now - os.stat(leftover).st_mtime < min_age_s:
+                continue
+        except OSError:
+            continue
         shutil.rmtree(leftover, ignore_errors=True)
 
 
 def _sweep_stale_fingerprints(path: str) -> None:
-    """After a fresh build at ``path`` (= ``<params>-<fingerprint>``),
-    drop sibling index dirs with the SAME params but a DIFFERENT source
-    fingerprint: the fingerprint changes exactly when the source parquet
-    is rewritten, so those dirs can never be opened again (``*_path_for``
-    will never produce their name for any live source state).  Without
-    this, every source rewrite (e.g. each degenerate-fixture test run)
-    leaks one dead index dir forever.
+    """After a fresh build at ``path``
+    (= ``<params>-<source id>-<content fingerprint>``), drop sibling
+    index dirs with the SAME params AND SAME source id but a DIFFERENT
+    content fingerprint: that combination arises exactly when THIS
+    source was rewritten, so those dirs can never be opened again
+    (``*_path_for`` will never produce their name for any live source
+    state).  Without this, every source rewrite (e.g. each
+    degenerate-fixture test run) leaks one dead index dir forever.
 
-    Only engages for ``*_path_for``-shaped names (``<params>-<16 hex>``)
-    and only removes siblings of that exact shape — a hand-chosen path
-    like ``/indexes/ivf-test`` never triggers a sweep."""
+    The source-id segment is what makes the sweep safe in a SHARED
+    index root: two different sources (sf0.01 gate data and sf0.1 bench
+    data) indexed with the same params differ in source id, so neither
+    build sweeps the other's live index.  Only engages for
+    ``*_path_for``-shaped names (``<params>-<8 hex>-<16 hex>``) and
+    only removes siblings of that exact shape — a hand-chosen path like
+    ``/indexes/ivf-test`` never triggers a sweep."""
     import re as _re
 
     base = os.path.basename(path)
-    m = _re.fullmatch(r"(.+)-([0-9a-f]{16})", base)
+    m = _re.fullmatch(r"(.+)-([0-9a-f]{8})-([0-9a-f]{16})", base)
     if not m:
         return
-    prefix = m.group(1)
+    prefix, sid = m.group(1), m.group(2)
     parent = os.path.dirname(path) or "."
     if not os.path.isdir(parent):
         return
     for entry in os.listdir(parent):
         if entry == base or not _re.fullmatch(
-            _re.escape(prefix) + r"-[0-9a-f]{16}", entry
+            _re.escape(prefix) + "-" + sid + r"-[0-9a-f]{16}", entry
         ):
             continue
         sibling = os.path.join(parent, entry)
@@ -895,9 +922,13 @@ def pq_adc_topk(
 
 
 def pq_path_for(source_path: str, m: int = 8, ksub: int = 16, seed: int = 42) -> str:
-    """Deterministic PQ code-table directory for (source data, params)."""
+    """Deterministic PQ code-table directory for (source data, params):
+    ``pq-<params>-<source id>-<content fingerprint>``."""
+    sid = _source_id(source_path)
     fp = _source_fingerprint(source_path)
-    return os.path.join(_index_root(), f"pq-m{m}-k{ksub}-s{seed}-{fp}")
+    return os.path.join(
+        _index_root(), f"pq-m{m}-k{ksub}-s{seed}-{sid}-{fp}"
+    )
 
 
 def pq_write(codes: DataFrame, codebooks: list, path: str) -> None:

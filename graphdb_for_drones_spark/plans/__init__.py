@@ -6,8 +6,9 @@ so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
 Round-6 rotation: every query that has never had a driver row leads the
-window — the 32 oracle-paired entries added in rounds 4-5 beyond those
-rounds' windows, the round-6 addition (doc_quality_logit), the changed
+window — the 31 oracle-paired entries added in rounds 4-5 beyond those
+rounds' windows, the round-6 additions (doc_quality_logit,
+bpe_train_merges, doc_bpe_compression), the changed
 doc_weighted_sample (u now maps to (0,1] on both sides), and the 4
 declared rows-only surfaces — then flagship re-gates fill the remaining
 slots.  With this round every cataloged query has had a driver row in
@@ -44,7 +45,7 @@ _MERGED_ORACLES = {
 # the first 50 does not matter; membership does.
 _GATE_FIRST = [
     # ---- Round-6 rotation ----------------------------------------------
-    # The 32 oracle-paired queries that have NEVER had a driver row
+    # The 31 oracle-paired queries that have NEVER had a driver row
     # (added rounds 4-5 beyond the 50-row windows; every one is green in
     # the local oracle replica, tests/test_queries_oracle.py):
     "embedding_dbscan_cores",

@@ -1364,18 +1364,14 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(cat.documents, n_merges=6)
 
 
-def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
-    """Unrolled BPE-trainer supersteps.  Stage r: pair counts over the
-    stage-(r-1) segmentation, 1-row argmax, then re-segment via ONE
-    replace (left-to-right non-overlapping — the trainer's
-    simultaneous-merge semantics in every engine)."""
-    ctes = [
-        rf"""w0 AS (
-  SELECT w FROM (SELECT unnest({_WORDS}) AS w FROM documents)
-  WHERE len(w) >= 2
-)"""
-    ]
-    stage_selects = []
+def _bpe_superstep_ctes(n_merges: int, carry: str = "") -> list:
+    """The BPE trainer's per-round p/m/w CTE blocks — ONE generator
+    shared by both BPE oracles so the superstep semantics (pair count,
+    (count DESC, pair ASC) argmax, conditional replace with
+    chr(0xE000+r-1)) cannot silently diverge between them.  ``carry``
+    is the comma-terminated column list threaded through the w_r stages
+    (e.g. ``"source, rawlen, "``)."""
+    ctes = []
     for r in range(1, n_merges + 1):
         sym = 0xE000 + r - 1
         ctes.append(
@@ -1388,14 +1384,27 @@ def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
 m{r} AS (SELECT pair, pair_count FROM p{r}
          ORDER BY pair_count DESC, pair ASC LIMIT 1),
 w{r} AS (
-  SELECT CASE WHEN (SELECT count(*) FROM m{r}) = 0 THEN w
+  SELECT {carry}CASE WHEN (SELECT count(*) FROM m{r}) = 0 THEN w
               ELSE replace(w, (SELECT pair FROM m{r}), chr({sym})) END AS w
   FROM w{r - 1}
 )"""
         )
-        stage_selects.append(
-            f"SELECT {r} AS rank, pair, pair_count FROM m{r}"
-        )
+    return ctes
+
+
+def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
+    """Unrolled BPE-trainer supersteps (see _bpe_superstep_ctes); the
+    final select unions each stage's 1-row argmax."""
+    ctes = [
+        rf"""w0 AS (
+  SELECT w FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+  WHERE len(w) >= 2
+)"""
+    ] + _bpe_superstep_ctes(n_merges)
+    stage_selects = [
+        f"SELECT {r} AS rank, pair, pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    ]
     union = "\nUNION ALL\n".join(stage_selects)
     return (
         "WITH "
@@ -1429,34 +1438,16 @@ def q_doc_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_compression_oracle_sql(n_merges: int = 6) -> str:
-    """The trainer's unrolled supersteps with (source, raw length)
-    carried through, then the per-source rollup over the final
-    segmentation."""
+    """The trainer's unrolled supersteps (shared generator) with
+    (source, raw length) carried through, then the per-source rollup
+    over the final segmentation."""
     ctes = [
         rf"""w0 AS (
   SELECT source, CAST(len(w) AS BIGINT) AS rawlen, w
   FROM (SELECT source, unnest({_WORDS}) AS w FROM documents)
   WHERE len(w) >= 2
 )"""
-    ]
-    for r in range(1, n_merges + 1):
-        sym = 0xE000 + r - 1
-        ctes.append(
-            f"""p{r} AS (
-  SELECT pair, CAST(count(*) AS BIGINT) AS pair_count FROM (
-    SELECT unnest([w[i+1:i+2] for i in range(len(w)-1)]) AS pair
-    FROM w{r-1} WHERE len(w) >= 2
-  ) GROUP BY pair
-),
-m{r} AS (SELECT pair, pair_count FROM p{r}
-         ORDER BY pair_count DESC, pair ASC LIMIT 1),
-w{r} AS (
-  SELECT source, rawlen,
-         CASE WHEN (SELECT count(*) FROM m{r}) = 0 THEN w
-              ELSE replace(w, (SELECT pair FROM m{r}), chr({sym})) END AS w
-  FROM w{r - 1}
-)"""
-        )
+    ] + _bpe_superstep_ctes(n_merges, carry="source, rawlen, ")
     return (
         "WITH "
         + ",\n".join(ctes)

@@ -82,7 +82,12 @@ def start_anomaly_gate(
 ):
     """Append events beyond ``n_sigma`` of their key's reference mean
     to ``out_dir``.  ``stats`` is pinned once (it is re-referenced per
-    micro-batch)."""
+    micro-batch).
+
+    Layout note: output is parquet PARTITIONED BY ``batch_id`` (the
+    idempotency key).  A quarantine dir written by the pre-partitioned
+    flat-append layout cannot be mixed with this one — point new gates
+    at a fresh ``out_dir``."""
     pinned = stats.localCheckpoint()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -107,7 +107,6 @@ def test_stream_gate_matches_batch_and_skips_cold_keys(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt_replay"),
     )
     q3.awaitTermination(120)
-    assert {r.event_id for r in read_quarantine(spark, out).collect()} == {
-        1001,
-        1002,
-    }
+    rows = read_quarantine(spark, out).collect()
+    assert len(rows) == 2, "replay duplicated quarantine rows"
+    assert {r.event_id for r in rows} == {1001, 1002}

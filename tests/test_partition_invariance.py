@@ -28,6 +28,7 @@ FLOAT_BEARING = [
     "customer_rfm_segments",
     "nation_market_share",
     "doc_quality_logit",
+    "doc_bpe_compression",
 ]
 
 

@@ -84,7 +84,7 @@ def test_weighted_sample_matches_es_reference(spark, weights, k):
     for i, w in rows:
         if w <= 0:
             continue
-        u = md5_60(f"{i}:w42") / float(1 << 60)
+        u = (md5_60(f"{i}:w42") + 1) / float(1 << 60)  # (0,1] — the engine/oracle mapping
         ref.append((round(-math.log(u) / w, 9), i))
     ref.sort()
     assert got == [(i, key) for key, i in ref[:k]]

@@ -361,10 +361,12 @@ def test_pq_rejects_bad_shapes(vectors):
 def test_index_dir_hygiene_sweeps_tmp_and_stale_fingerprints(
     spark, tmp_path
 ):
-    # Crash leftovers (<path>.tmp.<pid>) and dead fingerprints
-    # (<params>-<oldfp> after a source rewrite) must not accumulate:
-    # a fresh build sweeps both.  Hand-chosen paths (no 16-hex suffix)
-    # never trigger the fingerprint sweep.
+    # Crash leftovers (<path>.tmp.<pid>, OLD ones only) and dead
+    # fingerprints of THE SAME source (<params>-<sid>-<oldfp> after a
+    # source rewrite) must not accumulate: a fresh build sweeps both.
+    # Live state survives: a fresh tmp (concurrent builder mid-write),
+    # another SOURCE's index under the same params, another params set,
+    # and hand-named dirs.
     import random
 
     import graphdb_for_drones_spark.operators.similarity as sim
@@ -377,14 +379,22 @@ def test_index_dir_hygiene_sweeps_tmp_and_stale_fingerprints(
 
     root = tmp_path / "indexes"
     root.mkdir()
-    path = str(root / ("ivf-k4-i1-s3-" + "ab" * 8))
-    # plant a crash leftover and a stale-fingerprint sibling
-    (root / (os.path.basename(path) + ".tmp.999")).mkdir()
-    stale = root / ("ivf-k4-i1-s3-" + "cd" * 8)
+    sid = "ab" * 4
+    path = str(root / ("ivf-k4-i1-s3-" + sid + "-" + "ab" * 8))
+    # plant: an OLD crash leftover, a FRESH tmp, a stale fingerprint of
+    # the same source, a different source (other sid), another params
+    # set, and a hand-named dir
+    old_tmp = root / (os.path.basename(path) + ".tmp.999")
+    old_tmp.mkdir()
+    os.utime(old_tmp, (1_000_000_000, 1_000_000_000))
+    fresh_tmp = root / (os.path.basename(path) + ".tmp.1000")
+    fresh_tmp.mkdir()
+    stale = root / ("ivf-k4-i1-s3-" + sid + "-" + "cd" * 8)
     stale.mkdir()
     (stale / "junk").write_text("x")
-    # an unrelated params set and a hand-named dir must survive
-    other_params = root / ("ivf-k8-i1-s3-" + "ef" * 8)
+    other_source = root / ("ivf-k4-i1-s3-" + "ef" * 4 + "-" + "cd" * 8)
+    other_source.mkdir()
+    other_params = root / ("ivf-k8-i1-s3-" + sid + "-" + "ef" * 8)
     other_params.mkdir()
     hand_named = root / "ivf-test"
     hand_named.mkdir()
@@ -393,8 +403,10 @@ def test_index_dir_hygiene_sweeps_tmp_and_stale_fingerprints(
     assert idx.count() == 30 and len(cents) == 4
     entries = sorted(os.listdir(root))
     assert os.path.basename(path) in entries
-    assert not any(e.endswith(".tmp.999") for e in entries)
-    assert os.path.basename(str(stale)) not in entries
+    assert not any(e.endswith(".tmp.999") for e in entries), "old tmp kept"
+    assert any(e.endswith(".tmp.1000") for e in entries), "fresh tmp swept"
+    assert os.path.basename(str(stale)) not in entries, "stale fp kept"
+    assert os.path.basename(str(other_source)) in entries, "other source swept"
     assert os.path.basename(str(other_params)) in entries
     assert "ivf-test" in entries
 
