@@ -617,11 +617,20 @@ def cooccurrence_similarity(
         .groupBy("__i")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+    # the degree table is item-dimension-sized (one row per item) while
+    # common is the pair stream — broadcast both sides of the rejoin or
+    # Spark sort-merges the multi-million-row pair table twice (the
+    # aggregated deg frame has no size stats, so AQE alone won't pick
+    # the broadcast)
     joined = common.join(
-        deg.select(F.col("__i").alias("id_a"), F.col("deg").alias("__da")),
+        F.broadcast(
+            deg.select(F.col("__i").alias("id_a"), F.col("deg").alias("__da"))
+        ),
         "id_a",
     ).join(
-        deg.select(F.col("__i").alias("id_b"), F.col("deg").alias("__db")),
+        F.broadcast(
+            deg.select(F.col("__i").alias("id_b"), F.col("deg").alias("__db"))
+        ),
         "id_b",
     )
     jac = (F.col("n_common") * F.lit(1.0)) / (
