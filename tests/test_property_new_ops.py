@@ -131,3 +131,50 @@ def test_resample_grid_contiguous_and_total_preserving(spark, ts):
         # total events preserved across the grid
         assert sum(n for _, n in buckets) == want_counts[g]
     assert set(per_group) == set(want_counts)
+
+
+word_strategy = st.text(alphabet="abcde", min_size=0, max_size=6)
+corpus_strategy = st.lists(
+    st.lists(word_strategy, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus_strategy)
+def test_bpe_train_matches_python_reference_on_random_corpora(spark, texts):
+    """Differential fuzz of the distributed BPE trainer: a 5-letter
+    alphabet with tiny words forces dense count TIES, pinning the
+    (count DESC, pair ASC) order, the chr(0xE000+r) re-segmentation and
+    the early-stop path against a pure-Python twin."""
+    from collections import Counter
+
+    from graphdb_for_drones_spark.operators.text import bpe_train_list
+
+    def py_train(words, n_merges):
+        words = [w for w in words if len(w) >= 2]
+        merges = []
+        for r in range(1, n_merges + 1):
+            counts = Counter()
+            for w in words:
+                for i in range(len(w) - 1):
+                    counts[w[i : i + 2]] += 1
+            if not counts:
+                break
+            pair, count = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((r, pair, count))
+            sym = chr(0xE000 + r - 1)
+            words = [w.replace(pair, sym) for w in words]
+        return merges
+
+    all_words = [w for t in texts for w in t.lower().strip().split()]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_train_list(df, n_merges=4)
+    assert got == py_train(all_words, 4)
