@@ -72,6 +72,11 @@ HEADLINE = [
     "embedding_dup_clusters",
 ]
 
+# the literal block above IS the round-4 bench set — frozen for the
+# cross-round "value_headline38" metric no matter what gets appended
+# to HEADLINE later
+ROUND4_HEADLINE = tuple(HEADLINE)
+
 # r5 (VERDICT r4 #6): the bench sweeps the FULL catalog — headline
 # entries above keep their historical order (BENCH_r{N} comparability),
 # every other registered query is appended so a regression in a
@@ -136,10 +141,11 @@ def main() -> None:
             indent=1,
         )
 
-    # the first 38 HEADLINE names are the round-4 bench set, frozen for
-    # cross-round comparability (the full-catalog "value" grows every
-    # time the catalog does)
-    headline38 = round(sum(timings[n] for n in HEADLINE[:38] if n in timings), 3)
+    # the frozen round-4 bench set, for cross-round comparability (the
+    # full-catalog "value" grows every time the catalog does)
+    headline38 = round(
+        sum(timings[n] for n in ROUND4_HEADLINE if n in timings), 3
+    )
 
     def line_for(subset: dict[str, float]) -> str:
         return json.dumps(

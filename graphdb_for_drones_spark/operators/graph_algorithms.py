@@ -569,6 +569,7 @@ def cooccurrence_similarity(
     group_col: str,
     item_col: str,
     k: int = 20,
+    broadcast_degrees: bool = True,
 ) -> DataFrame:
     """Item-item similarity by group co-occurrence — the bipartite
     node-similarity primitive (co-purchase / co-citation analysis):
@@ -621,14 +622,19 @@ def cooccurrence_similarity(
     # common is the pair stream — broadcast both sides of the rejoin or
     # Spark sort-merges the multi-million-row pair table twice (the
     # aggregated deg frame has no size stats, so AQE alone won't pick
-    # the broadcast)
+    # the broadcast).  F.broadcast is an UNCONDITIONAL hint: pass
+    # broadcast_degrees=False when the item dimension itself is huge
+    # (beyond ~10M items the hint trades a slow sort-merge for an OOM)
+    def maybe_bcast(d):
+        return F.broadcast(d) if broadcast_degrees else d
+
     joined = common.join(
-        F.broadcast(
+        maybe_bcast(
             deg.select(F.col("__i").alias("id_a"), F.col("deg").alias("__da"))
         ),
         "id_a",
     ).join(
-        F.broadcast(
+        maybe_bcast(
             deg.select(F.col("__i").alias("id_b"), F.col("deg").alias("__db"))
         ),
         "id_b",

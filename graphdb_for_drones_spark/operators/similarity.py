@@ -677,10 +677,23 @@ def _sweep_stale_tmp(path: str, min_age_s: float = 3600.0) -> None:
     import glob as _glob
     import time as _time
 
+    def newest_mtime(root: str) -> float:
+        # the top-level dir's mtime goes stale while a parquet job keeps
+        # writing files DEEPER in the tree — age by the newest mtime
+        # anywhere in it (index trees are small: a few dozen part files)
+        newest = 0.0
+        for r, _dirs, files in os.walk(root):
+            for entry in [r] + [os.path.join(r, f) for f in files]:
+                try:
+                    newest = max(newest, os.stat(entry).st_mtime)
+                except OSError:
+                    pass
+        return newest
+
     now = _time.time()
     for leftover in _glob.glob(f"{path}.tmp.*"):
         try:
-            if now - os.stat(leftover).st_mtime < min_age_s:
+            if now - newest_mtime(leftover) < min_age_s:
                 continue
         except OSError:
             continue
@@ -714,9 +727,15 @@ def _sweep_stale_fingerprints(path: str) -> None:
     parent = os.path.dirname(path) or "."
     if not os.path.isdir(parent):
         return
+    same_source_stale = _re.escape(prefix) + "-" + sid + r"-[0-9a-f]{16}"
+    # pre-source-id legacy names (<params>-<16 hex>) can never be
+    # produced or opened by *_path_for again — categorically dead for
+    # ANY source, so sweep them too
+    legacy = _re.escape(prefix) + r"-[0-9a-f]{16}"
     for entry in os.listdir(parent):
-        if entry == base or not _re.fullmatch(
-            _re.escape(prefix) + "-" + sid + r"-[0-9a-f]{16}", entry
+        if entry == base or not (
+            _re.fullmatch(same_source_stale, entry)
+            or _re.fullmatch(legacy, entry)
         ):
             continue
         sibling = os.path.join(parent, entry)

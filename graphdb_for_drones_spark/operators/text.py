@@ -219,6 +219,22 @@ def winnow_fingerprints(
     )
 
 
+def _bpe_words(text_col) -> Column:
+    """The ONE tokenization every BPE stage shares (merge counting,
+    training, segmentation): normalized whitespace words of length >= 2
+    (a 1-char word has no pair and no merge can ever apply to it).  The
+    trainer and the segmenter MUST tokenize identically for
+    ``bpe_segment_stats`` to reproduce training statistics — keep this
+    the single definition."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(normalize_text(col), " "),
+        lambda t: F.length(t) >= 2,
+    )
+
+
 def bpe_merge_pairs(
     df: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:
@@ -240,13 +256,7 @@ def bpe_merge_pairs(
     Mirrors the tokenizer-training half of the reference's text
     handling surface (the reference stores VC/DID payloads as text and
     outsources all tokenization; SURVEY.md §2 text-analysis family)."""
-    from graphdb_for_drones_spark.operators.dedup import normalize_text
-
-    words = F.filter(
-        F.split(normalize_text(F.col(text_col)), " "),
-        lambda t: F.length(t) >= 2,
-    )
-    w = df.select(F.explode(words).alias("__word"))
+    w = df.select(F.explode(_bpe_words(text_col)).alias("__word"))
     word = F.col("__word")
     pairs = F.transform(
         F.sequence(F.lit(1), F.length(word) - 1),
@@ -419,14 +429,8 @@ def bpe_train_list(
     codegen replaces rather than materializing the vocab per round.
     Measured at sf0.1 (6 merges, local[32]): 3.3 s on the token stream
     → see PERF.md for the vocab-path number."""
-    from graphdb_for_drones_spark.operators.dedup import normalize_text
-
-    words_arr = F.filter(
-        F.split(normalize_text(F.col(text_col)), " "),
-        lambda t: F.length(t) >= 2,
-    )
     vocab = (
-        df.select(F.explode(words_arr).alias("__word"))
+        df.select(F.explode(_bpe_words(text_col)).alias("__word"))
         .groupBy("__word")
         .agg(F.count(F.lit(1)).cast("long").alias("__wc"))
         .localCheckpoint()
@@ -492,14 +496,8 @@ def bpe_segment_stats(
     just the encoded word's LENGTH — the whole pass is one stacked
     chain of ``replace`` calls, pure codegen, one scan + a bounded
     rollup shuffle."""
-    from graphdb_for_drones_spark.operators.dedup import normalize_text
-
-    words_arr = F.filter(
-        F.split(normalize_text(F.col(text_col)), " "),
-        lambda t: F.length(t) >= 2,
-    )
     w = df.select(
-        F.col(group_col), F.explode(words_arr).alias("__word")
+        F.col(group_col), F.explode(_bpe_words(text_col)).alias("__word")
     )
     encoded = F.col("__word")
     for r, pair, _count in merges:
