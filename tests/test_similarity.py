@@ -392,6 +392,15 @@ def test_index_dir_hygiene_sweeps_tmp_and_stale_fingerprints(
     stale = root / ("ivf-k4-i1-s3-" + sid + "-" + "cd" * 8)
     stale.mkdir()
     (stale / "junk").write_text("x")
+    # pre-source-id legacy name: categorically dead, must be swept
+    legacy = root / ("ivf-k4-i1-s3-" + "ee" * 8)
+    legacy.mkdir()
+    # old tmp whose INNER file is fresh = a slow live builder mid-write;
+    # the age guard keys off the newest mtime in the tree, so it survives
+    slow_live = root / (os.path.basename(path) + ".tmp.1001")
+    (slow_live / "index").mkdir(parents=True)
+    os.utime(slow_live, (1_000_000_000, 1_000_000_000))
+    (slow_live / "index" / "part-0").write_text("x")
     other_source = root / ("ivf-k4-i1-s3-" + "ef" * 4 + "-" + "cd" * 8)
     other_source.mkdir()
     other_params = root / ("ivf-k8-i1-s3-" + sid + "-" + "ef" * 8)
@@ -406,6 +415,8 @@ def test_index_dir_hygiene_sweeps_tmp_and_stale_fingerprints(
     assert not any(e.endswith(".tmp.999") for e in entries), "old tmp kept"
     assert any(e.endswith(".tmp.1000") for e in entries), "fresh tmp swept"
     assert os.path.basename(str(stale)) not in entries, "stale fp kept"
+    assert os.path.basename(str(legacy)) not in entries, "legacy dir kept"
+    assert any(e.endswith(".tmp.1001") for e in entries), "slow live builder swept"
     assert os.path.basename(str(other_source)) in entries, "other source swept"
     assert os.path.basename(str(other_params)) in entries
     assert "ivf-test" in entries
