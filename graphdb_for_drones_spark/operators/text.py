@@ -520,3 +520,47 @@ def bpe_segment_stats(
         F.sum("__syms").alias("n_symbols"),
         ratio.alias("compression"),
     )
+
+
+def doc_frequency_topk(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus stopword induction: the top-``k`` words by DOCUMENT
+    frequency with their corpus fraction — the df table that the
+    engine's hot-shingle caps (contamination ``max_df``, the capped
+    jaccard index) prune against, surfaced as its own report.  A
+    corpus-specific stopword list beats a fixed one for quality
+    scoring and df-capping on domain corpora.
+
+    Plan: per-document distinct words (``array_distinct`` BEFORE the
+    explode — map-side dedup, the exploded stream carries each
+    (doc, word) once), one count-per-word aggregate (bounded by |vocab|
+    after map-side combine), a TakeOrdered top-k, then the one-row
+    corpus size binds via crossJoin(broadcast(...)) onto the k rows —
+    the catalog's standard scalar-bind shape (constant cost, whitelisted
+    NLJ).  All exact integers + one IEEE division."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    words = F.array_distinct(
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "),
+            lambda t: t != F.lit(""),
+        )
+    )
+    dfreq = (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("word").asc())
+        .limit(k)
+    )
+    nd = df.agg(F.count(F.lit(1)).alias("__nd"))
+    return dfreq.crossJoin(F.broadcast(nd)).select(
+        "word",
+        "df",
+        F.round(
+            F.col("df").cast("double") / F.col("__nd").cast("double"), 9
+        ).alias("df_frac"),
+    )

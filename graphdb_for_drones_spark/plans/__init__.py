@@ -83,6 +83,7 @@ _GATE_FIRST = [
     "doc_quality_logit",
     "bpe_train_merges",
     "doc_bpe_compression",
+    "corpus_stopword_candidates",
     # Declared rows-only twins/surfaces, never driver-recorded (driver
     # does the weaker rows-only check for these by design):
     "minhash_pairs",
@@ -102,7 +103,6 @@ _GATE_FIRST = [
     "vc_count_per_region",
     "latest_event_per_user",
     "event_type_stats",
-    "cdc_apply_events",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -1467,7 +1467,34 @@ FROM w{n_merges} GROUP BY source"""
 ORACLE_DOC_BPE_COMPRESSION = _bpe_compression_oracle_sql()
 
 
+
+def q_corpus_stopword_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stopword induction (operators/text.doc_frequency_topk):
+    top-20 words by document frequency with corpus fraction — the df
+    table the hot-shingle caps prune against, as its own entry.  The
+    one-row corpus count binds via the whitelisted scalar-broadcast
+    shape."""
+    from graphdb_for_drones_spark.operators.text import doc_frequency_topk
+
+    cat = Catalog(spark, sf_dir)
+    return doc_frequency_topk(cat.documents, k=20)
+
+
+ORACLE_CORPUS_STOPWORD_CANDIDATES = rf"""
+WITH w AS (
+  SELECT unnest(list_distinct(list_filter({_WORDS}, x -> x <> ''))) AS word
+  FROM documents
+),
+d AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM w GROUP BY word)
+SELECT word, df,
+       ROUND(CAST(df AS DOUBLE) / (SELECT count(*) FROM documents), 9)
+         AS df_frac
+FROM d ORDER BY df DESC, word ASC LIMIT 20
+"""
+
+
 CURATION_QUERIES = {
+    "corpus_stopword_candidates": q_corpus_stopword_candidates,
     "doc_bpe_compression": q_doc_bpe_compression,
     "bpe_train_merges": q_bpe_train_merges,
     "doc_quality_logit": q_doc_quality_logit,
@@ -1500,6 +1527,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "corpus_stopword_candidates": ORACLE_CORPUS_STOPWORD_CANDIDATES,
     "doc_bpe_compression": ORACLE_DOC_BPE_COMPRESSION,
     "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
     "doc_quality_logit": ORACLE_DOC_QUALITY_LOGIT,

@@ -320,3 +320,23 @@ def test_bpe_segment_stats_matches_python_segmentation(spark):
         assert (r.n_words, r.n_chars, r.n_symbols) == (nw, nc, ns), s
         assert r.compression == round(ns / nc, 9), s
         assert r.n_symbols < r.n_chars, "merges should compress this corpus"
+
+
+def test_doc_frequency_topk_counts_docs_not_tokens(spark):
+    from graphdb_for_drones_spark.operators.text import doc_frequency_topk
+
+    texts = [
+        (0, "the the the cat"),  # 'the' repeats in-doc: df must still be 1
+        (1, "the dog"),
+        (2, "cat and dog"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.word: (r.df, r.df_frac) for r in doc_frequency_topk(docs, k=10).collect()}
+    assert got["the"] == (2, round(2 / 4, 9))  # frac over ALL docs incl. empty
+    assert got["cat"] == (2, 0.5)
+    assert got["dog"] == (2, 0.5)
+    assert got["and"] == (1, 0.25)
+    # tie-break: (df DESC, word ASC) — deterministic k cut
+    top2 = [r.word for r in doc_frequency_topk(docs, k=2).collect()]
+    assert top2 == ["cat", "dog"]
