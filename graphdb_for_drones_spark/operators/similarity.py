@@ -667,6 +667,20 @@ def ivf_path_for(
     )
 
 
+def _newest_mtime(root: str) -> float:
+    """Newest mtime anywhere under ``root`` — the top-level dir's mtime
+    goes stale while a parquet job keeps writing files DEEPER in the
+    tree (index trees are small: a few dozen part files)."""
+    newest = 0.0
+    for r, _dirs, files in os.walk(root):
+        for entry in [r] + [os.path.join(r, f) for f in files]:
+            try:
+                newest = max(newest, os.stat(entry).st_mtime)
+            except OSError:
+                pass
+    return newest
+
+
 def _sweep_stale_tmp(path: str, min_age_s: float = 3600.0) -> None:
     """Remove crash leftovers: sibling ``<path>.tmp.<pid>`` dirs a
     builder that died between its parquet write and the rename leaked.
@@ -677,23 +691,10 @@ def _sweep_stale_tmp(path: str, min_age_s: float = 3600.0) -> None:
     import glob as _glob
     import time as _time
 
-    def newest_mtime(root: str) -> float:
-        # the top-level dir's mtime goes stale while a parquet job keeps
-        # writing files DEEPER in the tree — age by the newest mtime
-        # anywhere in it (index trees are small: a few dozen part files)
-        newest = 0.0
-        for r, _dirs, files in os.walk(root):
-            for entry in [r] + [os.path.join(r, f) for f in files]:
-                try:
-                    newest = max(newest, os.stat(entry).st_mtime)
-                except OSError:
-                    pass
-        return newest
-
     now = _time.time()
-    for leftover in _glob.glob(f"{path}.tmp.*"):
+    for leftover in _glob.glob(_glob.escape(path) + ".tmp.*"):
         try:
-            if now - newest_mtime(leftover) < min_age_s:
+            if now - _newest_mtime(leftover) < min_age_s:
                 continue
         except OSError:
             continue
@@ -729,9 +730,17 @@ def _sweep_stale_fingerprints(path: str) -> None:
         return
     same_source_stale = _re.escape(prefix) + "-" + sid + r"-[0-9a-f]{16}"
     # pre-source-id legacy names (<params>-<16 hex>) can never be
-    # produced or opened by *_path_for again — categorically dead for
-    # ANY source, so sweep them too
+    # produced or opened by THIS code again — sweep them too.  Both
+    # classes are age-guarded: a dir touched within the last hour may
+    # still be mid-read by a session that opened it before the source
+    # rewrite (or, for legacy names, by a not-yet-upgraded process in a
+    # shared index root) — deleting under an active reader fails its
+    # in-flight scan.  Crash leftovers and genuinely dead indexes age
+    # past the guard and go on the next build.
     legacy = _re.escape(prefix) + r"-[0-9a-f]{16}"
+    import time as _time
+
+    now = _time.time()
     for entry in os.listdir(parent):
         if entry == base or not (
             _re.fullmatch(same_source_stale, entry)
@@ -739,8 +748,14 @@ def _sweep_stale_fingerprints(path: str) -> None:
         ):
             continue
         sibling = os.path.join(parent, entry)
-        if os.path.isdir(sibling):
-            shutil.rmtree(sibling, ignore_errors=True)
+        if not os.path.isdir(sibling):
+            continue
+        try:
+            if now - _newest_mtime(sibling) < 3600.0:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(sibling, ignore_errors=True)
 
 
 def ivf_write(index: DataFrame, centroids: list, path: str) -> None:

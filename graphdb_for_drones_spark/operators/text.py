@@ -315,6 +315,19 @@ def vocab_stats(
     )
 
 
+def _words(text_col) -> Column:
+    """Normalized non-empty whitespace words — the tokenization shared
+    by the df-table and classifier operators, mirroring the DuckDB
+    oracles' ``_WORDS`` fragment.  Single engine-side home (the BPE
+    family's min-length-2 variant is ``_bpe_words``)."""
+    from graphdb_for_drones_spark.operators.dedup import normalize_text
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(normalize_text(col), " "), lambda t: t != F.lit("")
+    )
+
+
 def hashed_logit_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -345,12 +358,7 @@ def hashed_logit_scores(
     Mirrors the reference's attribute-scoring UDF surface
     (demo_offline/04_query/03_query_vc.py's per-row verdict columns)
     re-expressed as whole-stage-codegen expressions."""
-    from graphdb_for_drones_spark.operators.dedup import normalize_text
-
-    words = F.filter(
-        F.split(normalize_text(F.col(text_col)), " "),
-        lambda t: t != F.lit(""),
-    )
+    words = _words(text_col)
 
     def w10(tok: Column) -> Column:
         h = F.conv(
@@ -541,14 +549,7 @@ def doc_frequency_topk(
     corpus size binds via crossJoin(broadcast(...)) onto the k rows —
     the catalog's standard scalar-bind shape (constant cost, whitelisted
     NLJ).  All exact integers + one IEEE division."""
-    from graphdb_for_drones_spark.operators.dedup import normalize_text
-
-    words = F.array_distinct(
-        F.filter(
-            F.split(normalize_text(F.col(text_col)), " "),
-            lambda t: t != F.lit(""),
-        )
-    )
+    words = F.array_distinct(_words(text_col))
     dfreq = (
         df.select(F.explode(words).alias("word"))
         .groupBy("word")

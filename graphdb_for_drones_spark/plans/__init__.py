@@ -8,7 +8,8 @@ so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 Round-6 rotation: every query that has never had a driver row leads the
 window — the 31 oracle-paired entries added in rounds 4-5 beyond those
 rounds' windows, the round-6 additions (doc_quality_logit,
-bpe_train_merges, doc_bpe_compression), the changed
+bpe_train_merges, doc_bpe_compression, corpus_stopword_candidates), the
+changed
 doc_weighted_sample (u now maps to (0,1] on both sides), and the 4
 declared rows-only surfaces — then flagship re-gates fill the remaining
 slots.  With this round every cataloged query has had a driver row in

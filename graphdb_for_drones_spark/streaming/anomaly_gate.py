@@ -10,12 +10,17 @@ quarantine table before the events reach downstream aggregates.
 Shape: the stats table is SMALL (one row per key) — pinned once with
 ``localCheckpoint`` and re-joined (broadcastable) against each
 micro-batch inside ``foreachBatch``.  No state accumulates beyond the
-written flags.  Writes are idempotent per micro-batch: each batch's
-flags land in a ``batch_id=<n>`` partition via dynamic partition
-overwrite, so a micro-batch retried after the write but before the
-checkpoint commit (foreachBatch's at-least-once window) overwrites its
-own partition with identical rows instead of appending duplicates —
-exactly-once output given the gate's deterministic scoring.  Keys
+written flags.  Writes are idempotent per micro-batch WITHIN one
+checkpoint lineage: each batch's flags land in a ``batch_id=<n>``
+partition via dynamic partition overwrite, so a micro-batch retried
+after the write but before the checkpoint commit (foreachBatch's
+at-least-once window) overwrites its own partition with identical rows
+instead of appending duplicates — exactly-once output given the gate's
+deterministic scoring.  A replay from a FRESH checkpoint is idempotent
+only when the source reproduces the same batch boundaries (true for
+``availableNow`` drains of a static directory with the same reader
+options); batching that groups the files differently leaves stale
+partitions from the earlier lineage behind.  Keys
 unseen in the reference window pass through unflagged (no stats row —
 the inner join drops them), mirroring how a production gate treats
 cold keys until the next stats refresh.
@@ -86,8 +91,21 @@ def start_anomaly_gate(
 
     Layout note: output is parquet PARTITIONED BY ``batch_id`` (the
     idempotency key).  A quarantine dir written by the pre-partitioned
-    flat-append layout cannot be mixed with this one — point new gates
-    at a fresh ``out_dir``."""
+    flat-append layout cannot be mixed with this one — the mix only
+    fails at READ time (conflicting directory structures), so this
+    refuses at start instead."""
+    import glob as _glob
+    import os as _os
+
+    legacy_parts = _glob.glob(
+        _os.path.join(_glob.escape(out_dir), "part-*.parquet")
+    ) + _glob.glob(_os.path.join(_glob.escape(out_dir), "part-*.snappy.parquet"))
+    if legacy_parts:
+        raise ValueError(
+            f"out_dir {out_dir!r} holds flat-append (pre-batch_id-"
+            "partition) quarantine files; mixing layouts makes the dir "
+            "unreadable — point the gate at a fresh out_dir"
+        )
     pinned = stats.localCheckpoint()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

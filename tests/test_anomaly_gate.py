@@ -95,7 +95,9 @@ def test_stream_gate_matches_batch_and_skips_cold_keys(spark, tmp_path):
     # retry/replay: a drain from a FRESH checkpoint reprocesses every
     # micro-batch (the worst-case foreachBatch retry) — dynamic
     # batch_id-partition overwrite must leave the quarantine identical,
-    # not doubled
+    # not doubled.  NOTE this holds because the replay reproduces the
+    # batch boundaries (same static dir, same maxFilesPerTrigger) — the
+    # documented limit of the cross-lineage guarantee
     q3 = start_anomaly_gate(
         (
             spark.readStream.schema(EV_SCHEMA)

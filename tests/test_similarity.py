@@ -392,9 +392,16 @@ def test_index_dir_hygiene_sweeps_tmp_and_stale_fingerprints(
     stale = root / ("ivf-k4-i1-s3-" + sid + "-" + "cd" * 8)
     stale.mkdir()
     (stale / "junk").write_text("x")
-    # pre-source-id legacy name: categorically dead, must be swept
+    os.utime(stale / "junk", (1_000_000_000, 1_000_000_000))
+    os.utime(stale, (1_000_000_000, 1_000_000_000))
+    # pre-source-id legacy name: dead once aged, must be swept
     legacy = root / ("ivf-k4-i1-s3-" + "ee" * 8)
     legacy.mkdir()
+    os.utime(legacy, (1_000_000_000, 1_000_000_000))
+    # a FRESH stale-fingerprint sibling may still be mid-read by a
+    # pre-rewrite session — the age guard must keep it this build
+    fresh_stale = root / ("ivf-k4-i1-s3-" + sid + "-" + "dd" * 8)
+    fresh_stale.mkdir()
     # old tmp whose INNER file is fresh = a slow live builder mid-write;
     # the age guard keys off the newest mtime in the tree, so it survives
     slow_live = root / (os.path.basename(path) + ".tmp.1001")
@@ -416,6 +423,7 @@ def test_index_dir_hygiene_sweeps_tmp_and_stale_fingerprints(
     assert any(e.endswith(".tmp.1000") for e in entries), "fresh tmp swept"
     assert os.path.basename(str(stale)) not in entries, "stale fp kept"
     assert os.path.basename(str(legacy)) not in entries, "legacy dir kept"
+    assert os.path.basename(str(fresh_stale)) in entries, "fresh stale swept under a possible reader"
     assert any(e.endswith(".tmp.1001") for e in entries), "slow live builder swept"
     assert os.path.basename(str(other_source)) in entries, "other source swept"
     assert os.path.basename(str(other_params)) in entries
