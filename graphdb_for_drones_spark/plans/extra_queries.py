@@ -1616,11 +1616,16 @@ def q_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle_sql(k: int = 40, rounds: int = 8) -> str:
+    # every peel references the previous round TWICE (src and dst
+    # sides); without AS MATERIALIZED DuckDB inlines the CTE at each
+    # reference, so round r plans 2^r copies of the base join — at
+    # sf0.1 the 2^8 blowup spilled temp storage to disk-full.  The
+    # hint pins each round to one materialization (results identical).
     peels = []
     prev = "a0"
     for i in range(1, rounds + 1):
         peels.append(
-            f"""a{i} AS (
+            f"""a{i} AS MATERIALIZED (
   SELECT e.src AS id FROM e
   JOIN {prev} s ON s.id = e.src JOIN {prev} d ON d.id = e.dst
   GROUP BY e.src HAVING COUNT(*) >= {k}
@@ -1629,12 +1634,12 @@ def _kcore_oracle_sql(k: int = 40, rounds: int = 8) -> str:
         prev = f"a{i}"
     joined = ",\n".join(peels)
     return f"""
-WITH p AS (
+WITH p AS MATERIALIZED (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                   's' || CAST(l_suppkey AS VARCHAR) AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
-e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+e AS MATERIALIZED (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
 d0 AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
 a0 AS (SELECT id FROM d0 WHERE deg >= {k}),
 {joined}
