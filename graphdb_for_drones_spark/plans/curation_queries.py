@@ -1375,15 +1375,15 @@ def _bpe_superstep_ctes(n_merges: int, carry: str = "") -> list:
     for r in range(1, n_merges + 1):
         sym = 0xE000 + r - 1
         ctes.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
   SELECT pair, CAST(count(*) AS BIGINT) AS pair_count FROM (
     SELECT unnest([w[i+1:i+2] for i in range(len(w)-1)]) AS pair
     FROM w{r-1} WHERE len(w) >= 2
   ) GROUP BY pair
 ),
-m{r} AS (SELECT pair, pair_count FROM p{r}
+m{r} AS MATERIALIZED (SELECT pair, pair_count FROM p{r}
          ORDER BY pair_count DESC, pair ASC LIMIT 1),
-w{r} AS (
+w{r} AS MATERIALIZED (
   SELECT {carry}CASE WHEN (SELECT count(*) FROM m{r}) = 0 THEN w
               ELSE replace(w, (SELECT pair FROM m{r}), chr({sym})) END AS w
   FROM w{r - 1}
@@ -1396,7 +1396,7 @@ def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
     """Unrolled BPE-trainer supersteps (see _bpe_superstep_ctes); the
     final select unions each stage's 1-row argmax."""
     ctes = [
-        rf"""w0 AS (
+        rf"""w0 AS MATERIALIZED (
   SELECT w FROM (SELECT unnest({_WORDS}) AS w FROM documents)
   WHERE len(w) >= 2
 )"""
@@ -1442,7 +1442,7 @@ def _bpe_compression_oracle_sql(n_merges: int = 6) -> str:
     (source, raw length) carried through, then the per-source rollup
     over the final segmentation."""
     ctes = [
-        rf"""w0 AS (
+        rf"""w0 AS MATERIALIZED (
   SELECT source, CAST(len(w) AS BIGINT) AS rawlen, w
   FROM (SELECT source, unnest({_WORDS}) AS w FROM documents)
   WHERE len(w) >= 2

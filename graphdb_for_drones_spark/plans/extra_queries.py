@@ -826,11 +826,14 @@ def q_trade_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sssp_oracle_sql(rounds: int = 4) -> str:
+    # AS MATERIALIZED on every chained round: each d_k unions the
+    # previous round twice, and DuckDB inlines plain CTEs per reference
+    # (the k-core 2^rounds lesson — same fix, applied preemptively).
     ctes = []
     prev = "d0"
     for k in range(1, rounds + 1):
         ctes.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
   SELECT id, MIN(cost) AS cost FROM (
     SELECT id, cost FROM {prev}
     UNION ALL
@@ -847,12 +850,12 @@ WITH e0 AS (
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
   GROUP BY 1, 2
 ),
-wts AS (
+wts AS MATERIALIZED (
   SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst,
          CAST(GREATEST(1, 10 - n) AS BIGINT) AS w
   FROM e0
 ),
-e AS (SELECT src, dst, w FROM wts UNION ALL SELECT dst, src, w FROM wts),
+e AS MATERIALIZED (SELECT src, dst, w FROM wts UNION ALL SELECT dst, src, w FROM wts),
 d0(id, cost) AS (VALUES ('c1', CAST(0 AS BIGINT))),
 {body}
 SELECT id, CAST(cost AS BIGINT) AS cost FROM {prev} WHERE id <> 'c1'
@@ -1469,7 +1472,7 @@ def _pagerank_oracle_sql(
     prev = "r0"
     for i in range(1, iterations + 1):
         stages.append(
-            f"""i{i} AS (
+            f"""i{i} AS MATERIALIZED (
   SELECT v.id,
          CAST({base} + ({num} * COALESCE(s.m, 0)) // {den} AS BIGINT) AS r
   FROM v LEFT JOIN (
@@ -1482,14 +1485,14 @@ def _pagerank_oracle_sql(
         prev = f"i{i}"
     joined = ",\n".join(stages)
     return f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                   's' || CAST(l_suppkey AS VARCHAR) AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
-v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-d AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
-r0 AS (SELECT id, CAST({scale} AS BIGINT) AS r FROM v),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+d AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT id, CAST({scale} AS BIGINT) AS r FROM v),
 {joined}
 SELECT id, r AS rank_fp, r / {float(scale)} AS rank FROM {prev}
 """
@@ -1698,29 +1701,31 @@ def q_trade_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_reach(edges, anchor="c1", max_hops=3)
 
 
+# chained stages AS MATERIALIZED (each l_k feeds both l_{k+1} and u,
+# and u is read twice — the k-core inlining lesson, preempted)
 ORACLE_TRADE_TEMPORAL_REACH = """
-WITH p AS (
+WITH p AS MATERIALIZED (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                   's' || CAST(l_suppkey AS VARCHAR) AS dst,
                   CAST(epoch(o_orderdate) AS BIGINT) AS t
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
-e AS (SELECT src, dst, t FROM p UNION ALL SELECT dst, src, t FROM p),
+e AS MATERIALIZED (SELECT src, dst, t FROM p UNION ALL SELECT dst, src, t FROM p),
 l0 AS (SELECT 'c1' AS id, CAST(-(1::BIGINT << 62) AS BIGINT) AS arrival,
               0 AS hops),
-l1 AS (
+l1 AS MATERIALIZED (
   SELECT e.dst AS id, MIN(e.t) AS arrival, 1 AS hops
   FROM l0 JOIN e ON e.src = l0.id AND e.t > l0.arrival GROUP BY e.dst
 ),
-l2 AS (
+l2 AS MATERIALIZED (
   SELECT e.dst AS id, MIN(e.t) AS arrival, 2 AS hops
   FROM l1 JOIN e ON e.src = l1.id AND e.t > l1.arrival GROUP BY e.dst
 ),
-l3 AS (
+l3 AS MATERIALIZED (
   SELECT e.dst AS id, MIN(e.t) AS arrival, 3 AS hops
   FROM l2 JOIN e ON e.src = l2.id AND e.t > l2.arrival GROUP BY e.dst
 ),
-u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+u AS MATERIALIZED (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
 m AS (SELECT id, MIN(arrival) AS arrival FROM u GROUP BY id)
 SELECT u.id, CAST(m.arrival AS BIGINT) AS arrival,
        CAST(MIN(u.hops) AS INTEGER) AS hops
