@@ -1899,8 +1899,11 @@ def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 2, seed: int = 42) -> str:
     """ivf_topk oracle with the k-means derivation UNROLLED as CTEs —
     init sample, per-round assignment + decimal-exact means — mirroring
     ``operators.similarity.kmeans_centroids`` step for step."""
+    # every round CTE AS MATERIALIZED: a/s/m/c stages chain with
+    # multiple consumers, and downstream oracles (semantic dedup) read
+    # `asg` three times — the k-core inlining lesson, preempted
     ctes = [
-        f"""c0 AS (
+        f"""c0 AS MATERIALIZED (
   SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings WHERE vec_id <> 0
   ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id
@@ -1910,7 +1913,7 @@ def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 2, seed: int = 42) -> str:
     for it in range(1, iters + 1):
         p = f"c{it - 1}"
         ctes.append(
-            f"""a{it} AS (
+            f"""a{it} AS MATERIALIZED (
   SELECT vec_id, cid AS cluster FROM (
     SELECT e.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1919,25 +1922,25 @@ def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 2, seed: int = 42) -> str:
     WHERE e.vec_id <> 0
   ) WHERE rn = 1
 ),
-s{it} AS (
+s{it} AS MATERIALIZED (
   SELECT a.cluster, t.i AS pos,
          SUM(CAST(CAST(e.embedding[t.i+1] AS DOUBLE) AS DECIMAL(28,10))) AS s,
          COUNT(*) AS n
   FROM a{it} a JOIN embeddings e USING (vec_id) CROSS JOIN range(64) t(i)
   GROUP BY 1, 2
 ),
-m{it} AS (
+m{it} AS MATERIALIZED (
   SELECT cluster AS cid, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS emb
   FROM s{it} GROUP BY cluster
 ),
-c{it} AS (
+c{it} AS MATERIALIZED (
   SELECT p.cid, COALESCE(m.emb, p.emb) AS emb
   FROM {p} p LEFT JOIN m{it} m USING (cid)
 )"""
         )
     cents = f"c{iters}"
     ctes.append(
-        f"""asg AS (
+        f"""asg AS MATERIALIZED (
   SELECT vec_id, cid AS cluster FROM (
     SELECT e.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
