@@ -277,6 +277,66 @@ def mixture_weights(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    budget_docs: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture (the mT5/XLM-R low-resource
+    upweighting rule): sampling weight w_i ∝ c_i^alpha over per-domain
+    token counts c_i, alpha < 1 flattening the head so low-resource
+    domains (languages) keep representation.  Returns per domain
+    (n_docs, n_tokens, weight, planned_docs = floor(weight·budget)).
+
+    alpha is restricted to {1.0, 0.5, 0.25}: IEEE-754 ``sqrt`` is
+    correctly rounded, so c^0.5 and c^0.25 (sqrt∘sqrt) are bit-identical
+    on every engine, while a general ``pow(c, 0.3)`` is
+    implementation-defined in the last ulp — the difference between a
+    driver-hash-checkable operator and a rows-only one.
+
+    The denominator Σ c_i^alpha folds over the domain-SORTED collected
+    array (double addition is not associative; an unordered SUM would
+    be partition-dependent).  The fold is domain-cardinality work on a
+    single row — languages/sources number in the hundreds at 100 TB —
+    while the token counting is the one corpus-scale aggregation."""
+    scalers = {1.0: lambda c: c, 0.5: F.sqrt, 0.25: lambda c: F.sqrt(F.sqrt(c))}
+    if alpha not in scalers:
+        raise ValueError(
+            f"alpha={alpha}: only 1.0, 0.5 (sqrt) and 0.25 (sqrt∘sqrt) are"
+            " cross-engine exact; other exponents make the weights"
+            " implementation-defined in the last ulp"
+        )
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    scaled = scalers[alpha](F.col("n_tokens").cast("double"))
+    denom_row = per.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(domain_col, "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, x: acc + scalers[alpha](x["n_tokens"].cast("double")),
+        ).alias("__denom")
+    )
+    weight = F.when(
+        F.col("__denom") > 0, scaled / F.col("__denom")
+    ).otherwise(F.lit(0.0))
+    return (
+        per.join(F.broadcast(denom_row))
+        .select(
+            domain_col,
+            "n_docs",
+            "n_tokens",
+            weight.alias("weight"),
+            F.floor(weight * F.lit(float(budget_docs)))
+            .cast("long")
+            .alias("planned_docs"),
+        )
+    )
+
+
 def repetition_ratio(col: Column, n: int = 2) -> Column:
     """Gopher-style duplicate n-gram ratio: 1 − distinct/total word
     n-grams (0 = no repetition).  Hashed n-grams (codegen xxhash64, the

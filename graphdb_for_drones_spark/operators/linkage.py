@@ -1,0 +1,178 @@
+"""Record-linkage (entity-resolution) primitives: fuzzy-match joins with
+an exact-recall blocking scheme — all pure ``pyspark.sql.functions``
+expressions (whole-stage codegen, no Python on the row path).
+
+``substitution_neighborhood_pairs`` is the wildcard-neighborhood
+generate-and-join (the FastSS family of approximate string joins): each
+key emits one pattern per position subset of size ``min(max_subs, L)``
+with those characters overwritten by a sentinel; two equal-length keys
+within hamming distance ``max_subs`` agree outside their differing
+positions, so they share the pattern at any subset covering those
+positions — candidate recall is EXACT for substitution edits
+(pigeonhole-free: the covering subset always exists).  Keys of
+different lengths produce patterns of different lengths and never pair
+— the operator's contract is SUBSTITUTION distance, the record-linkage
+case (fixed-layout identifiers: account numbers, phone numbers, serial
+ids), not general edit distance.
+
+Pattern equality at the same position subset holds if and only if the
+two keys agree on every non-wildcard position — regardless of the
+sentinel character, even when keys contain it — so candidates carry no
+false positives beyond hamming <= max_subs and the verify step is a
+single position-wise comparison.
+
+Why not substring banding: a band split guarantees the same recall
+(pigeonhole) but block sizes track the key LAYOUT — a shared literal
+prefix ("Customer#…") turns one band into a block holding the whole
+table, C(n,2) candidates.  Wildcard blocks are keyed by L-1 (or L-2)
+concrete characters, so block size is bounded by data duplication
+(|alphabet|^k near-neighbors per key), not by where the entropy sits in
+the key.
+
+At 100 TB: the pattern exchange is the single data-scaled shuffle and
+carries C(L, k) x n rows of (positions, pattern, id, key); the pair
+stream is enumerated per posting list map-side and feeds partial
+aggregation, and degenerate corpora (one key duplicated everywhere)
+stream through ``posting_pairs``' hot-list self-join escape hatch
+instead of materializing a C(n,2) array.  Cross-pattern duplicate
+candidates are removed by canonical-owner FILTERING (a map-side
+predicate on the two keys riding the pair row), never by a distinct
+exchange of the candidate stream.
+
+The reference has no fuzzy-match operator; this extends the dedup /
+identity toolchain (operators/dedup.py's document near-dup pairs) to
+record granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pos_subsets(key: Column, length: Column, k: int) -> Column:
+    """array<struct<pos: array<int>, pat: string>> — one entry per
+    position subset of size min(k, length), the key overwritten with
+    NUL at those positions.  ``k`` in {1, 2}."""
+    sentinel = F.lit("\x00")
+    seq = F.sequence(F.lit(1), length)
+    one = F.transform(
+        seq,
+        lambda i: F.struct(
+            F.array(i).alias("pos"),
+            F.overlay(key, sentinel, i, F.lit(1)).alias("pat"),
+        ),
+    )
+    if k == 1:
+        return one
+    two = F.flatten(
+        F.transform(
+            seq,
+            lambda i: F.transform(
+                F.sequence(i + 1, length),
+                lambda j: F.struct(
+                    F.array(i, j).alias("pos"),
+                    F.overlay(
+                        F.overlay(key, sentinel, i, F.lit(1)),
+                        sentinel,
+                        j,
+                        F.lit(1),
+                    ).alias("pat"),
+                ),
+            ),
+        )
+    )
+    # a 1-char key has no 2-subsets; its all-wildcard pattern IS the
+    # 1-subset (min(k, L) = L), keeping recall exact for L <= k
+    return F.when(length >= 2, two).otherwise(one)
+
+
+def _diff_positions(key_a: Column, key_b: Column) -> Column:
+    """Positions (1-based, ascending) where two EQUAL-LENGTH keys
+    disagree."""
+    return F.filter(
+        F.sequence(F.lit(1), F.length(key_a)),
+        lambda i: F.substring(key_a, i, F.lit(1))
+        != F.substring(key_b, i, F.lit(1)),
+    )
+
+
+def substitution_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_subs: int = 1,
+) -> DataFrame:
+    """All pairs of rows whose keys are equal-length and within
+    ``max_subs`` character substitutions (hamming distance), each pair
+    exactly once with ``id_a < id_b``.
+
+    Returns (id_a, id_b, key_a, key_b, hamming: long,
+    diff_pos: array<int> — the differing positions, ascending).
+    Null and empty keys never pair.  ``max_subs`` in {1, 2}: the
+    neighborhood size is C(L, k) patterns per key, so larger radii
+    belong to a different algorithm (LSH over q-gram sets), not a
+    larger k here.
+
+    Candidates come from grouping by (position-subset, pattern); a pair
+    within hamming d <= k shares C(L-d, k-d) patterns, so each pair is
+    kept only by its CANONICAL owner subset — the differing positions
+    completed with the smallest non-differing ones — a map-side
+    predicate on the keys riding the pair row (both keys travel inside
+    the posting-list element, the simhash carrier trick, so ownership
+    and verification need no join back onto the input)."""
+    if max_subs not in (1, 2):
+        raise ValueError(
+            f"max_subs={max_subs}: wildcard neighborhoods are exact and"
+            " cheap only for radius 1-2 (C(L,k) patterns per key); use"
+            " q-gram LSH for larger radii"
+        )
+    from graphdb_for_drones_spark.operators.dedup import posting_pairs
+
+    keyed = df.select(
+        F.col(id_col).alias("rid"), F.col(key_col).alias("key")
+    ).filter(F.col("key").isNotNull() & (F.length("key") >= 1))
+    exploded = keyed.select(
+        F.struct(F.col("rid").alias("id"), F.col("key")).alias("id"),
+        F.explode(
+            _pos_subsets(F.col("key"), F.length("key"), max_subs)
+        ).alias("pp"),
+    ).select(
+        "id",
+        F.concat_ws(",", F.col("pp.pos").cast("array<string>")).alias(
+            "pos_key"
+        ),
+        F.col("pp.pat").alias("pat"),
+    )
+    buckets = (
+        exploded.groupBy("pos_key", "pat")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = posting_pairs(buckets, ["pos_key", "pat"], keep_keys=True)
+    ka, kb = F.col("id_a.key"), F.col("id_b.key")
+    diff = _diff_positions(ka, kb)
+    m = F.least(F.lit(max_subs), F.length(ka))
+    owner = F.array_sort(
+        F.concat(
+            diff,
+            F.slice(
+                F.array_except(F.sequence(F.lit(1), F.length(ka)), diff),
+                F.lit(1),
+                m - F.size(diff),
+            ),
+        )
+    )
+    owner_key = F.concat_ws(",", owner.cast("array<string>"))
+    return (
+        cand.withColumn("diff_pos", diff)
+        .filter(F.col("pos_key") == owner_key)
+        .select(
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_b.id").alias("id_b"),
+            ka.alias("key_a"),
+            kb.alias("key_b"),
+            F.size("diff_pos").cast("long").alias("hamming"),
+            "diff_pos",
+        )
+    )

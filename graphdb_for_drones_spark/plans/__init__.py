@@ -8,8 +8,8 @@ so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 Round-6 rotation: every query that has never had a driver row leads the
 window — the 31 oracle-paired entries added in rounds 4-5 beyond those
 rounds' windows, the round-6 additions (doc_quality_logit,
-bpe_train_merges, doc_bpe_compression, corpus_stopword_candidates), the
-changed
+bpe_train_merges, doc_bpe_compression, corpus_stopword_candidates,
+customer_fuzzy_pairs, lang_temperature_mixture), the changed
 doc_weighted_sample (u now maps to (0,1] on both sides), and the 4
 declared rows-only surfaces — then flagship re-gates fill the remaining
 slots.  With this round every cataloged query has had a driver row in
@@ -85,6 +85,8 @@ _GATE_FIRST = [
     "bpe_train_merges",
     "doc_bpe_compression",
     "corpus_stopword_candidates",
+    "customer_fuzzy_pairs",
+    "lang_temperature_mixture",
     # Declared rows-only twins/surfaces, never driver-recorded (driver
     # does the weaker rows-only check for these by design):
     "minhash_pairs",
@@ -102,8 +104,6 @@ _GATE_FIRST = [
     "top_customers",
     "pricing_summary",
     "vc_count_per_region",
-    "latest_event_per_user",
-    "event_type_stats",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

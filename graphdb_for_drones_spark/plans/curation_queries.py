@@ -141,6 +141,45 @@ FROM per
 """
 
 
+def q_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled LANGUAGE mixture (mT5/XLM-R alpha-sampling,
+    alpha = 0.5): sampling weight ∝ sqrt(per-language token count), the
+    low-resource upweighting rule multilingual pretraining uses instead
+    of the uniform reshaping of `mixture_weights`.  sqrt is IEEE-exact
+    on both engines and the denominator folds in language order, so the
+    double weights are driver-hash-checkable."""
+    cat = Catalog(spark, sf_dir)
+    return curation.temperature_mixture(
+        cat.documents, domain_col="lang", alpha=0.5, budget_docs=10_000
+    ).orderBy("lang")
+
+
+ORACLE_LANG_TEMPERATURE_MIXTURE = r"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+d AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+           (a, b) -> a + b) AS denom
+  FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       CASE WHEN denom > 0
+            THEN sqrt(CAST(n_tokens AS DOUBLE)) / denom ELSE 0.0 END
+         AS weight,
+       CAST(floor(CASE WHEN denom > 0
+                       THEN sqrt(CAST(n_tokens AS DOUBLE)) / denom
+                       ELSE 0.0 END * 10000.0) AS BIGINT) AS planned_docs
+FROM per, d
+ORDER BY lang
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicate-bigram ratio (Gopher repetition signal).
     Engine hashes bigrams (codegen xxhash64), oracle compares bigram
@@ -1501,6 +1540,7 @@ CURATION_QUERIES = {
     "contamination_check": q_contamination_check,
     "doc_pack_stats": q_doc_pack_stats,
     "mixture_weights": q_mixture_weights,
+    "lang_temperature_mixture": q_lang_temperature_mixture,
     "doc_repetition": q_doc_repetition,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "doc_pack_greedy_stats": q_doc_pack_greedy_stats,
@@ -1534,6 +1574,7 @@ CURATION_ORACLES = {
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "doc_pack_stats": ORACLE_DOC_PACK_STATS,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+    "lang_temperature_mixture": ORACLE_LANG_TEMPERATURE_MIXTURE,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "embedding_dup_clusters": ORACLE_EMBEDDING_DUP_CLUSTERS,
     "doc_quality_sample_stats": ORACLE_DOC_QUALITY_SAMPLE_STATS,

@@ -2639,6 +2639,59 @@ FROM pu
 """
 
 
+def q_customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join (entity resolution): customer pairs
+    whose 9-digit name suffix is ONE character substitution apart —
+    near-identical identifiers, the typo/OCR-error detection primitive —
+    rolled up by the differing digit position.
+
+    Blocking is the wildcard substitution-neighborhood
+    (operators/linkage.substitution_neighborhood_pairs): each key emits
+    9 patterns with one position overwritten; hamming-1 pairs share the
+    pattern at their differing position, so recall is exact and block
+    size is bounded by data duplication regardless of the keys' shared
+    literal layout.  The DuckDB twin builds the same neighborhood with
+    set-based SQL (prefix || sentinel || suffix); the naive quadratic
+    levenshtein ground truth is pinned against the operator in
+    tests/test_linkage.py where it is cheap."""
+    from graphdb_for_drones_spark.operators.linkage import (
+        substitution_neighborhood_pairs,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    keys = cat.customer.select(
+        "c_custkey", F.substring("c_name", 10, 9).alias("key")
+    )
+    pairs = substitution_neighborhood_pairs(
+        keys, "c_custkey", "key", max_subs=1
+    )
+    return (
+        pairs.filter(F.col("hamming") == 1)
+        .groupBy(
+            F.element_at("diff_pos", 1).cast("long").alias("diff_pos")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("diff_pos")
+    )
+
+
+ORACLE_CUSTOMER_FUZZY_PAIRS = """
+WITH k AS (
+  SELECT c_custkey AS id, substr(c_name, 10, 9) AS key FROM customer
+),
+pat AS (
+  SELECT id, key, i,
+         substr(key, 1, CAST(i AS INT) - 1) || chr(1)
+           || substr(key, CAST(i AS INT) + 1) AS pattern
+  FROM k, range(1, 10) t(i)
+)
+SELECT CAST(a.i AS BIGINT) AS diff_pos, COUNT(*) AS n_pairs
+FROM pat a JOIN pat b ON a.pattern = b.pattern AND a.i = b.i AND a.id < b.id
+WHERE a.key <> b.key
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -2695,6 +2748,7 @@ EXTRA_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "min_price_supplier": q_min_price_supplier,
     "event_props_extract": q_event_props_extract,
+    "customer_fuzzy_pairs": q_customer_fuzzy_pairs,
 }
 
 EXTRA_ORACLES = {
@@ -2748,6 +2802,7 @@ EXTRA_ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "min_price_supplier": ORACLE_MIN_PRICE_SUPPLIER,
     "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,
+    "customer_fuzzy_pairs": ORACLE_CUSTOMER_FUZZY_PAIRS,
     # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
     # is approximate and its xxhash64 register family is engine-internal;
     # tests/test_sketches.py pins the 5% accuracy envelope vs exact

@@ -114,6 +114,43 @@ def test_mixture_weights_explicit_target(spark):
     assert out["y"].weight == pytest.approx(0.1 / 0.5)
 
 
+def test_temperature_mixture_flattens_head(spark):
+    # 16 vs 4 tokens: alpha=1 keeps the 4:1 ratio, alpha=0.5 flattens
+    # it to sqrt(16):sqrt(4) = 2:1, alpha=0.25 to 2:sqrt(2)
+    rows = [
+        (1, " ".join(["w"] * 16), "en", "s"),
+        (2, " ".join(["w"] * 4), "de", "s"),
+    ]
+    for alpha, ratio in [(1.0, 4.0), (0.5, 2.0), (0.25, 2.0**0.5)]:
+        out = {
+            r.lang: r
+            for r in curation.temperature_mixture(
+                _docs(spark, rows), domain_col="lang", alpha=alpha
+            ).collect()
+        }
+        assert out["en"].weight / out["de"].weight == pytest.approx(ratio)
+        assert out["en"].weight + out["de"].weight == pytest.approx(1.0)
+        assert out["en"].n_tokens == 16 and out["de"].n_tokens == 4
+        assert (
+            out["en"].planned_docs
+            == int(out["en"].weight * 10_000) // 1
+        )
+
+
+def test_temperature_mixture_rejects_inexact_alpha(spark):
+    df = _docs(spark, [(1, "a", "en", "s")])
+    with pytest.raises(ValueError, match="alpha=0.3"):
+        curation.temperature_mixture(df, alpha=0.3)
+
+
+def test_temperature_mixture_all_empty_corpus(spark):
+    # denominator 0: weights are 0.0, not a divide-by-zero job failure
+    df = _docs(spark, [(1, "", "en", "s"), (2, "", "de", "s")])
+    out = curation.temperature_mixture(df, domain_col="lang").collect()
+    assert {r.weight for r in out} == {0.0}
+    assert {r.planned_docs for r in out} == {0}
+
+
 def test_repetition_scores(spark):
     rows = [
         (1, "a b a b a b", "en", "s"),  # bigrams: ab ba ab ba ab -> 2/5 distinct

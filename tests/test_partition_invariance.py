@@ -29,6 +29,7 @@ FLOAT_BEARING = [
     "nation_market_share",
     "doc_quality_logit",
     "doc_bpe_compression",
+    "lang_temperature_mixture",
 ]
 
 

@@ -105,6 +105,7 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
         "doc_bm25_topk",  # one-row (N, sum dl) corpus-stats scalar bind
         "customer_rfm_segments",  # one-row corpus-max-date scalar bind
         "corpus_stopword_candidates",  # one-row corpus-size scalar bind
+        "lang_temperature_mixture",  # one-row ordered-fold denominator bind
     }
     sf = "/root/testdata/sf0.001"
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
