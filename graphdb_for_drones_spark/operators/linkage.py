@@ -65,11 +65,16 @@ def _pos_subsets(key: Column, length: Column, k: int) -> Column:
     )
     if k == 1:
         return one
+    # sequence(a, b) runs BACKWARDS when a > b (yielding bogus subsets
+    # like (L, L+1)-reversed for i = L), so the inner range is guarded
+    # to empty at the last position
     two = F.flatten(
         F.transform(
             seq,
             lambda i: F.transform(
-                F.sequence(i + 1, length),
+                F.when(i < length, F.sequence(i + 1, length)).otherwise(
+                    F.array().cast("array<int>")
+                ),
                 lambda j: F.struct(
                     F.array(i, j).alias("pos"),
                     F.overlay(
@@ -85,16 +90,6 @@ def _pos_subsets(key: Column, length: Column, k: int) -> Column:
     # a 1-char key has no 2-subsets; its all-wildcard pattern IS the
     # 1-subset (min(k, L) = L), keeping recall exact for L <= k
     return F.when(length >= 2, two).otherwise(one)
-
-
-def _diff_positions(key_a: Column, key_b: Column) -> Column:
-    """Positions (1-based, ascending) where two EQUAL-LENGTH keys
-    disagree."""
-    return F.filter(
-        F.sequence(F.lit(1), F.length(key_a)),
-        lambda i: F.substring(key_a, i, F.lit(1))
-        != F.substring(key_b, i, F.lit(1)),
-    )
 
 
 def substitution_neighborhood_pairs(
@@ -151,22 +146,46 @@ def substitution_neighborhood_pairs(
     )
     cand = posting_pairs(buckets, ["pos_key", "pat"], keep_keys=True)
     ka, kb = F.col("id_a.key"), F.col("id_b.key")
-    diff = _diff_positions(ka, kb)
-    m = F.least(F.lit(max_subs), F.length(ka))
-    owner = F.array_sort(
-        F.concat(
-            diff,
-            F.slice(
-                F.array_except(F.sequence(F.lit(1), F.length(ka)), diff),
-                F.lit(1),
-                m - F.size(diff),
-            ),
+    # Verification and ownership are O(k), not O(L): pattern equality
+    # already guarantees the keys agree OUTSIDE the wildcard positions,
+    # so only those <= k positions can differ — a full-key diff scan
+    # (an O(L) lambda filter, re-evaluated per reference because Spark
+    # CSE skips lambda-bearing subtrees) measured ~2x the whole pair
+    # stage at sf0.1.  F.get (not element_at: ANSI throws out-of-bounds)
+    # reads the 1-2 positions back out of the grouping key.
+    pos_arr = F.split(F.col("pos_key"), ",").cast("array<int>")
+    p1 = F.get(pos_arr, 0)
+    d1 = F.substring(ka, p1, F.lit(1)) != F.substring(kb, p1, F.lit(1))
+    empty = F.array().cast("array<int>")
+    if max_subs == 1:
+        # owner: the differing position itself, or position 1 for
+        # identical keys (which share every pattern)
+        own = d1 | (p1 == F.lit(1))
+        diff = F.when(d1, F.array(p1)).otherwise(empty)
+    else:
+        p2 = F.get(pos_arr, 1)  # null on the L == 1 fallback rows
+        d2 = F.when(p2.isNull(), F.lit(False)).otherwise(
+            F.substring(ka, p2, F.lit(1)) != F.substring(kb, p2, F.lit(1))
         )
-    )
-    owner_key = F.concat_ws(",", owner.cast("array<string>"))
+        # canonical owner subset: the differing positions completed
+        # with the smallest non-differing ones (all sorted, p1 < p2)
+        q = F.when(d1, p1).otherwise(p2)  # the single diff, when d==1
+        own = F.when(p2.isNull(), d1 | (p1 == F.lit(1))).otherwise(
+            (d1 & d2)
+            | (
+                (d1 != d2)
+                & (p1 == F.lit(1))
+                & (p2 == F.when(q == 1, F.lit(2)).otherwise(q))
+            )
+            | (~d1 & ~d2 & (p1 == F.lit(1)) & (p2 == F.lit(2)))
+        )
+        diff = F.concat(
+            F.when(d1, F.array(p1)).otherwise(empty),
+            F.when(d2, F.array(p2)).otherwise(empty),
+        )
     return (
-        cand.withColumn("diff_pos", diff)
-        .filter(F.col("pos_key") == owner_key)
+        cand.filter(own)
+        .withColumn("diff_pos", diff)
         .select(
             F.col("id_a.id").alias("id_a"),
             F.col("id_b.id").alias("id_b"),
