@@ -241,6 +241,12 @@ def pairs_from_sorted_ids(ids_col):
 # through a per-key self-join instead
 HOT_POSTING_SIZE = 1024
 
+# simhash buckets beyond THIS size abandon even the streamed C(d,2)
+# self-join for one level of complement-bit sub-banding (see
+# simhash_candidate_pairs): below it the streamed join's constant
+# factors win, beyond it the quadratic term does
+SUBBAND_POSTING_SIZE = 8192
+
 
 def posting_pairs(
     posting: DataFrame, key_cols: list[str], keep_keys: bool = False
@@ -735,6 +741,45 @@ def _fp_chunks(fp_df: DataFrame, bits: int, bands: int) -> DataFrame:
     ).select("id", "bb.band", "bb.chunk")
 
 
+def _complement_subchunks(
+    bits: int, layout: list[tuple[int, int]], b: int, n_sub: int
+) -> list[list[tuple[int, int]]]:
+    """Split the bits OUTSIDE band ``b`` into ``n_sub`` near-even
+    sub-chunks; each sub-chunk is a list of (start, width) bit pieces
+    (at most two — a sub-chunk can straddle the excluded band)."""
+    off, w = layout[b]
+    comp = [(s, e) for s, e in ((0, off), (off + w, bits)) if e > s]
+    total = bits - w
+    base, extra = divmod(total, n_sub)
+    out: list[list[tuple[int, int]]] = []
+    seg_i, seg_pos = 0, comp[0][0]
+    for j in range(n_sub):
+        need = base + (1 if j < extra else 0)
+        pieces: list[tuple[int, int]] = []
+        while need > 0:
+            s, e = comp[seg_i]
+            take = min(e - seg_pos, need)
+            pieces.append((seg_pos, take))
+            seg_pos += take
+            need -= take
+            if seg_pos == e and seg_i + 1 < len(comp):
+                seg_i += 1
+                seg_pos = comp[seg_i][0]
+        out.append(pieces)
+    return out
+
+
+def _extract_pieces(fp, pieces: list[tuple[int, int]]):
+    """Concatenate (start, width) bit pieces of ``fp`` into one long."""
+    val, acc = None, 0
+    for s, w in pieces:
+        piece = F.shiftrightunsigned(fp, s).bitwiseAND(F.lit((1 << w) - 1))
+        piece = F.shiftleft(piece, acc) if acc else piece
+        val = piece if val is None else val + piece
+        acc += w
+    return val
+
+
 def simhash_candidate_pairs(
     fp_df: DataFrame,
     max_hamming: int,
@@ -756,18 +801,117 @@ def simhash_candidate_pairs(
     is large; not shuffling it twice more (and not recomputing the
     text→fingerprint projection for each join leg) measured ~5× at
     sf0.1.  Pair orientation: structs sort/compare by leading field, so
-    (id asc) is preserved exactly as before."""
+    (id asc) is preserved exactly as before.
+
+    DEGENERATE buckets (> ``SUBBAND_POSTING_SIZE`` members — a chunk
+    value carried by a macroscopic corpus fraction, e.g. the near-zero
+    chunk every short document votes) do NOT stream their C(d,2)
+    self-join: they recurse ONE level, re-banding members on ``bands``
+    sub-chunks of the COMPLEMENT bits.  A true pair in the bucket has
+    all <= max_hamming differing bits outside the agreed band, so with
+    bands > max_hamming sub-chunks it shares >= 1 sub-chunk (the same
+    pigeonhole) — recall stays exact while the quadratic blowup drops
+    to the sub-bucket level (residual hot sub-buckets still stream
+    through ``posting_pairs``' escape hatch).  Within one (bucket,
+    sub-band) a pair occurs at most once, so cross-sub-band duplicates
+    are removed by the same minimum-agreeing-ownership filter, nested.
+
+    The threshold sits ABOVE ``HOT_POSTING_SIZE`` deliberately: on the
+    sf0.1 corpus (hottest bucket = 34% of docs, 1.7k members) forcing
+    sub-banding measured SLOWER than the streamed self-join (7.5 s vs
+    4.8 s end-to-end — correlated complement bits mean sub-bucketing
+    only halved the pair stream while adding two stages), while on a
+    degenerate synthetic bucket past the threshold the quadratic
+    streaming term dominates and sub-banding wins outright (PERF.md,
+    20k-member bucket: 56 s -> 3 s).  Buckets between the two
+    thresholds stream; only the scale-killers recurse."""
     bands = resolve_bands(max_hamming, bands, allow_partial_recall)
     carrier = fp_df.select(
         F.struct(F.col("id"), F.col("fp")).alias("id"), F.col("fp")
     )
+    layout = band_layout(bits, bands)
     keyed = _fp_chunks(carrier, bits, bands)
     buckets = (
         keyed.groupBy("band", "chunk")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    cand = posting_pairs(buckets, ["band", "chunk"], keep_keys=True)
+    # sub-banding needs bands non-empty sub-chunks of the complement;
+    # with very narrow fingerprints fall back to the streaming path
+    can_subband = bits - max(w for _, w in layout) >= bands
+    if not can_subband:
+        cand = posting_pairs(buckets, ["band", "chunk"], keep_keys=True)
+    else:
+        small = buckets.filter(F.size("ids") <= SUBBAND_POSTING_SIZE)
+        hot = buckets.filter(F.size("ids") > SUBBAND_POSTING_SIZE)
+        cand_small = posting_pairs(small, ["band", "chunk"], keep_keys=True)
+        subs = {
+            b: _complement_subchunks(bits, layout, b, bands)
+            for b in range(bands)
+        }
+        member_fp = F.col("id.fp")
+        sub_arr = None
+        for b in range(bands):
+            arr_b = F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_band"),
+                        _extract_pieces(member_fp, subs[b][j]).alias(
+                            "sub_chunk"
+                        ),
+                    )
+                    for j in range(bands)
+                ]
+            )
+            cond = F.col("band") == b
+            sub_arr = (
+                F.when(cond, arr_b)
+                if sub_arr is None
+                else sub_arr.when(cond, arr_b)
+            )
+        sub_keyed = (
+            hot.select("band", "chunk", F.explode("ids").alias("id"))
+            .select("band", "chunk", "id", F.explode(sub_arr).alias("sb"))
+            .select("band", "chunk", "id", "sb.sub_band", "sb.sub_chunk")
+        )
+        sub_buckets = (
+            sub_keyed.groupBy("band", "chunk", "sub_band", "sub_chunk")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        sub_cand = posting_pairs(
+            sub_buckets,
+            ["band", "chunk", "sub_band", "sub_chunk"],
+            keep_keys=True,
+        )
+        sfa, sfb = F.col("id_a.fp"), F.col("id_b.fp")
+        inner_own = None
+        for b in range(bands):
+            first_j = None
+            for j in range(bands):
+                agree_j = _extract_pieces(sfa, subs[b][j]) == _extract_pieces(
+                    sfb, subs[b][j]
+                )
+                first_j = (
+                    F.when(agree_j, F.lit(j))
+                    if first_j is None
+                    else first_j.when(agree_j, F.lit(j))
+                )
+            cond = F.col("band") == b
+            inner_own = (
+                F.when(cond, first_j)
+                if inner_own is None
+                else inner_own.when(cond, first_j)
+            )
+        # radius check first (one xor + popcount) so the 49-branch
+        # nested-ownership chain only evaluates on survivors
+        sub_ham = F.bit_count(sfa.bitwiseXOR(sfb))
+        hot_pairs = (
+            sub_cand.filter(sub_ham <= max_hamming)
+            .filter(F.col("sub_band") == inner_own)
+            .select("band", "chunk", "id_a", "id_b")
+        )
+        cand = cand_small.unionByName(hot_pairs)
     # Cross-band dedup by MINIMUM-AGREEING-BAND OWNERSHIP, not a
     # distinct: a pair sharing several chunks is enumerated once per
     # agreeing band, but both fingerprints ride the pair row, so "is
@@ -777,6 +921,13 @@ def simhash_candidate_pairs(
     # plan, with a filter.  Within one band a pair occurs at most once
     # (its chunk is a function of the fingerprint), so ownership is
     # exact.
+    #
+    # FILTER ORDER matters on the candidate stream (the near-quadratic
+    # intermediate: ~5M pairs from 5k docs at sf0.1, 99.7% of which
+    # fail the radius): the one-xor-one-popcount hamming test runs
+    # FIRST and short-circuits the 7-term shift/mask ownership chain,
+    # which then evaluates only on the sparse survivors (CombineFilters
+    # keeps the later filter on the right of the fused And).
     fa, fb = F.col("id_a.fp"), F.col("id_b.fp")
     own = None
     for b, (off, w) in enumerate(band_layout(bits, bands)):
@@ -786,11 +937,11 @@ def simhash_candidate_pairs(
             == F.shiftrightunsigned(fb, off).bitwiseAND(F.lit(mask))
         )
         own = F.when(agree, F.lit(b)) if own is None else own.when(agree, F.lit(b))
-    cand = cand.filter(F.col("band") == own.otherwise(F.lit(-1)))
     hamming = F.bit_count(F.col("id_a.fp").bitwiseXOR(F.col("id_b.fp")))
     return (
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("band") == own.otherwise(F.lit(-1)))
         .select(
             F.col("id_a.id").alias("id_a"),
             F.col("id_b.id").alias("id_b"),

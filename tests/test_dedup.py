@@ -138,6 +138,52 @@ def test_minhash_recall_on_planted_exact_dups(spark):
     assert all(v >= 0.5 for v in vals.values())
 
 
+def test_simhash_hot_bucket_subband_recall_exact(spark, monkeypatch):
+    # a bucket beyond SUBBAND_POSTING_SIZE takes the sub-banding
+    # recursion, not the streaming self-join: recall must stay exact
+    # and each pair must surface exactly once (nested ownership).
+    # The threshold is patched down so a 1.2k-member bucket recurses.
+    import random
+
+    import graphdb_for_drones_spark.operators.dedup as dd
+    from graphdb_for_drones_spark.operators.dedup import (
+        HOT_POSTING_SIZE,
+        simhash_candidate_pairs,
+    )
+
+    monkeypatch.setattr(dd, "SUBBAND_POSTING_SIZE", HOT_POSTING_SIZE)
+    rng = random.Random(7)
+    max_h = 2  # bands = 3 over 64 bits -> band 0 = bits [0, 22)
+    n = HOT_POSTING_SIZE + 180
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    # every fingerprint has band-0 chunk 0 -> ONE bucket holds them all
+    fps_u = [rng.getrandbits(42) << 22 for _ in range(n)]
+    for src, h in [(0, 1), (1, 2), (2, 2), (3, 0)]:
+        v = fps_u[src]
+        for b in rng.sample(range(22, 64), h):
+            v ^= 1 << b
+        fps_u.append(v)
+    rows = [(f"d{i:04d}", signed(u)) for i, u in enumerate(fps_u)]
+    fp_df = spark.createDataFrame(
+        rows, "id string, fp long"
+    ).localCheckpoint()
+
+    out = simhash_candidate_pairs(fp_df, max_h).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs)), "pair enumerated twice"
+    got = {(r.id_a, r.id_b): r.hamming for r in out}
+    want = {}
+    for i in range(len(fps_u)):
+        for j in range(i + 1, len(fps_u)):
+            d = bin(fps_u[i] ^ fps_u[j]).count("1")
+            if d <= max_h:
+                want[(f"d{i:04d}", f"d{j:04d}")] = d
+    assert got == want
+
+
 def test_simhash_candidate_recall_exact(spark):
     # pigeonhole property: with bands > max_hamming (the enforced default)
     # the banded candidate scheme equals brute force EXACTLY within the
