@@ -92,6 +92,121 @@ def _pos_subsets(key: Column, length: Column, k: int) -> Column:
     return F.when(length >= 2, two).otherwise(one)
 
 
+def _owner_and_diff(ka: Column, kb: Column, max_subs: int):
+    """(ownership predicate, differing-positions array) for a candidate
+    pair read off the grouping key.
+
+    Verification and ownership are O(k), not O(L): pattern equality
+    already guarantees the keys agree OUTSIDE the wildcard positions,
+    so only those <= k positions can differ — a full-key diff scan
+    (an O(L) lambda filter, re-evaluated per reference because Spark
+    CSE skips lambda-bearing subtrees) measured ~2x the whole pair
+    stage at sf0.1.  F.get (not element_at: ANSI throws out-of-bounds)
+    reads the 1-2 positions back out of the grouping key ``pos_key``."""
+    pos_arr = F.split(F.col("pos_key"), ",").cast("array<int>")
+    p1 = F.get(pos_arr, 0)
+    d1 = F.substring(ka, p1, F.lit(1)) != F.substring(kb, p1, F.lit(1))
+    empty = F.array().cast("array<int>")
+    if max_subs == 1:
+        # owner: the differing position itself, or position 1 for
+        # identical keys (which share every pattern)
+        own = d1 | (p1 == F.lit(1))
+        diff = F.when(d1, F.array(p1)).otherwise(empty)
+    else:
+        p2 = F.get(pos_arr, 1)  # null on the L == 1 fallback rows
+        d2 = F.when(p2.isNull(), F.lit(False)).otherwise(
+            F.substring(ka, p2, F.lit(1)) != F.substring(kb, p2, F.lit(1))
+        )
+        # canonical owner subset: the differing positions completed
+        # with the smallest non-differing ones (all sorted, p1 < p2)
+        q = F.when(d1, p1).otherwise(p2)  # the single diff, when d==1
+        own = F.when(p2.isNull(), d1 | (p1 == F.lit(1))).otherwise(
+            (d1 & d2)
+            | (
+                (d1 != d2)
+                & (p1 == F.lit(1))
+                & (p2 == F.when(q == 1, F.lit(2)).otherwise(q))
+            )
+            | (~d1 & ~d2 & (p1 == F.lit(1)) & (p2 == F.lit(2)))
+        )
+        diff = F.concat(
+            F.when(d1, F.array(p1)).otherwise(empty),
+            F.when(d2, F.array(p2)).otherwise(empty),
+        )
+    return own, diff
+
+
+def _pattern_rows(
+    df: DataFrame, id_col: str, key_col: str, k: int, prefix: str
+) -> DataFrame:
+    """(id, key) → one row per wildcard pattern:
+    (<prefix>id, <prefix>key, pos_key, pat)."""
+    keyed = df.select(
+        F.col(id_col).alias(f"{prefix}id"), F.col(key_col).alias(f"{prefix}key")
+    ).filter(
+        F.col(f"{prefix}key").isNotNull() & (F.length(f"{prefix}key") >= 1)
+    )
+    return keyed.select(
+        f"{prefix}id",
+        f"{prefix}key",
+        F.explode(
+            _pos_subsets(F.col(f"{prefix}key"), F.length(f"{prefix}key"), k)
+        ).alias("pp"),
+    ).select(
+        f"{prefix}id",
+        f"{prefix}key",
+        F.concat_ws(",", F.col("pp.pos").cast("array<string>")).alias(
+            "pos_key"
+        ),
+        F.col("pp.pat").alias("pat"),
+    )
+
+
+def substitution_neighborhood_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_key: str,
+    right_id: str,
+    right_key: str,
+    max_subs: int = 1,
+) -> DataFrame:
+    """Cross-TABLE fuzzy join — the record-linkage form (match incoming
+    records against a master table): every (left, right) pair whose
+    equal-length keys are within ``max_subs`` substitutions, each pair
+    exactly once.  Returns (id_l, id_r, key_l, key_r, hamming: long,
+    diff_pos: array<int>); hamming 0 rows are exact key matches.
+
+    Same wildcard-neighborhood blocking and O(k) canonical-owner dedup
+    as ``substitution_neighborhood_pairs``, but candidates come from a
+    plain equi-join of the two pattern streams on (positions, pattern)
+    — Spark's join machinery streams hot patterns without posting
+    lists, and either side may broadcast when dimension-sized."""
+    if max_subs not in (1, 2):
+        raise ValueError(
+            f"max_subs={max_subs}: wildcard neighborhoods are exact and"
+            " cheap only for radius 1-2 (C(L,k) patterns per key); use"
+            " q-gram LSH for larger radii"
+        )
+    lp = _pattern_rows(left, left_id, left_key, max_subs, "l_")
+    rp = _pattern_rows(right, right_id, right_key, max_subs, "r_")
+    cand = lp.join(rp, ["pos_key", "pat"])
+    ka, kb = F.col("l_key"), F.col("r_key")
+    own, diff = _owner_and_diff(ka, kb, max_subs)
+    return (
+        cand.filter(own)
+        .withColumn("diff_pos", diff)
+        .select(
+            F.col("l_id").alias("id_l"),
+            F.col("r_id").alias("id_r"),
+            ka.alias("key_l"),
+            kb.alias("key_r"),
+            F.size("diff_pos").cast("long").alias("hamming"),
+            "diff_pos",
+        )
+    )
+
+
 def substitution_neighborhood_pairs(
     df: DataFrame,
     id_col: str,
@@ -146,43 +261,7 @@ def substitution_neighborhood_pairs(
     )
     cand = posting_pairs(buckets, ["pos_key", "pat"], keep_keys=True)
     ka, kb = F.col("id_a.key"), F.col("id_b.key")
-    # Verification and ownership are O(k), not O(L): pattern equality
-    # already guarantees the keys agree OUTSIDE the wildcard positions,
-    # so only those <= k positions can differ — a full-key diff scan
-    # (an O(L) lambda filter, re-evaluated per reference because Spark
-    # CSE skips lambda-bearing subtrees) measured ~2x the whole pair
-    # stage at sf0.1.  F.get (not element_at: ANSI throws out-of-bounds)
-    # reads the 1-2 positions back out of the grouping key.
-    pos_arr = F.split(F.col("pos_key"), ",").cast("array<int>")
-    p1 = F.get(pos_arr, 0)
-    d1 = F.substring(ka, p1, F.lit(1)) != F.substring(kb, p1, F.lit(1))
-    empty = F.array().cast("array<int>")
-    if max_subs == 1:
-        # owner: the differing position itself, or position 1 for
-        # identical keys (which share every pattern)
-        own = d1 | (p1 == F.lit(1))
-        diff = F.when(d1, F.array(p1)).otherwise(empty)
-    else:
-        p2 = F.get(pos_arr, 1)  # null on the L == 1 fallback rows
-        d2 = F.when(p2.isNull(), F.lit(False)).otherwise(
-            F.substring(ka, p2, F.lit(1)) != F.substring(kb, p2, F.lit(1))
-        )
-        # canonical owner subset: the differing positions completed
-        # with the smallest non-differing ones (all sorted, p1 < p2)
-        q = F.when(d1, p1).otherwise(p2)  # the single diff, when d==1
-        own = F.when(p2.isNull(), d1 | (p1 == F.lit(1))).otherwise(
-            (d1 & d2)
-            | (
-                (d1 != d2)
-                & (p1 == F.lit(1))
-                & (p2 == F.when(q == 1, F.lit(2)).otherwise(q))
-            )
-            | (~d1 & ~d2 & (p1 == F.lit(1)) & (p2 == F.lit(2)))
-        )
-        diff = F.concat(
-            F.when(d1, F.array(p1)).otherwise(empty),
-            F.when(d2, F.array(p2)).otherwise(empty),
-        )
+    own, diff = _owner_and_diff(ka, kb, max_subs)
     return (
         cand.filter(own)
         .withColumn("diff_pos", diff)

@@ -86,6 +86,7 @@ _GATE_FIRST = [
     "doc_bpe_compression",
     "corpus_stopword_candidates",
     "customer_fuzzy_pairs",
+    "customer_supplier_fuzzy_matches",
     "lang_temperature_mixture",
     # Declared rows-only twins/surfaces, never driver-recorded (driver
     # does the weaker rows-only check for these by design):
@@ -103,7 +104,6 @@ _GATE_FIRST = [
     "path_count_diamond",
     "top_customers",
     "pricing_summary",
-    "vc_count_per_region",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -2675,6 +2675,73 @@ def q_customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_supplier_fuzzy_matches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-SOURCE identity reconciliation — the master-table form of
+    record linkage (operators/linkage.substitution_neighborhood_join):
+    customer × supplier pairs whose 9-digit name suffixes agree within
+    ONE substitution, rolled up by the differing digit position
+    (diff_pos 0 = exact suffix match across the two tables).  The
+    candidate stream is a plain equi-join of the two wildcard-pattern
+    streams, so hot patterns ride Spark's join machinery and a
+    dimension-sized side can broadcast."""
+    from graphdb_for_drones_spark.operators.linkage import (
+        substitution_neighborhood_join,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select(
+        "c_custkey", F.substring("c_name", 10, 9).alias("key")
+    )
+    s = cat.supplier.select(
+        "s_suppkey", F.substring("s_name", 10, 9).alias("key")
+    )
+    m = substitution_neighborhood_join(
+        c, s, "c_custkey", "key", "s_suppkey", "key", max_subs=1
+    )
+    return (
+        m.groupBy(
+            F.when(F.col("hamming") == 0, F.lit(0))
+            .otherwise(F.element_at("diff_pos", 1))
+            .cast("long")
+            .alias("diff_pos")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("diff_pos")
+    )
+
+
+ORACLE_CUSTOMER_SUPPLIER_FUZZY_MATCHES = """
+WITH ck AS (
+  SELECT c_custkey AS id, substr(c_name, 10, 9) AS key FROM customer
+),
+sk AS (
+  SELECT s_suppkey AS id, substr(s_name, 10, 9) AS key FROM supplier
+),
+cp AS (
+  SELECT id, key, i,
+         substr(key, 1, CAST(i AS INT) - 1) || chr(1)
+           || substr(key, CAST(i AS INT) + 1) AS pattern
+  FROM ck, range(1, 10) t(i)
+),
+sp AS (
+  SELECT id, key, i,
+         substr(key, 1, CAST(i AS INT) - 1) || chr(1)
+           || substr(key, CAST(i AS INT) + 1) AS pattern
+  FROM sk, range(1, 10) t(i)
+),
+base AS (
+  SELECT a.id AS cid, b.id AS sid,
+         CASE WHEN a.key <> b.key THEN CAST(a.i AS BIGINT) ELSE 0 END
+           AS diff_pos
+  FROM cp a JOIN sp b ON a.pattern = b.pattern AND a.i = b.i
+),
+dedup AS (SELECT DISTINCT cid, sid, diff_pos FROM base)
+SELECT diff_pos, COUNT(*) AS n_pairs FROM dedup GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_CUSTOMER_FUZZY_PAIRS = """
 WITH k AS (
   SELECT c_custkey AS id, substr(c_name, 10, 9) AS key FROM customer
@@ -2749,6 +2816,7 @@ EXTRA_QUERIES = {
     "min_price_supplier": q_min_price_supplier,
     "event_props_extract": q_event_props_extract,
     "customer_fuzzy_pairs": q_customer_fuzzy_pairs,
+    "customer_supplier_fuzzy_matches": q_customer_supplier_fuzzy_matches,
 }
 
 EXTRA_ORACLES = {
@@ -2803,6 +2871,7 @@ EXTRA_ORACLES = {
     "min_price_supplier": ORACLE_MIN_PRICE_SUPPLIER,
     "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,
     "customer_fuzzy_pairs": ORACLE_CUSTOMER_FUZZY_PAIRS,
+    "customer_supplier_fuzzy_matches": ORACLE_CUSTOMER_SUPPLIER_FUZZY_MATCHES,
     # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
     # is approximate and its xxhash64 register family is engine-internal;
     # tests/test_sketches.py pins the 5% accuracy envelope vs exact

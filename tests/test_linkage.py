@@ -8,6 +8,7 @@ import itertools
 import pytest
 
 from graphdb_for_drones_spark.operators.linkage import (
+    substitution_neighborhood_join,
     substitution_neighborhood_pairs,
 )
 
@@ -83,6 +84,53 @@ def test_each_pair_exactly_once(spark):
     by_pair = {(r.id_a, r.id_b): r for r in rows}
     assert by_pair[(1, 3)].hamming == 0 and by_pair[(1, 3)].diff_pos == []
     assert by_pair[(1, 2)].diff_pos == [4]
+
+
+def naive_join(lrows, rrows, k):
+    out = {}
+    for (il, kl) in lrows:
+        for (ir, kr) in rrows:
+            if not kl or not kr:
+                continue
+            d = hamming(kl, kr)
+            if d is not None and d <= k:
+                out[(il, ir)] = (
+                    kl,
+                    kr,
+                    d,
+                    tuple(
+                        i + 1
+                        for i, (x, y) in enumerate(zip(kl, kr))
+                        if x != y
+                    ),
+                )
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_join_matches_naive_ground_truth(spark, k):
+    lrows = [(i, key) for i, key in enumerate(KEYS)]
+    rrows = [
+        (100, "00123"),  # exact match of two left keys
+        (101, "00125"),
+        (102, "90124"),
+        (103, "abq"),
+        (104, "x"),
+        (105, ""),
+        (106, "\x00\x0012\x00"),
+    ]
+    ldf = spark.createDataFrame(lrows, "rid long, key string")
+    rdf = spark.createDataFrame(rrows, "rid long, key string")
+    out = substitution_neighborhood_join(
+        ldf, rdf, "rid", "key", "rid", "key", max_subs=k
+    ).collect()
+    pairs = [(r.id_l, r.id_r) for r in out]
+    assert len(pairs) == len(set(pairs)), "pair enumerated twice"
+    got = {
+        (r.id_l, r.id_r): (r.key_l, r.key_r, r.hamming, tuple(r.diff_pos))
+        for r in out
+    }
+    assert got == naive_join(lrows, rrows, k)
 
 
 def test_max_subs_validation(spark):
