@@ -1,0 +1,145 @@
+"""Streaming record-linkage guard: incremental fuzzy matching.
+
+Batch linkage (operators/linkage.substitution_neighborhood_pairs /
+_join) sweeps finished tables; an ingestion pipeline wants the signal
+ON THE WAY IN — every arriving micro-batch of records is fuzzy-matched
+(<= ``max_subs`` character substitutions) against everything already
+accepted, and flagged matches append to an output table before the
+newcomers are committed.
+
+The streaming twin of the wildcard-neighborhood join, with the
+corpus-sized side INDEXED rather than regenerated:
+
+* a persistent **pattern index** (``<index_dir>/patterns``: pos_key,
+  pat, id, key) — every accepted record's wildcard neighborhood,
+  appended once per batch, never rewritten;
+* per micro-batch: generate the batch's patterns (batch-sized work),
+  flag within-batch pairs, then equi-join the batch patterns against
+  the index on (positions, pattern).
+
+Unlike the near-dup guard there is NO separate verification store: the
+key rides the pattern row, so verification and canonical-owner dedup
+are the same O(k) expressions the batch operator uses — one join, no
+lookback reads.  Per-batch cost is O(batch x L) pattern work + one
+equi-join against the index.
+
+Flags accumulate in ``out_dir``; the union of within-batch and
+cross-batch flags over a drain equals the batch sweep over the whole
+corpus (pinned in tests/test_linkage_guard.py), because every pair is
+either within one micro-batch or crosses two — and the crossing pair
+is caught when its second member arrives.
+
+Same delivery contract as streaming/dedup_guard: checkpointed source +
+``availableNow`` drains give effectively-once appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators.linkage import (
+    _owner_and_diff,
+    _pattern_rows,
+    substitution_neighborhood_pairs,
+)
+
+
+def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # first batch: index not created yet
+        return None
+
+
+def start_linkage_guard(
+    stream_records: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_subs: int = 1,
+    id_col: str = "id",
+    key_col: str = "key",
+    available_now: bool = True,
+):
+    """Flag streaming records fuzzy-matching anything already seen.
+
+    ``stream_records``: streaming DataFrame with (id_col, key_col).
+    Flags (id_a, id_b, key_a, key_b, hamming), id_a < id_b, append to
+    ``out_dir``; the pattern index grows under ``index_dir``."""
+    patterns_dir = f"{index_dir}/patterns"
+    out_cols = ["id_a", "id_b", "key_a", "key_b", "hamming"]
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # batch-sized: pin it — referenced by the within-batch sweep
+        # is separate, but the pattern rows feed both the cross join
+        # and the index append
+        bpat = _pattern_rows(
+            batch_df, id_col, key_col, max_subs, "r_"
+        ).localCheckpoint()
+
+        within = substitution_neighborhood_pairs(
+            batch_df, id_col, key_col, max_subs
+        ).select(*out_cols)
+
+        hist = _try_read(spark, patterns_dir)
+        flags = within
+        if hist is not None:
+            cand = hist.select(
+                "pos_key",
+                "pat",
+                F.col("id").alias("l_id"),
+                F.col("key").alias("l_key"),
+            ).join(bpat, ["pos_key", "pat"]).filter(
+                F.col("l_id") != F.col("r_id")
+            )
+            own, diff = _owner_and_diff(
+                F.col("l_key"), F.col("r_key"), max_subs
+            )
+            swap = F.col("l_id") > F.col("r_id")
+            cross = (
+                cand.filter(own)
+                .withColumn("hamming", F.size(diff).cast("long"))
+                .select(
+                    F.when(swap, F.col("r_id"))
+                    .otherwise(F.col("l_id"))
+                    .alias("id_a"),
+                    F.when(swap, F.col("l_id"))
+                    .otherwise(F.col("r_id"))
+                    .alias("id_b"),
+                    F.when(swap, F.col("r_key"))
+                    .otherwise(F.col("l_key"))
+                    .alias("key_a"),
+                    F.when(swap, F.col("l_key"))
+                    .otherwise(F.col("r_key"))
+                    .alias("key_b"),
+                    "hamming",
+                )
+            )
+            # a record redelivered in a later batch would pair with its
+            # own indexed copy at hamming 0 under a DIFFERENT id only;
+            # identical ids are excluded above, duplicate flags here
+            flags = within.unionByName(cross).dropDuplicates(
+                ["id_a", "id_b"]
+            )
+
+        flags.write.mode("append").parquet(out_dir)
+        bpat.select(
+            "pos_key",
+            "pat",
+            F.col("r_id").alias("id"),
+            F.col("r_key").alias("key"),
+        ).write.mode("append").parquet(patterns_dir)
+
+    writer = stream_records.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_linkage_flags(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The appended flag table: every fuzzy match the guard has seen."""
+    return spark.read.parquet(out_dir)
