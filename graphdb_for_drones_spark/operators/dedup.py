@@ -824,7 +824,14 @@ def simhash_candidate_pairs(
     degenerate synthetic bucket past the threshold the quadratic
     streaming term dominates and sub-banding wins outright (PERF.md,
     20k-member bucket: 56 s -> 3 s).  Buckets between the two
-    thresholds stream; only the scale-killers recurse."""
+    thresholds stream; only the scale-killers recurse.
+
+    Under ``allow_partial_recall`` (bands <= max_hamming) the same
+    under-provisioning applies to the sub-bands: a degenerate bucket's
+    pair with more than bands-1 differing complement bits can miss
+    every sub-chunk where the streamed join would still have found it
+    — partial recall is partial one level deeper.  The exact-recall
+    configuration (the default) is unaffected."""
     bands = resolve_bands(max_hamming, bands, allow_partial_recall)
     carrier = fp_df.select(
         F.struct(F.col("id"), F.col("fp")).alias("id"), F.col("fp")
