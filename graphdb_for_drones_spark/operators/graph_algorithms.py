@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -564,12 +565,87 @@ def temporal_reach(
     return best.filter(F.col("id") != anchor)
 
 
+def _cooccurrence_dense(
+    e: DataFrame, k: int, items: list, item_type
+) -> DataFrame:
+    """Dense-dimension co-occurrence: per partition, accumulate the full
+    item x item count matrix with numpy and merge the (dimension-
+    bounded) partials on the driver — the centroid-collect pattern.
+
+    Replaces the sum-of-C(d,2) pair STREAM (12.5M rows through partial
+    aggregation at sf0.1) with one n² integer matrix per partition:
+    each group adds 1 to M[ix(a, a)], so the diagonal is the item
+    degree and the upper triangle the shared-group counts — every
+    number the similarity needs from ONE pass over the edges, no pair
+    shuffle at all.  Exact integers + one IEEE division, bit-identical
+    to the posting-path plan (the entry's oracle pins it).
+
+    Memory contract: n_items <= dense threshold (2048) bounds each
+    partial at n² x 8 B = 33 MB and the driver merge at ~8 partials —
+    why the edge list repartitions to at most 8 groups-complete
+    partitions here (group rows must be co-located for the in-group
+    outer product; arrow chunks within a partition are re-grouped in
+    the accumulator dict)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    n = len(items)
+    idx = {v: j for j, v in enumerate(items)}
+    nparts = max(1, min(spark.sparkContext.defaultParallelism, 8))
+    rep = e.repartition(nparts, "__g")
+
+    def accumulate(batches):
+        groups: dict = {}
+        for pdf in batches:
+            for g, i in zip(pdf["__g"].values, pdf["__i"].values):
+                groups.setdefault(g, []).append(idx[i])
+        M = np.zeros((n, n), dtype=np.int64)
+        for arr in groups.values():
+            a = np.asarray(arr, dtype=np.int64)
+            M[np.ix_(a, a)] += 1
+        yield pd.DataFrame({"payload": [M.tobytes()]})
+
+    parts = rep.mapInPandas(accumulate, "payload binary").collect()
+    M = np.zeros((n, n), dtype=np.int64)
+    for r in parts:
+        M += np.frombuffer(r.payload, np.int64).reshape(n, n)
+    deg = np.diag(M)
+    ia, ib = np.triu_indices(n, 1)
+    c = M[ia, ib]
+    nz = c > 0
+    ia, ib, c = ia[nz], ib[nz], c[nz]
+    top = np.lexsort((ib, ia, -c))[:k]
+    rows = [
+        (
+            items[int(a)],
+            items[int(b)],
+            int(cnt),
+            float(cnt) / float(deg[a] + deg[b] - cnt),
+        )
+        for a, b, cnt in zip(ia[top], ib[top], c[top])
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("id_a", item_type),
+            T.StructField("id_b", item_type),
+            T.StructField("n_common", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy(
+        F.desc("n_common"), F.asc("id_a"), F.asc("id_b")
+    )
+
+
 def cooccurrence_similarity(
     edges: DataFrame,
     group_col: str,
     item_col: str,
     k: int = 20,
     broadcast_degrees: bool = True,
+    dense_items_threshold: int = 2048,
+    n_items_hint: int | None = None,
 ) -> DataFrame:
     """Item-item similarity by group co-occurrence — the bipartite
     node-similarity primitive (co-purchase / co-citation analysis):
@@ -588,20 +664,38 @@ def cooccurrence_similarity(
 
     At 100 TB the posting-list exchange is the one shuffle that grows
     with data; hot groups (a customer buying from every supplier)
-    stream rather than materialize, the `posting_pairs` contract."""
+    stream rather than materialize, the `posting_pairs` contract.
+
+    ADAPTIVE dense branch: when the caller asserts a small item
+    dimension (``n_items_hint`` <= ``dense_items_threshold``, e.g. the
+    supplier table's row count), the whole similarity reduces to one
+    per-partition n² count matrix and a driver merge
+    (``_cooccurrence_dense``) — no pair stream exists at all (measured
+    5.2 → 1.5 s on the trade entry, where the posting path counts
+    12.5M pairs).  The hint is verified (a lying hint falls back), the
+    posting path stays the default and the unbounded-cardinality
+    strategy."""
     from graphdb_for_drones_spark.operators.dedup import posting_pairs
 
     e = edges.select(
         F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
     )
+    if n_items_hint is not None and n_items_hint <= dense_items_threshold:
+        e = e.localCheckpoint()  # probe + matrix pass read it once each
+        items = sorted(r[0] for r in e.select("__i").distinct().collect())
+        if len(items) <= dense_items_threshold:
+            return _cooccurrence_dense(
+                e, k, items, e.schema["__i"].dataType
+            )
     # ONE pass over the (possibly expensive) edge input: the unfiltered
     # posting table is pinned via localCheckpoint and BOTH consumers —
     # pair enumeration and item degrees — derive from it (a frame
     # referenced twice re-executes its upstream pipeline; the trade
     # entry's join+distinct source ran twice before, 6.7 → 6.0 s at
-    # sf0.1 — the remaining cost is the 12.5M-pair count itself, which
-    # is inherent: every one of the C(1000,2) supplier pairs shares a
-    # customer on this graph)
+    # sf0.1 — the remaining cost is the pair count itself, which on
+    # this path is inherent: every one of the C(1000,2) supplier pairs
+    # shares a customer on this graph.  The dense branch above removes
+    # it when the item dimension is asserted small.)
     posting_all = (
         e.groupBy("__g")
         .agg(F.sort_array(F.collect_list("__i")).alias("ids"))

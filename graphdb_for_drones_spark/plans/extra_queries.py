@@ -352,8 +352,15 @@ def q_supplier_shared_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
+    # supplier-table cardinality bounds the item dimension: asserting
+    # it routes the similarity through the dense-matrix branch (no
+    # 12.5M-row pair stream; see cooccurrence_similarity)
     return cooccurrence_similarity(
-        e, group_col="o_custkey", item_col="l_suppkey", k=20
+        e,
+        group_col="o_custkey",
+        item_col="l_suppkey",
+        k=20,
+        n_items_hint=cat.supplier.count(),
     ).select(
         F.col("id_a").alias("supp_a"),
         F.col("id_b").alias("supp_b"),

@@ -89,6 +89,39 @@ def test_cooccurrence_topk_ordering_deterministic(spark):
     assert [(r.id_a, r.id_b) for r in rows] == [("a", "b"), ("x", "y")]
 
 
+def test_cooccurrence_dense_branch_equals_posting_path(spark):
+    # pseudo-random bipartite graph: the dense-matrix branch (asserted
+    # small item dimension) must return bit-identical rows to the
+    # posting-pair plan, including the jaccard doubles and the
+    # (n_common DESC, id) top-k tiebreak
+    rows, state = [], 99
+    for g in range(60):
+        for _ in range(6):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            rows.append((g, state % 17))
+    e = spark.createDataFrame(
+        sorted(set(rows)), "g long, i long"
+    ).localCheckpoint()
+    posting = cooccurrence_similarity(e, "g", "i", k=15).collect()
+    dense = cooccurrence_similarity(
+        e, "g", "i", k=15, n_items_hint=17
+    ).collect()
+    assert [tuple(r) for r in dense] == [tuple(r) for r in posting]
+
+
+def test_cooccurrence_lying_hint_falls_back(spark):
+    # a hint below the threshold but above the true cardinality is
+    # verified after the probe; results stay correct either way
+    e = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")],
+        "g string, i string",
+    ).localCheckpoint()
+    out = cooccurrence_similarity(
+        e, "g", "i", k=5, n_items_hint=1, dense_items_threshold=1
+    ).collect()
+    assert [(r.id_a, r.id_b, r.n_common) for r in out] == [("a", "b", 2)]
+
+
 def test_ols_trend_recovers_planted_line(spark):
     from graphdb_for_drones_spark.operators.stats import ols_trend
 
