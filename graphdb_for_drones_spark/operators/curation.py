@@ -310,7 +310,12 @@ def temperature_mixture(
         )
     per = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+        # an all-NULL-text domain sums to NULL, and one NULL poisons
+        # the whole folded denominator — every domain's weight would
+        # silently collapse to 0.0
+        F.coalesce(F.sum(token_count(F.col(text_col))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     )
     scaled = scalers[alpha](F.col("n_tokens").cast("double"))
     denom_row = per.agg(

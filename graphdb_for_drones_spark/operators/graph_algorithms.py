@@ -599,10 +599,18 @@ def _cooccurrence_dense(
         groups: dict = {}
         for pdf in batches:
             for g, i in zip(pdf["__g"].values, pdf["__i"].values):
-                groups.setdefault(g, []).append(idx[i])
+                # pandas surfaces a null group key as float('nan'), and
+                # every NaN object is a DISTINCT dict key — normalize
+                # to None so the null group aggregates like groupBy's
+                if isinstance(g, float) and g != g:
+                    g = None
+                groups.setdefault(g, set()).add(idx[i])
         M = np.zeros((n, n), dtype=np.int64)
-        for arr in groups.values():
-            a = np.asarray(arr, dtype=np.int64)
+        for grp in groups.values():
+            a = np.asarray(list(grp), dtype=np.int64)
+            # set-deduped: np.ix_ += is buffered (a repeated index
+            # would count once anyway), and the input contract is
+            # distinct (group, item) rows
             M[np.ix_(a, a)] += 1
         yield pd.DataFrame({"payload": [M.tobytes()]})
 
@@ -681,9 +689,18 @@ def cooccurrence_similarity(
         F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
     )
     if n_items_hint is not None and n_items_hint <= dense_items_threshold:
-        e = e.localCheckpoint()  # probe + matrix pass read it once each
-        items = sorted(r[0] for r in e.select("__i").distinct().collect())
-        if len(items) <= dense_items_threshold:
+        # match the posting path's null handling (collect_list drops
+        # null items) before anything is counted or collected
+        e = e.filter(F.col("__i").isNotNull()).localCheckpoint()
+        # BOUNDED probe before any driver collect: a hint lying about a
+        # 50M-item column must fall back without pulling the item set
+        # (or anything item-sized) onto the driver
+        distinct_items = e.select("__i").distinct()
+        if (
+            distinct_items.limit(dense_items_threshold + 1).count()
+            <= dense_items_threshold
+        ):
+            items = sorted(r[0] for r in distinct_items.collect())
             return _cooccurrence_dense(
                 e, k, items, e.schema["__i"].dataType
             )

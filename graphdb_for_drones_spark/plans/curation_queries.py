@@ -157,8 +157,9 @@ def q_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LANG_TEMPERATURE_MIXTURE = r"""
 WITH per AS (
   SELECT lang, COUNT(*) AS n_docs,
-         CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
-                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+         CAST(COALESCE(SUM(len(list_filter(
+             string_split_regex(trim(text), '\s+'), t -> t <> ''))), 0)
+           AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
 ),
 d AS (

@@ -27,8 +27,12 @@ tests/test_dedup_guard.py), because every pair is either within one
 micro-batch or crosses two — and the crossing pair is caught when its
 second member arrives.
 
-Same delivery contract as streaming/decontam: checkpointed source +
-``availableNow`` drains give effectively-once appends.
+Delivery contract: flags, signatures, and band keys all land in
+``batch_id=<n>`` partitions written with dynamic partition overwrite
+(the anomaly_gate pattern), so a micro-batch retried after a mid-batch
+crash REPLACES its own partitions instead of appending duplicates —
+effectively-once, not merely at-least-once with a clean-re-drain
+caveat.
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ from graphdb_for_drones_spark.operators.dedup import (
     minhash_signature_from_hashes,
     with_shingle_hashes,
 )
+from graphdb_for_drones_spark.streaming.util import read_parquet_or_none
 
 
 def _signed(
@@ -106,11 +111,16 @@ def _verified(cand: DataFrame, sets_a: DataFrame, sets_b: DataFrame,
     )
 
 
-def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:  # first batch: index not created yet
-        return None
+def _write_partitioned(df: DataFrame, batch_id: int, path: str) -> None:
+    """Idempotent under foreachBatch replay: the batch_id partition
+    replaces (not duplicates) a retried batch's output."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 def start_neardup_guard(
@@ -134,7 +144,7 @@ def start_neardup_guard(
     bands_dir = f"{index_dir}/bands"
     sigs_dir = f"{index_dir}/sigs"
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # batch-sized: pin it — referenced by self-pairs, the cross
         # join, and both index appends (localCheckpoint, not columnar
@@ -152,10 +162,21 @@ def start_neardup_guard(
             jaccard_threshold,
         )
 
-        hist_bands = _try_read(spark, bands_dir)
+        hist_bands = read_parquet_or_none(spark, bands_dir)
         flags = within
         if hist_bands is not None:
-            hist_sets = spark.read.parquet(sigs_dir).select("id", "sh")
+            # history = STRICTLY EARLIER batches only, so batch N's
+            # flags are a pure function of batches 0..N and any replay
+            # (crash retry or fresh-checkpoint reprocess) rewrites its
+            # partition with identical content
+            hist_bands = hist_bands.filter(
+                F.col("batch_id") < int(batch_id)
+            )
+            hist_sets = (
+                spark.read.parquet(sigs_dir)
+                .filter(F.col("batch_id") < int(batch_id))
+                .select("id", "sh")
+            )
             cross_cand = (
                 hist_bands.select(
                     "band", "band_hash", F.col("id").alias("id_a")
@@ -183,15 +204,16 @@ def start_neardup_guard(
                 ["id_a", "id_b"]
             )
 
-        flags.write.mode("append").parquet(out_dir)
-        # sigs BEFORE bands: a crash between the two appends then leaves
-        # extra signatures (harmless — candidates only ever come from
-        # the band index) rather than band rows whose verification
-        # signatures are missing, which would fail every later batch
-        signed.select("id", "sig", "sh").write.mode("append").parquet(
-            sigs_dir
+        _write_partitioned(flags, batch_id, out_dir)
+        # sigs BEFORE bands still: replay overwrites both, but if the
+        # process dies between the two writes the next run sees extra
+        # signatures (harmless — candidates only ever come from the
+        # band index) rather than band rows whose verification
+        # signatures are missing
+        _write_partitioned(
+            signed.select("id", "sig", "sh"), batch_id, sigs_dir
         )
-        bkeys.write.mode("append").parquet(bands_dir)
+        _write_partitioned(bkeys, batch_id, bands_dir)
 
     writer = stream_docs.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -29,8 +29,12 @@ corpus (pinned in tests/test_linkage_guard.py), because every pair is
 either within one micro-batch or crosses two — and the crossing pair
 is caught when its second member arrives.
 
-Same delivery contract as streaming/dedup_guard: checkpointed source +
-``availableNow`` drains give effectively-once appends.
+Delivery contract: flags AND index both land in ``batch_id=<n>``
+partitions written with dynamic partition overwrite (the anomaly_gate
+pattern), so a micro-batch retried after a crash REPLACES its own
+partitions instead of appending duplicates — effectively-once even
+across a mid-batch failure, not just on a clean ``availableNow``
+re-drain.
 """
 
 from __future__ import annotations
@@ -43,13 +47,7 @@ from graphdb_for_drones_spark.operators.linkage import (
     _pattern_rows,
     substitution_neighborhood_pairs,
 )
-
-
-def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:  # first batch: index not created yet
-        return None
+from graphdb_for_drones_spark.streaming.util import read_parquet_or_none
 
 
 def start_linkage_guard(
@@ -70,7 +68,18 @@ def start_linkage_guard(
     patterns_dir = f"{index_dir}/patterns"
     out_cols = ["id_a", "id_b", "key_a", "key_b", "hamming"]
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def write_partitioned(df: DataFrame, batch_id: int, path: str) -> None:
+        # the batch_id partition replaces (not duplicates) a retried
+        # batch's output — idempotent under foreachBatch replay
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # batch-sized: pin it — referenced by the within-batch sweep
         # is separate, but the pattern rows feed both the cross join
@@ -83,7 +92,15 @@ def start_linkage_guard(
             batch_df, id_col, key_col, max_subs
         ).select(*out_cols)
 
-        hist = _try_read(spark, patterns_dir)
+        hist = read_parquet_or_none(spark, patterns_dir)
+        if hist is not None:
+            # history = STRICTLY EARLIER batches only: batch N's flags
+            # are then a pure function of batches 0..N, so any replay —
+            # a crash retry of batch N, or a full fresh-checkpoint
+            # reprocess over the already-populated index — rewrites
+            # partition N with identical content instead of picking up
+            # cross-matches that belong to later batches' partitions
+            hist = hist.filter(F.col("batch_id") < int(batch_id))
         flags = within
         if hist is not None:
             cand = hist.select(
@@ -124,13 +141,17 @@ def start_linkage_guard(
                 ["id_a", "id_b"]
             )
 
-        flags.write.mode("append").parquet(out_dir)
-        bpat.select(
-            "pos_key",
-            "pat",
-            F.col("r_id").alias("id"),
-            F.col("r_key").alias("key"),
-        ).write.mode("append").parquet(patterns_dir)
+        write_partitioned(flags, batch_id, out_dir)
+        write_partitioned(
+            bpat.select(
+                "pos_key",
+                "pat",
+                F.col("r_id").alias("id"),
+                F.col("r_key").alias("key"),
+            ),
+            batch_id,
+            patterns_dir,
+        )
 
     writer = stream_records.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

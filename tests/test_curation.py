@@ -143,6 +143,18 @@ def test_temperature_mixture_rejects_inexact_alpha(spark):
         curation.temperature_mixture(df, alpha=0.3)
 
 
+def test_temperature_mixture_null_text_domain(spark):
+    # one domain whose texts are all NULL must not poison the folded
+    # denominator (NULL SUM -> NULL fold -> every weight 0.0)
+    df = _docs(spark, [(1, None, "xx", "s"), (2, "a b c d", "en", "s")])
+    out = {
+        r.lang: r
+        for r in curation.temperature_mixture(df, domain_col="lang").collect()
+    }
+    assert out["xx"].n_tokens == 0 and out["xx"].weight == 0.0
+    assert out["en"].weight == pytest.approx(1.0)
+
+
 def test_temperature_mixture_all_empty_corpus(spark):
     # denominator 0: weights are 0.0, not a divide-by-zero job failure
     df = _docs(spark, [(1, "", "en", "s"), (2, "", "de", "s")])

@@ -85,6 +85,43 @@ def test_stream_guard_matches_batch_sweep(spark, tmp_path):
     assert not any(6 in p for p in got)
 
 
+def test_replayed_batches_overwrite_not_duplicate(spark, tmp_path):
+    # a FRESH checkpoint replays every micro-batch under the same
+    # batch ids (maxFilesPerTrigger=1 makes the batching
+    # deterministic): the batch_id dynamic-overwrite layout must
+    # replace the earlier run's partitions, not append beside them —
+    # the crash-mid-batch retry contract
+    sdir = _write_batches(tmp_path)
+    for run in range(2):
+        stream = (
+            spark.readStream.schema(REC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(sdir))
+        )
+        q = start_linkage_guard(
+            stream,
+            index_dir=str(tmp_path / "index"),
+            out_dir=str(tmp_path / "flags"),
+            checkpoint_dir=str(tmp_path / f"ckpt{run}"),  # fresh: replay
+            max_subs=1,
+        )
+        q.awaitTermination(180)
+    flags = read_linkage_flags(spark, str(tmp_path / "flags")).collect()
+    pairs = [(r.id_a, r.id_b) for r in flags]
+    assert len(pairs) == len(set(pairs)), "replay duplicated flags"
+    # and the index holds each record's patterns exactly once
+    pat = spark.read.parquet(str(tmp_path / "index" / "patterns"))
+    per_id = {
+        r.id: r.n for r in pat.groupBy("id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert all(
+        n == 5 for rid, n in per_id.items() if rid != 6
+    ), per_id  # 5-char keys
+    assert per_id.get(6) == 3  # the 3-char key
+
+
 def test_second_drain_appends_nothing_new(spark, tmp_path):
     sdir = _write_batches(tmp_path)
     for _ in range(2):
