@@ -42,6 +42,17 @@ def norm2(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+# Measured dead end, recorded so it isn't retried: unrolling the dot
+# product into a dim-term F.get arithmetic chain (to escape the
+# interpreted zip_with+aggregate fold) ran ~6x SLOWER at dim=64 — the
+# 256-node expression tree exceeds codegen's method limits and falls
+# back to per-node interpreted evaluation with boxed array accesses,
+# worse than the fold's single interpreted loop.  A numpy pandas-UDF
+# verify is faster still but sums in SIMD/pairwise order — not
+# bit-identical to the fold, so it would break every oracle-checked
+# cosine.  The fold IS the right exactness/speed trade here.
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
@@ -209,44 +220,77 @@ def ann_near_pairs(
     planes inlined as SQL literals.  Identical vectors share every
     bucket, so exact-duplicate recall is 1.0 by construction; near-dup
     recall follows the standard banded-LSH S-curve — raise ``n_planes``
-    /band count at scale to move the knee."""
-    from graphdb_for_drones_spark.operators.dedup import _bucket_pairs
+    /band count at scale to move the knee.
 
-    idx = ann_index(embeddings, dim, n_planes, bands, id_col, vec_col, seed)
-    keyed = idx.select(F.col(id_col).alias("id"), "band", "bucket")
-    cand = _bucket_pairs(keyed, ["band", "bucket"])
-    # norm hoisted per ROW before the pair join: cosine() folds both
-    # norms once per PAIR (candidate count is ~quadratic in bucket
-    # width, so that's 3× the fold work exactly where it hurts); the
-    # per-row sqrt(Σx²) is the same sequential fold, so pair scores are
-    # bit-identical — the cosine_pairs_blocked discipline
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col),
-        norm2(F.col(vec_col)).alias("__n"),
+    Plan shape: (id, sig, norm, vector) rides INSIDE the posting-list
+    element (the simhash carrier trick), so verification needs no join
+    back onto the embeddings and cross-band duplicates fall to a
+    minimum-agreeing-band filter computed from the two signatures —
+    replacing the dropDuplicates exchange of the (near-quadratic)
+    candidate stream AND two joins with map-side expressions.  The
+    band explosion duplicates each vector ``bands`` times in one
+    linear exchange — the LSH trade everywhere in this module.  The
+    cheap integer band-ownership filter runs BEFORE the 64-term dot
+    product, so the fold only evaluates on owned pairs.  Norms are
+    hoisted per ROW (sqrt(Σx²) folded once per vector, not per pair) —
+    pair scores stay bit-identical to the join formulation."""
+    from graphdb_for_drones_spark.operators.dedup import posting_pairs
+
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    carrier = embeddings.select(
+        F.struct(
+            F.col(id_col).alias("id"),
+            lsh_signature(vec_col, planes).alias("sig"),
+            norm2(F.col(vec_col)).alias("n"),
+            F.col(vec_col).alias("v"),
+        ).alias("id")
     )
-    pairs = cand.join(
-        vecs.select(
-            F.col("id").alias("id_a"),
-            F.col(vec_col).alias("__va"),
-            F.col("__n").alias("__na"),
-        ),
-        "id_a",
-    ).join(
-        vecs.select(
-            F.col("id").alias("id_b"),
-            F.col(vec_col).alias("__vb"),
-            F.col("__n").alias("__nb"),
-        ),
-        "id_b",
+    keyed = carrier.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("id.sig"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    buckets = (
+        keyed.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    cand = posting_pairs(buckets, ["band", "bucket"], keep_keys=True)
+    sa, sb = F.col("id_a.sig"), F.col("id_b.sig")
+    own = None
+    for b in range(bands):
+        agree = (
+            F.shiftrightunsigned(sa, b * width).bitwiseAND(F.lit(mask))
+            == F.shiftrightunsigned(sb, b * width).bitwiseAND(F.lit(mask))
+        )
+        own = F.when(agree, F.lit(b)) if own is None else own.when(agree, F.lit(b))
     score = F.round(
-        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+        dot(F.col("id_a.v"), F.col("id_b.v"))
+        / (F.col("id_a.n") * F.col("id_b.n")),
+        6,
     )
     return (
-        pairs.withColumn("cosine", score)
+        cand.filter(F.col("band") == own.otherwise(F.lit(-1)))
+        .withColumn("cosine", score)
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select(
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_b.id").alias("id_b"),
+            "cosine",
+        )
     )
 
 
