@@ -764,6 +764,7 @@ def weighted_sssp(
     edges: DataFrame,
     source: str,
     rounds: int = 4,
+    broadcast_best: bool = True,
 ) -> DataFrame:
     """Single-source shortest paths with nonnegative integer weights by
     bounded Bellman-Ford relaxation: ``rounds`` supersteps of
@@ -793,9 +794,19 @@ def weighted_sssp(
     best = spark.createDataFrame(
         [(source, 0)], "id string, cost long"
     ).localCheckpoint()
+    # the best-so-far table is node-dimension-sized while e is the edge
+    # table: broadcasting best makes each superstep's relaxation a
+    # map-side join over the PINNED edges (no per-round edge shuffle;
+    # the checkpointed frame's stats don't reliably trigger AQE's
+    # broadcast on their own).  Pass broadcast_best=False on graphs
+    # whose reached-node set itself outgrows the driver (billions of
+    # nodes) — the same opt-out contract as cooccurrence's degrees.
+    def maybe_bcast(d):
+        return F.broadcast(d) if broadcast_best else d
+
     for _ in range(rounds):
         relaxed = (
-            e.join(best, e["src"] == best["id"])
+            e.join(maybe_bcast(best), e["src"] == best["id"])
             .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
         )
         best = (
