@@ -178,3 +178,48 @@ def test_bpe_train_matches_python_reference_on_random_corpora(spark, texts):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = bpe_train_list(df, n_merges=4)
     assert got == py_train(all_words, 4)
+
+
+key_strategy = st.lists(
+    st.text(alphabet="ab\x00", min_size=0, max_size=4),
+    min_size=0,
+    max_size=24,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=key_strategy, k=st.sampled_from([1, 2]))
+def test_substitution_pairs_match_bruteforce(spark, keys, k):
+    # tiny alphabet INCLUDING the sentinel char, lengths 0-4 (covering
+    # the L <= max_subs corners), duplicates allowed: the wildcard
+    # neighborhood must equal the quadratic hamming scan exactly
+    from graphdb_for_drones_spark.operators.linkage import (
+        substitution_neighborhood_pairs,
+    )
+
+    rows = [(i, key) for i, key in enumerate(keys)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "rid long, key string").localCheckpoint()
+    out = substitution_neighborhood_pairs(df, "rid", "key", max_subs=k).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs))
+    got = {
+        (r.id_a, r.id_b): (r.hamming, tuple(r.diff_pos)) for r in out
+    }
+    want = {}
+    for ia, ka in rows:
+        for ib, kb in rows:
+            if ia >= ib or not ka or not kb or len(ka) != len(kb):
+                continue
+            diff = tuple(
+                p + 1 for p, (x, y) in enumerate(zip(ka, kb)) if x != y
+            )
+            if len(diff) <= k:
+                want[(ia, ib)] = (len(diff), diff)
+    assert got == want
