@@ -139,6 +139,33 @@ def range_join(
     )
 
 
+def islands(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    out_col: str = "island_id",
+) -> DataFrame:
+    """Gaps-and-islands by VALUE CHANGE — the SCD2 / interval-collapse
+    primitive: consecutive rows (per key, in (order, tiebreak) total
+    order) carrying the same value share an island id; a value
+    transition — or the key's first row — starts a new one.
+    ``sessionize``'s sibling: sessions break on TIME GAPS, islands
+    break on value transitions.  Null-safe (consecutive NULL values
+    share an island).  Returns the input plus ``out_col`` (1-based per
+    key).  One exchange on the key; the running sum rides a unique
+    total order, so the default RANGE frame equals ROWS."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col), F.col(order_tiebreak)
+    )
+    change = (
+        (F.row_number().over(w) == 1)
+        | ~F.lag(F.col(value_col)).over(w).eqNullSafe(F.col(value_col))
+    ).cast("int")
+    return df.withColumn(out_col, F.sum(change).over(w))
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

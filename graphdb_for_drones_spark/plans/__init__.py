@@ -88,6 +88,7 @@ _GATE_FIRST = [
     "customer_fuzzy_pairs",
     "customer_supplier_fuzzy_matches",
     "lang_temperature_mixture",
+    "user_activity_islands",
     # Declared rows-only twins/surfaces, never driver-recorded (driver
     # does the weaker rows-only check for these by design):
     "minhash_pairs",
@@ -103,7 +104,6 @@ _GATE_FIRST = [
     "abac_check",
     "path_count_diamond",
     "top_customers",
-    "pricing_summary",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

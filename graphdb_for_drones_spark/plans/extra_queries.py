@@ -2719,6 +2719,65 @@ def q_customer_supplier_fuzzy_matches(
     )
 
 
+def q_user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval collapse (operators/temporal.islands —
+    the SCD2 validity-interval primitive): per user, consecutive
+    same-type event runs become islands; rolled up per event type as
+    (n_islands, n_events, longest_island, earliest_start_ms).  The
+    VALUE-change twin of `user_sessions`' time-gap windows — all exact
+    integers over a (ts, event_id) total order."""
+    from graphdb_for_drones_spark.operators.temporal import islands
+
+    cat = Catalog(spark, sf_dir)
+    isl = islands(cat.events)
+    per = isl.groupBy("user_id", "island_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.unix_millis("ts")).alias("start_ms"),
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").cast("long").alias("longest_island"),
+            F.min("start_ms").alias("earliest_start_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_USER_ACTIVITY_ISLANDS = """
+WITH o AS (
+  SELECT user_id, event_type, event_id, ts,
+         LAG(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM o
+),
+i AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+),
+g AS (
+  SELECT user_id, island, event_type, COUNT(*) AS n,
+         MIN(epoch_ms(ts)) AS start_ms
+  FROM i GROUP BY 1, 2, 3
+)
+SELECT event_type, COUNT(*) AS n_islands,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS longest_island,
+       MIN(start_ms) AS earliest_start_ms
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_CUSTOMER_SUPPLIER_FUZZY_MATCHES = """
 WITH ck AS (
   SELECT c_custkey AS id, substr(c_name, 10, 9) AS key FROM customer
@@ -2824,6 +2883,7 @@ EXTRA_QUERIES = {
     "event_props_extract": q_event_props_extract,
     "customer_fuzzy_pairs": q_customer_fuzzy_pairs,
     "customer_supplier_fuzzy_matches": q_customer_supplier_fuzzy_matches,
+    "user_activity_islands": q_user_activity_islands,
 }
 
 EXTRA_ORACLES = {
@@ -2879,6 +2939,7 @@ EXTRA_ORACLES = {
     "event_props_extract": ORACLE_EVENT_PROPS_EXTRACT,
     "customer_fuzzy_pairs": ORACLE_CUSTOMER_FUZZY_PAIRS,
     "customer_supplier_fuzzy_matches": ORACLE_CUSTOMER_SUPPLIER_FUZZY_MATCHES,
+    "user_activity_islands": ORACLE_USER_ACTIVITY_ISLANDS,
     # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
     # is approximate and its xxhash64 register family is engine-internal;
     # tests/test_sketches.py pins the 5% accuracy envelope vs exact

@@ -278,3 +278,30 @@ def test_mad_outliers_immune_to_spike_inflation(spark, tmp_path):
     # ...while MAD (median-based) flags exactly the 10 spikes
     assert robust.n_outliers == 10
     assert robust.median_value == 10.5
+
+
+def test_islands_value_change_collapse(spark):
+    import datetime as dt
+
+    from graphdb_for_drones_spark.operators.temporal import islands
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user u1: A A B A  -> islands 1 1 2 3
+        (1, "u1", base, "A"),
+        (2, "u1", base + dt.timedelta(minutes=1), "A"),
+        (3, "u1", base + dt.timedelta(minutes=2), "B"),
+        (4, "u1", base + dt.timedelta(minutes=3), "A"),
+        # user u2: NULL NULL A -> null-safe: 1 1 2
+        (5, "u2", base, None),
+        (6, "u2", base + dt.timedelta(minutes=1), None),
+        (7, "u2", base + dt.timedelta(minutes=2), "A"),
+        # ts tie broken by event_id: 8 before 9 -> A A = one island
+        (8, "u3", base, "A"),
+        (9, "u3", base, "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    ).localCheckpoint()
+    got = {r.event_id: r.island_id for r in islands(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 1, 6: 1, 7: 2, 8: 1, 9: 1}
