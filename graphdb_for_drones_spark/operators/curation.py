@@ -193,7 +193,10 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         # integer division (not `/`-then-cast: stays exact for any id)
         _shard_col(df, id_col, shard_size, num_shards).alias("shard"),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        # a NULL text packs as a 0-token document: unguarded, the NULL
+        # poisons the window cumsum (silent NULL pack_ids) or crashes
+        # the FFD int() conversion on the pandas NaN
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n_tokens"),
     )
     w = (
         Window.partitionBy(*group_cols, "shard")
@@ -246,7 +249,11 @@ def mixture_weights(
     """
     per = df.groupBy(domain_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        # an all-NULL-text domain must contribute 0 tokens, not a NULL
+        # that poisons the window total and zeroes every weight
+        F.coalesce(F.sum(token_count(F.col(text_col))), F.lit(0)).alias(
+            "n_tokens"
+        ),
     )
     w = Window.partitionBy()
     total = F.sum("n_tokens").over(w)
@@ -413,7 +420,10 @@ def pack_sequences_greedy(
         *group_cols,
         F.col(id_col).alias("doc_id"),
         _shard_col(df, id_col, shard_size, num_shards).alias("shard"),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        # a NULL text packs as a 0-token document: unguarded, the NULL
+        # poisons the window cumsum (silent NULL pack_ids) or crashes
+        # the FFD int() conversion on the pandas NaN
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n_tokens"),
     )
     key_cols = [*group_cols, "shard"]
     dtypes = dict(toks.dtypes)
@@ -1066,13 +1076,17 @@ def equal_frequency_bins(
     catalog entry defines bins this way instead of engine NTILE (whose
     long-bucket placement differs from the floor formula when k ∤ N).
 
-    Returns one row per row of ``df``: (id, value, bin int).
+    Returns one row per NON-NULL-valued row of ``df``: (id, value,
+    bin int).  Null scores are EXCLUDED, not ranked — a null difficulty
+    is unknowable rather than easiest/hardest, and engines disagree on
+    null placement in ORDER BY (Spark NULLS FIRST vs DuckDB NULLS
+    LAST), so ranking them would make the bins engine-dependent.
     """
     from itertools import chain as _ichain
 
     vals = df.select(
         F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
-    )
+    ).filter(F.col("__v").isNotNull())
     counts = {
         r["__v"]: r["n"]
         for r in vals.groupBy("__v").agg(F.count(F.lit(1)).alias("n")).collect()

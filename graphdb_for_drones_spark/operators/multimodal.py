@@ -124,7 +124,7 @@ def extract_image_features(
                 rows, columns=["media_id", "width", "height", "n_bytes", "phash"]
             )
 
-    balanced = media.filter(F.col("kind") == "image").repartition(
+    balanced = media.filter((F.col("kind") == "image") & F.col("content").isNotNull()).repartition(
         F.col("media_id")
     )
     return balanced.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
@@ -250,7 +250,7 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter((F.col("kind") == "video") & F.col("content").isNotNull())
         .repartition(F.col("media_id"))
         .mapInPandas(batches, out_schema)
     )
@@ -358,7 +358,7 @@ def resize_images(
             )
 
     return (
-        media.filter(F.col("kind") == "image")
+        media.filter((F.col("kind") == "image") & F.col("content").isNotNull())
         .repartition(F.col("media_id"))
         .mapInPandas(batches, RESIZED_SCHEMA)
     )
@@ -426,7 +426,7 @@ def extract_audio_features(
             )
 
     return (
-        media.filter(F.col("kind") == "audio")
+        media.filter((F.col("kind") == "audio") & F.col("content").isNotNull())
         .repartition(F.col("media_id"))
         .mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
     )

@@ -101,7 +101,7 @@ def q_doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOC_PACK_STATS = rf"""
 WITH t AS (
   SELECT lang, doc_id, doc_id // 1000 AS shard,
-         len(list_filter({_WORDS}, x -> x <> '')) AS n_tokens
+         COALESCE(len(list_filter({_WORDS}, x -> x <> '')), 0) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -126,7 +126,8 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MIXTURE_WEIGHTS = rf"""
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
-         CAST(SUM(len(list_filter({_WORDS}, x -> x <> ''))) AS BIGINT) AS n_tokens
+         CAST(COALESCE(SUM(len(list_filter({_WORDS}, x -> x <> ''))), 0)
+           AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
@@ -868,10 +869,12 @@ WITH t AS (
   FROM documents
 ),
 r AS (
+  -- null scores are excluded, mirroring equal_frequency_bins (engines
+  -- disagree on ORDER BY null placement)
   SELECT doc_id, n_tokens,
          ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS rnk,
          COUNT(*) OVER () AS n
-  FROM t
+  FROM t WHERE n_tokens IS NOT NULL
 )
 SELECT CAST((rnk * 10) // n AS INTEGER) AS decile,
        COUNT(*) AS n_docs,

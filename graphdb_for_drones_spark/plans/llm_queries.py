@@ -483,7 +483,10 @@ def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MEDIA_FEATURE_STATS = """
 WITH m AS (
-  SELECT doc_id, 16 * ((n_chars % 7) + 1) AS nb FROM documents
+  -- text IS NOT NULL mirrors the extractor's null-payload guard (a
+  -- NULL text synthesizes a NULL blob, which never reaches the decoder)
+  SELECT doc_id, 16 * ((n_chars % 7) + 1) AS nb
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT CAST(64 + (nb % 512) AS INTEGER) AS width,
        CAST(64 + ((nb // 7) % 512) AS INTEGER) AS height,

@@ -65,7 +65,11 @@ def tiny_sf(spark, tmp_path_factory):
     w("documents",
       [(0, "", "en", "src0", 0),
        (1, "word", "en", "src1", 4),
-       (2, "the a of and in to is common words here now ok", "en", "src1", 46)],
+       (2, "the a of and in to is common words here now ok", "en", "src1", 46),
+       # NULL text (and NULL lang): real data lakes contain them, and
+       # an unguarded tokenize/ratio/SUM over a NULL-text document (or
+       # an all-NULL domain) is a latent 100 TB job failure
+       (3, None, None, "src2", 0)],
       "doc_id long, text string, lang string, source string, n_chars long")
     w("embeddings",
       [(i, [float(j) / (64.0 + i) for j in range(1, 65)], i % 2)
