@@ -522,6 +522,10 @@ def kmeans_centroids(
     Scale shape: per round one broadcast of k·dim doubles into the
     assignment scan + one (cluster, dim) groupBy; only k·dim rows ever
     reach the driver.  Returns ``[(centroid_id, [float64]*dim)]``."""
+    # NULL vectors (failed embedding jobs) cannot live in the space:
+    # excluded before sampling and assignment — the convention every
+    # vector-index builder here shares
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     rk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     init = (
         embeddings.select(F.col(id_col), F.col(vec_col), rk.alias("rk"))
@@ -584,7 +588,10 @@ def ivf_index(
             s += float(x) * float(x)
         return s**0.5
 
-    withn = embeddings.withColumn("__n", norm2(F.col(vec_col)))
+    # NULL vectors excluded — see kmeans_centroids
+    withn = embeddings.filter(F.col(vec_col).isNotNull()).withColumn(
+        "__n", norm2(F.col(vec_col))
+    )
     best = F.array_max(
         F.array(
             *[
@@ -885,6 +892,8 @@ def pq_codebooks(
 
     Returns ``codebooks[j][c] = [float64]*dsub`` (dsub = dim/m), with
     codeword order = ascending digest — the argmin tiebreak order."""
+    # NULL vectors excluded — see kmeans_centroids
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     rk = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     init = (
         embeddings.select(F.col(id_col), F.col(vec_col), rk.alias("rk"))
@@ -956,7 +965,8 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     ksub = len(codebooks[0])
-    staged = df.select(
+    # NULL vectors excluded — see kmeans_centroids
+    staged = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         *[
             F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(f"__s{j}")

@@ -57,7 +57,11 @@ def tiny_sf(spark, tmp_path_factory):
     w("events",
       [(1, dt.datetime(2024, 1, 1, 0, 0, 1), 1, "signup", 1.0, '{"a":1}'),
        (2, dt.datetime(2024, 1, 1, 0, 0, 2), 1, "click", 2.0, "{}"),
-       (3, dt.datetime(2024, 1, 1, 1, 0, 0), 2, "error", 3.0, '{"b":"x"}')],
+       (3, dt.datetime(2024, 1, 1, 1, 0, 0), 2, "error", 3.0, '{"b":"x"}'),
+       # NULL type/value/props: malformed telemetry rows exist in every
+       # real event stream; unguarded aggregates/windows over them are
+       # latent job failures or silent NULL propagation
+       (4, dt.datetime(2024, 1, 1, 2, 0, 0), 2, None, None, None)],
       "event_id long, ts timestamp, user_id long, event_type string,"
       " value double, props string")
     # the adversarial rows: an EMPTY doc (zero tokens/chars, in the eval
@@ -73,7 +77,9 @@ def tiny_sf(spark, tmp_path_factory):
       "doc_id long, text string, lang string, source string, n_chars long")
     w("embeddings",
       [(i, [float(j) / (64.0 + i) for j in range(1, 65)], i % 2)
-       for i in range(3)],
+       for i in range(3)]
+      # NULL vector and NULL label: failed embedding jobs leave both
+      + [(3, None, 0), (4, [float(j) / 70.0 for j in range(1, 65)], None)],
       "vec_id long, embedding array<float>, label long")
     return tmp
 
