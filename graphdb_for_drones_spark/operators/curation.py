@@ -325,9 +325,24 @@ def temperature_mixture(
         .alias("n_tokens"),
     )
     scaled = scalers[alpha](F.col("n_tokens").cast("double"))
+    # fold order pins double-addition order CROSS-ENGINE, including a
+    # NULL domain: sort_array on a bare struct(domain, ...) would put a
+    # NULL domain FIRST while SQL's ORDER BY domain defaults to NULLS
+    # LAST (the DuckDB oracle's list(... ORDER BY lang)) — a NULL
+    # domain carrying nonzero tokens would then fold in a different
+    # position and break bit-identity.  Leading with an is-null flag
+    # (false < true) makes the engine order NULLS LAST explicitly.
     denom_row = per.agg(
         F.aggregate(
-            F.sort_array(F.collect_list(F.struct(domain_col, "n_tokens"))),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(domain_col).isNull().alias("__dn"),
+                        F.col(domain_col).alias("__d"),
+                        F.col("n_tokens"),
+                    )
+                )
+            ),
             F.lit(0.0),
             lambda acc, x: acc + scalers[alpha](x["n_tokens"].cast("double")),
         ).alias("__denom")

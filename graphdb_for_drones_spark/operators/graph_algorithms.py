@@ -593,15 +593,22 @@ def _cooccurrence_dense(
     n = len(items)
     idx = {v: j for j, v in enumerate(items)}
     nparts = max(1, min(spark.sparkContext.defaultParallelism, 8))
-    rep = e.repartition(nparts, "__g")
+    # group keys travel as STRINGS through Arrow: an integral column
+    # with even one null turns into float64 in pandas, and int64 keys
+    # above 2^53 (xxhash64-derived group ids) would silently collide
+    # after the lossy conversion, merging distinct groups.  The cast is
+    # injective per source type, so grouping semantics are unchanged.
+    rep = e.withColumn("__g", F.col("__g").cast("string")).repartition(
+        nparts, "__g"
+    )
 
     def accumulate(batches):
         groups: dict = {}
         for pdf in batches:
             for g, i in zip(pdf["__g"].values, pdf["__i"].values):
-                # pandas surfaces a null group key as float('nan'), and
-                # every NaN object is a DISTINCT dict key — normalize
-                # to None so the null group aggregates like groupBy's
+                # a null group key arrives as None (object dtype after
+                # the string cast); keep the NaN normalization as a
+                # belt-and-braces guard for exotic Arrow conversions
                 if isinstance(g, float) and g != g:
                     g = None
                 groups.setdefault(g, set()).add(idx[i])
@@ -764,7 +771,8 @@ def weighted_sssp(
     edges: DataFrame,
     source: str,
     rounds: int = 4,
-    broadcast_best: bool = True,
+    broadcast_best: bool | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Single-source shortest paths with nonnegative integer weights by
     bounded Bellman-Ford relaxation: ``rounds`` supersteps of
@@ -798,15 +806,28 @@ def weighted_sssp(
     # table: broadcasting best makes each superstep's relaxation a
     # map-side join over the PINNED edges (no per-round edge shuffle;
     # the checkpointed frame's stats don't reliably trigger AQE's
-    # broadcast on their own).  Pass broadcast_best=False on graphs
-    # whose reached-node set itself outgrows the driver (billions of
-    # nodes) — the same opt-out contract as cooccurrence's degrees.
-    def maybe_bcast(d):
-        return F.broadcast(d) if broadcast_best else d
+    # broadcast on their own).  But best GROWS with the reached-node
+    # set, so an unconditional hint trades the shuffle for a
+    # driver/executor OOM on large graphs.  Default (None) is a
+    # per-round BOUNDED probe on the just-checkpointed table — a
+    # limit-count over materialized partitions, the dense-cooccurrence
+    # gating pattern — that falls back to the shuffle join the first
+    # round the frontier outgrows ``broadcast_threshold``.  Explicit
+    # True/False skips the probe (the cataloged trade queries pass
+    # True: nation-dimension graphs, probe would cost more than it
+    # saves).
+    def maybe_bcast(d, small):
+        return F.broadcast(d) if small else d
 
+    small = True if broadcast_best else bool(broadcast_best)
     for _ in range(rounds):
+        if broadcast_best is None:
+            small = (
+                best.limit(broadcast_threshold + 1).count()
+                <= broadcast_threshold
+            )
         relaxed = (
-            e.join(maybe_bcast(best), e["src"] == best["id"])
+            e.join(maybe_bcast(best, small), e["src"] == best["id"])
             .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
         )
         best = (

@@ -166,7 +166,8 @@ WITH per AS (
 d AS (
   SELECT list_reduce(
            list_prepend(CAST(0.0 AS DOUBLE),
-                        list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+                        list(sqrt(CAST(n_tokens AS DOUBLE))
+                             ORDER BY lang NULLS LAST)),
            (a, b) -> a + b) AS denom
   FROM per
 )

@@ -828,7 +828,7 @@ def q_trade_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    best = weighted_sssp(edges, "c1", rounds=4)
+    best = weighted_sssp(edges, "c1", rounds=4, broadcast_best=True)
     return best.filter(F.col("id") != "c1")
 
 

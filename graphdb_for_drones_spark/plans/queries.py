@@ -642,11 +642,38 @@ FROM events GROUP BY 1, 2
 """
 
 
-def q_flat_chain_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def recursive_cte_supported(spark: SparkSession) -> bool:
+    """True when this Spark build parses+plans ``WITH RECURSIVE``
+    (Spark >= 4.0, SPARK-24497: the UnionLoop physical operator).
+    Probed once per session with a one-row recursion; the traversal
+    family's literal-SQL surface falls back to the iterative kernel on
+    builds where this is False — SURVEY §4's stated adoption plan."""
+    cache = getattr(spark, "_graft_recursive_cte", None)
+    if cache is None:
+        try:
+            spark.sql(
+                "WITH RECURSIVE __p(n) AS (SELECT 1 UNION ALL"
+                " SELECT n + 1 FROM __p WHERE n < 2)"
+                " SELECT count(*) FROM __p"
+            ).collect()
+            cache = True
+        except Exception:
+            cache = False
+        spark._graft_recursive_cte = cache
+    return cache
+
+
+def q_flat_chain_count_recursive_sql(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """The reference's chain-count SQL running NATIVELY as a Spark 4
     recursive CTE (``WITH RECURSIVE``) — the compatibility SQL surface
-    (api.get_bench_query).  Same semantics as flat_chain_count, executed
-    by Catalyst's UnionLoop instead of the iterative kernel."""
+    (api.get_bench_query; reference common/bench_utils.py:9-34).  Same
+    semantics as flat_chain_count, executed by Catalyst's UnionLoop
+    instead of the iterative kernel; on Spark builds without recursive
+    CTEs it falls back to the kernel (documented, probe-gated)."""
+    if not recursive_cte_supported(spark):  # pragma: no cover - Spark<4
+        return q_flat_chain_count(spark, sf_dir)
     from graphdb_for_drones_spark.api import get_bench_query
 
     cat = Catalog(spark, sf_dir)
@@ -658,6 +685,25 @@ def q_flat_chain_count_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FLAT_CHAIN_COUNT_SQL = ORACLE_FLAT_CHAIN_COUNT
+
+
+def q_delegation_reachable_recursive_sql(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded reachability as LITERAL ``WITH RECURSIVE`` SQL — the
+    exact oracle text (VARCHAR spelled STRING for Spark's parser)
+    planned natively by Catalyst's UnionLoop (Spark 4), beside the
+    iterative-kernel twin `delegation_reachable`.  Hash-matches the
+    same oracle, so the driver row certifies the NATIVE recursion
+    path end-to-end (reference common/bench_utils.py:9-34 shape)."""
+    if not recursive_cte_supported(spark):  # pragma: no cover - Spark<4
+        return q_delegation_reachable(spark, sf_dir)
+    from graphdb_for_drones_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        ORACLE_DELEGATION_REACHABLE.replace("AS VARCHAR", "AS STRING")
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -685,7 +731,8 @@ QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
     "cdc_apply_events": q_cdc_apply_events,
     "events_tumbling_hourly": q_events_tumbling_hourly,
-    "flat_chain_count_sql": q_flat_chain_count_sql,
+    "flat_chain_count_recursive_sql": q_flat_chain_count_recursive_sql,
+    "delegation_reachable_recursive_sql": q_delegation_reachable_recursive_sql,
 }
 
 ORACLES = {
@@ -709,5 +756,6 @@ ORACLES = {
     "order_price_percentiles": ORACLE_ORDER_PRICE_PERCENTILES,
     "cdc_apply_events": ORACLE_CDC_APPLY_EVENTS,
     "events_tumbling_hourly": ORACLE_EVENTS_TUMBLING_HOURLY,
-    "flat_chain_count_sql": ORACLE_FLAT_CHAIN_COUNT_SQL,
+    "flat_chain_count_recursive_sql": ORACLE_FLAT_CHAIN_COUNT_SQL,
+    "delegation_reachable_recursive_sql": ORACLE_DELEGATION_REACHABLE,
 }

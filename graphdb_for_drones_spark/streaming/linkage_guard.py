@@ -136,9 +136,15 @@ def start_linkage_guard(
             )
             # a record redelivered in a later batch would pair with its
             # own indexed copy at hamming 0 under a DIFFERENT id only;
-            # identical ids are excluded above, duplicate flags here
+            # identical ids are excluded above, duplicate flags here.
+            # Dedup on the FULL row, not just (id_a, id_b): if the same
+            # pair surfaces in both the within-batch and cross-batch
+            # streams with different key/hamming values (an id
+            # redelivered with a mutated key), a key-only dropDuplicates
+            # would arbitrate nondeterministically and a replayed
+            # partition could rewrite different content
             flags = within.unionByName(cross).dropDuplicates(
-                ["id_a", "id_b"]
+                ["id_a", "id_b", "key_a", "key_b", "hamming"]
             )
 
         write_partitioned(flags, batch_id, out_dir)

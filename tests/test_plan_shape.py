@@ -173,3 +173,37 @@ def test_bm25_prunes_term_stream_before_shuffle(spark):
     assert "vector" in plan and "Exchange" in plan
     # TakeOrdered (top-k), never a global Sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_recursive_sql_runs_on_native_unionloop(spark):
+    """The literal WITH RECURSIVE surface must execute on Catalyst's
+    native UnionLoop operator (Spark 4, SPARK-24497) when the build
+    supports it — not silently fall back to the iterative kernel.  The
+    probe itself is also pinned: this session's Spark is 4.x, so
+    support must be detected."""
+    from graphdb_for_drones_spark.plans.queries import (
+        recursive_cte_supported,
+    )
+
+    assert recursive_cte_supported(spark), (
+        "Spark 4.x must report native recursive-CTE support"
+    )
+    for name in (
+        "flat_chain_count_recursive_sql",
+        "delegation_reachable_recursive_sql",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "UnionLoop" in plan, (
+            f"{name} must plan as a native recursive CTE, got:\n{plan[:2000]}"
+        )
+
+
+def test_recursive_sql_matches_iterative_kernel(spark):
+    """Engine-path equivalence: the native UnionLoop count equals the
+    iterative kernel's on the same data (the two execution strategies
+    for SURVEY §2.3 J8 must be interchangeable)."""
+    native = QUERIES["flat_chain_count_recursive_sql"](spark, SF_DIR)
+    kernel = QUERIES["flat_chain_count"](spark, SF_DIR)
+    assert native.collect()[0][0] == kernel.collect()[0][0]
