@@ -1005,3 +1005,79 @@ def simhash_pairs(
     return simhash_candidate_pairs(
         base, max_hamming, bands, 64, allow_partial_recall
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized near-dup pair graph (the `ivf_open` fingerprint pattern
+# applied to text dedup): the shingle inverted-index pair enumeration is
+# the one corpus-scale pass of the dedup family, and every
+# cluster-composition query (components, keeper policy, savings ledgers)
+# probes the SAME pair graph.  Persist it once per corpus state —
+# deterministic, so bit-identical to a fresh run and oracle checks hold
+# either way.  At 100 TB: one pair enumeration per corpus version, not
+# one per downstream query.
+# ---------------------------------------------------------------------------
+
+
+def ngram_pairs_path_for(
+    source_path: str,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> str:
+    """Deterministic pair-graph directory for (source data, params):
+    ``ngpairs-<params>-<source id>-<content fingerprint>`` — the
+    ``ivf_path_for`` naming contract, so the same stale-fingerprint
+    sweep applies (a rewritten corpus rebuilds automatically; dead
+    graphs of the old corpus state are swept)."""
+    import os as _os
+
+    from graphdb_for_drones_spark.operators.similarity import (
+        _index_root,
+        _source_fingerprint,
+        _source_id,
+    )
+
+    sid = _source_id(source_path)
+    fp = _source_fingerprint(source_path)
+    t = str(threshold).replace(".", "_")
+    return _os.path.join(
+        _index_root(), f"ngpairs-n{shingle_n}-t{t}-{sid}-{fp}"
+    )
+
+
+def ngram_pairs_open(
+    spark,
+    documents: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Load the persisted exact-jaccard pair graph at ``path`` if
+    present, else enumerate (``ngram_jaccard_pairs``), persist
+    atomically (tmp dir + rename, concurrent-builder safe) and load.
+    Returns (id_a, id_b, jaccard) exactly as a fresh run would."""
+    import os as _os
+    import shutil as _shutil
+
+    from graphdb_for_drones_spark.operators.similarity import (
+        _sweep_stale_fingerprints,
+        _sweep_stale_tmp,
+    )
+
+    if not _os.path.isdir(path):
+        _sweep_stale_tmp(path)
+        pairs = ngram_jaccard_pairs(
+            documents, text_col, id_col, shingle_n, threshold
+        )
+        tmp = f"{path}.tmp.{_os.getpid()}"
+        pairs.write.mode("overwrite").parquet(_os.path.join(tmp, "pairs"))
+        try:
+            _os.rename(tmp, path)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)
+            if not _os.path.isdir(path):  # pragma: no cover - genuine IO failure
+                raise
+        _sweep_stale_fingerprints(path)
+    return spark.read.parquet(_os.path.join(path, "pairs"))

@@ -2256,14 +2256,36 @@ FROM events GROUP BY event_type
 """
 
 
+def _ngram_pairs_for_sf(spark: SparkSession, sf_dir: str, cat: Catalog) -> DataFrame:
+    """Materialized exact-jaccard pair graph for this scale factor's
+    documents (shingle_n=3, threshold=0.1): built on first touch,
+    probe-only afterwards.  Fingerprinted path — a rewritten corpus
+    rebuilds automatically (`dedup.ngram_pairs_open`)."""
+    import os as _os
+
+    from graphdb_for_drones_spark.operators.dedup import (
+        ngram_pairs_open,
+        ngram_pairs_path_for,
+    )
+
+    path = ngram_pairs_path_for(
+        _os.path.join(sf_dir, "documents.parquet"), shingle_n=3, threshold=0.1
+    )
+    return ngram_pairs_open(spark, cat.documents, path)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: exact n-gram jaccard pairs (≥0.1) as an
     undirected graph, connected components by iterative min-label
     propagation, summarized per cluster.  The oracle reproduces the
     transitive closure with a recursive CTE (cluster id = min reachable
     doc id) — an iterative distributed algorithm checked against an
-    independent SQL fixpoint formulation."""
-    from graphdb_for_drones_spark.operators.dedup import ngram_jaccard_pairs
+    independent SQL fixpoint formulation.
+
+    The pair graph is MATERIALIZED (`ngram_pairs_open`, the `ivf_open`
+    fingerprint pattern): the shingle-index enumeration runs once per
+    corpus state; cluster composition and the keeper policy both probe
+    the persisted graph (deterministic, bit-identical to a fresh run)."""
     from graphdb_for_drones_spark.operators.graph_algorithms import (
         connected_components,
     )
@@ -2271,7 +2293,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     # zero-pad: label propagation takes MIN over string labels, which
     # must order like the numeric doc ids
-    pairs = ngram_jaccard_pairs(cat.documents, threshold=0.1).select(
+    pairs = _ngram_pairs_for_sf(spark, sf_dir, cat).select(
         F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
     )
@@ -2332,15 +2354,17 @@ def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf. the min-id keeper in `curation_pipeline_stats`).  Output per
     multi-doc cluster: keeper, member count, total vs kept tokens (the
     dedup token-savings ledger).  Argmax as one max-of-struct aggregate
-    (n_tokens, -doc_id) — no per-cluster sort."""
-    from graphdb_for_drones_spark.operators.dedup import ngram_jaccard_pairs
+    (n_tokens, -doc_id) — no per-cluster sort.  Probes the SAME
+    materialized pair graph as `dedup_clusters` (`ngram_pairs_open`):
+    the policy layer costs one components pass + one token join, not a
+    second corpus-scale pair enumeration."""
     from graphdb_for_drones_spark.operators.graph_algorithms import (
         connected_components,
     )
     from graphdb_for_drones_spark.operators.text import token_count
 
     cat = Catalog(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(cat.documents, threshold=0.1).select(
+    pairs = _ngram_pairs_for_sf(spark, sf_dir, cat).select(
         F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
     )

@@ -846,15 +846,26 @@ def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary-shape dense regions and leaves sparse noise unclustered
     by construction.  Every stage reuses a catalogued operator; the
     oracle wraps the ann_near_pairs twin (planes inlined) with
-    degree/core CTEs and the recursive-closure fixpoint."""
+    degree/core CTEs and the recursive-closure fixpoint.
+
+    The eps-graph is MATERIALIZED (`near_pairs_open`, the `ivf_open`
+    fingerprint pattern): the LSH-candidate + exact-verify pass runs
+    once per corpus state and every density query afterwards probes the
+    persisted pair table — deterministic, so bit-identical to a fresh
+    `ann_near_pairs` run and the oracle holds either way."""
+    import os as _os
+
     from graphdb_for_drones_spark.operators.graph_algorithms import (
         connected_components,
     )
 
     cat = Catalog(spark, sf_dir)
-    pairs = S.ann_near_pairs(cat.embeddings, dim=64, threshold=0.3).select(
-        "id_a", "id_b"
-    ).localCheckpoint()
+    path = S.near_pairs_path_for(
+        _os.path.join(sf_dir, "embeddings.parquet"), dim=64, threshold=0.3
+    )
+    pairs = S.near_pairs_open(
+        spark, cat.embeddings, path, dim=64, threshold=0.3
+    ).select("id_a", "id_b")
     und = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )

@@ -468,3 +468,77 @@ def test_sql_fast_paths_accept_quoted_identifiers(spark):
         sim.lsh_signature(F.col("`emb.dotted`"), planes).alias("g")
     ).collect()
     assert sig_fast == sig_slow
+
+
+def test_near_pairs_open_persists_and_matches_fresh(spark, tmp_path, monkeypatch):
+    # eps-graph lifecycle (the ivf_open pattern applied to ann_near_pairs):
+    # first open builds + persists, second open is read-only, and the
+    # persisted graph is bit-identical to a fresh enumeration.
+    import random
+
+    import graphdb_for_drones_spark.operators.similarity as sim
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [(i, [v + rng.uniform(-0.01, 0.01) for v in base]) for i in range(10)]
+    rows += [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    path = str(tmp_path / "npairs-test")
+
+    fresh = sorted(
+        tuple(r)
+        for r in sim.ann_near_pairs(emb, dim=8, threshold=0.8).collect()
+    )
+    got1 = sorted(
+        tuple(r)
+        for r in sim.near_pairs_open(
+            spark, emb, path, dim=8, threshold=0.8
+        ).collect()
+    )
+    assert got1 == fresh and len(fresh) > 0
+
+    def _boom(*a, **kw):  # pragma: no cover - the assertion is the point
+        raise AssertionError("pair enumeration re-ran on a warm open")
+
+    monkeypatch.setattr(sim, "ann_near_pairs", _boom)
+    got2 = sorted(
+        tuple(r)
+        for r in sim.near_pairs_open(
+            spark, emb, path, dim=8, threshold=0.8
+        ).collect()
+    )
+    assert got2 == fresh
+
+
+def test_ngram_pairs_open_persists_and_matches_fresh(spark, tmp_path, monkeypatch):
+    import graphdb_for_drones_spark.operators.dedup as dd
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint()
+    path = str(tmp_path / "ngpairs-test")
+
+    fresh = sorted(
+        tuple(r) for r in dd.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    )
+    got1 = sorted(
+        tuple(r)
+        for r in dd.ngram_pairs_open(spark, docs, path, threshold=0.1).collect()
+    )
+    assert got1 == fresh and len(fresh) > 0
+
+    def _boom(*a, **kw):  # pragma: no cover - the assertion is the point
+        raise AssertionError("pair enumeration re-ran on a warm open")
+
+    monkeypatch.setattr(dd, "ngram_jaccard_pairs", _boom)
+    got2 = sorted(
+        tuple(r)
+        for r in dd.ngram_pairs_open(spark, docs, path, threshold=0.1).collect()
+    )
+    assert got2 == fresh
