@@ -2468,6 +2468,53 @@ def q_event_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup(hll_build(ev, ["event_type", "day"], "user_id"), ["event_type"])
 
 
+def q_event_hll_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL accuracy made DRIVER-VISIBLE (the count-min est-beside-exact
+    pattern applied to `event_hll_rollup`): per event_type, the exact
+    distinct-user count laid beside an integer-safe 5%-tolerance flag on
+    the merged daily HLL estimate — ``|est − exact| · 20 <= exact``, all
+    BIGINT arithmetic, no floats.  The oracle asserts the exact count
+    and ``TRUE``: a degraded sketch (est drifting past 5%) flips the
+    engine-side boolean and hash-mismatches, so the driver row IS the
+    accuracy assertion.  The estimate itself stays engine-specific
+    (DataSketches HLL, deterministic but not SQL-expressible) and is
+    deliberately NOT projected."""
+    from graphdb_for_drones_spark.operators.sketches import (
+        hll_build,
+        hll_rollup,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.withColumn("day", F.to_date("ts"))
+    est = hll_rollup(
+        hll_build(ev, ["event_type", "day"], "user_id"), ["event_type"]
+    ).select("event_type", "approx_distinct")
+    exact = cat.events.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("exact_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                * F.lit(20)
+                <= F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENT_HLL_VS_EXACT = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 1000.0, 200
 
 
@@ -2897,6 +2944,7 @@ EXTRA_QUERIES = {
     "ann_recall_at_k": q_ann_recall_at_k,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
+    "event_hll_vs_exact": q_event_hll_vs_exact,
     "event_value_hist_quantiles": q_event_value_hist_quantiles,
     "event_user_cm_counts": q_event_user_cm_counts,
     "embedding_clusters": q_embedding_clusters,
@@ -2911,6 +2959,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "event_hll_vs_exact": ORACLE_EVENT_HLL_VS_EXACT,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "region_volume": ORACLE_REGION_VOLUME,
     "nation_trade_flows": ORACLE_NATION_TRADE_FLOWS,

@@ -75,6 +75,34 @@ def flag_outliers(
     )
 
 
+def make_apply_batch(
+    pinned_stats: DataFrame,
+    out_dir: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    n_sigma: float = 3.0,
+):
+    """The gate's per-micro-batch function, exposed at module level so
+    failure-injection tests can re-invoke it with the SAME batch_id —
+    simulating a foreachBatch retry after the quarantine write but
+    before the checkpoint commit (the at-least-once window)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent-per-batch: dynamic partition overwrite into a
+        # batch_id partition replaces (not duplicates) a retried batch's
+        # output — foreachBatch alone is only at-least-once.
+        (
+            flag_outliers(batch_df, pinned_stats, key_col, value_col, n_sigma)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return apply_batch
+
+
 def start_anomaly_gate(
     stream_events: DataFrame,
     stats: DataFrame,
@@ -107,20 +135,9 @@ def start_anomaly_gate(
             "unreadable — point the gate at a fresh out_dir"
         )
     pinned = stats.localCheckpoint()
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Idempotent-per-batch: dynamic partition overwrite into a
-        # batch_id partition replaces (not duplicates) a retried batch's
-        # output — foreachBatch alone is only at-least-once.
-        (
-            flag_outliers(batch_df, pinned, key_col, value_col, n_sigma)
-            .withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
-
+    apply_batch = make_apply_batch(
+        pinned, out_dir, key_col, value_col, n_sigma
+    )
     writer = stream_events.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -20,8 +20,45 @@ contract as streaming/continuous_agg).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from graphdb_for_drones_spark.operators import curation
+
+
+def make_apply_batch(
+    eval_index: "DataFrame",
+    out_dir: str,
+    threshold: float = 0.1,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    metric: str = "jaccard",
+):
+    """The guard's per-micro-batch function, exposed at module level so
+    failure-injection tests can re-invoke it with the SAME batch_id.
+    Flags land in a ``batch_id=<n>`` partition via dynamic partition
+    overwrite (the anomaly_gate contract): a micro-batch retried after
+    the quarantine write but before the checkpoint commit REPLACES its
+    own partition instead of appending duplicates — the previous blind
+    ``append`` was only clean-re-drain idempotent, not mid-batch-crash
+    idempotent."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tr = curation.shingle_index(
+            batch_df, "train_id", text_col, id_col, shingle_n
+        )
+        flagged = curation.contamination_pairs_from_index(
+            tr, eval_index, threshold=threshold, metric=metric
+        )
+        (
+            flagged.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return apply_batch
 
 
 def start_contamination_guard(
@@ -46,19 +83,28 @@ def start_contamination_guard(
     the asymmetric gate that catches a short benchmark prompt quoted
     inside a long incoming document, which jaccard dilutes below any
     workable threshold)."""
+    import glob as _glob
+    import os as _os
+
+    # a quarantine dir written by the pre-batch_id flat-append layout
+    # cannot mix with the partitioned one — that mix only fails at READ
+    # time (conflicting directory structures), so refuse at start (the
+    # anomaly_gate contract)
+    legacy_parts = _glob.glob(
+        _os.path.join(_glob.escape(out_dir), "part-*.parquet")
+    ) + _glob.glob(_os.path.join(_glob.escape(out_dir), "part-*.snappy.parquet"))
+    if legacy_parts:
+        raise ValueError(
+            f"out_dir {out_dir!r} holds flat-append (pre-batch_id-"
+            "partition) quarantine files; mixing layouts makes the dir "
+            "unreadable — point the guard at a fresh out_dir"
+        )
     ev = curation.shingle_index(
         eval_docs, "eval_id", text_col, id_col, shingle_n
     ).localCheckpoint()
-
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        tr = curation.shingle_index(
-            batch_df, "train_id", text_col, id_col, shingle_n
-        )
-        flagged = curation.contamination_pairs_from_index(
-            tr, ev, threshold=threshold, metric=metric
-        )
-        flagged.write.mode("append").parquet(out_dir)
-
+    apply_batch = make_apply_batch(
+        ev, out_dir, threshold, shingle_n, text_col, id_col, metric
+    )
     writer = stream_docs.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
     )

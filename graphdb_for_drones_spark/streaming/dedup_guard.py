@@ -141,6 +141,38 @@ def start_neardup_guard(
     ``stream_docs``: streaming DataFrame with (id_col, text_col).
     Flags (id_a, id_b, jaccard), id_a < id_b, append to ``out_dir``;
     the band index and signature store grow under ``index_dir``."""
+    apply_batch = make_apply_batch(
+        index_dir,
+        out_dir,
+        num_hashes,
+        bands,
+        shingle_n,
+        jaccard_threshold,
+        text_col,
+        id_col,
+    )
+    writer = stream_docs.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def make_apply_batch(
+    index_dir: str,
+    out_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The guard's per-micro-batch function, exposed at module level so
+    failure-injection tests can re-invoke it with the SAME batch_id —
+    simulating a foreachBatch retry after the flag/index writes but
+    before the checkpoint commit (the at-least-once window)."""
     bands_dir = f"{index_dir}/bands"
     sigs_dir = f"{index_dir}/sigs"
 
@@ -215,12 +247,7 @@ def start_neardup_guard(
         )
         _write_partitioned(bkeys, batch_id, bands_dir)
 
-    writer = stream_docs.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return apply_batch
 
 
 def read_neardup_flags(spark: SparkSession, out_dir: str) -> DataFrame:

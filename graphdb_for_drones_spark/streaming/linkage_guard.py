@@ -65,6 +65,28 @@ def start_linkage_guard(
     ``stream_records``: streaming DataFrame with (id_col, key_col).
     Flags (id_a, id_b, key_a, key_b, hamming), id_a < id_b, append to
     ``out_dir``; the pattern index grows under ``index_dir``."""
+    apply_batch = make_apply_batch(
+        index_dir, out_dir, max_subs, id_col, key_col
+    )
+    writer = stream_records.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def make_apply_batch(
+    index_dir: str,
+    out_dir: str,
+    max_subs: int = 1,
+    id_col: str = "id",
+    key_col: str = "key",
+):
+    """The guard's per-micro-batch function, exposed at module level so
+    failure-injection tests can re-invoke it with the SAME batch_id —
+    simulating a foreachBatch retry after the flag/index writes but
+    before the checkpoint commit (the at-least-once window)."""
     patterns_dir = f"{index_dir}/patterns"
     out_cols = ["id_a", "id_b", "key_a", "key_b", "hamming"]
 
@@ -159,12 +181,7 @@ def start_linkage_guard(
             patterns_dir,
         )
 
-    writer = stream_records.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return apply_batch
 
 
 def read_linkage_flags(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -1,0 +1,196 @@
+"""Mid-batch failure injection for the streaming guards.
+
+foreachBatch is at-least-once: Structured Streaming can kill and retry a
+micro-batch AFTER its sink writes land but BEFORE the checkpoint commit
+records the batch.  The clean availableNow re-drain tests (one level up)
+prove nothing about that window — they replay from a checkpoint that
+already committed.  Here we drive each guard's ``make_apply_batch``
+function directly and re-invoke it with the SAME batch_id, simulating
+exactly the crash-between-write-and-commit retry, then assert the output
+and every persistent index hold zero duplicates and exactly the
+single-run content.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# --------------------------------------------------------------------- #
+# anomaly gate
+# --------------------------------------------------------------------- #
+
+
+def test_anomaly_gate_same_batch_replay(spark, tmp_path):
+    from graphdb_for_drones_spark.streaming import anomaly_gate as ag
+
+    stats = spark.createDataFrame(
+        [("click", 5, 10.0, 1.0)],
+        "event_type string, n_ref long, ref_mean double, ref_std double",
+    ).localCheckpoint()
+    out = str(tmp_path / "quarantine")
+    apply_batch = ag.make_apply_batch(stats, out, n_sigma=3.0)
+
+    b0 = spark.createDataFrame(
+        [(1, "click", 10.5), (2, "click", 99.0)],
+        "event_id long, event_type string, value double",
+    ).localCheckpoint()
+    b1 = spark.createDataFrame(
+        [(3, "click", -50.0), (4, "click", 10.1)],
+        "event_id long, event_type string, value double",
+    ).localCheckpoint()
+
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    once = _rows(ag.read_quarantine(spark, out), ["event_id"])
+
+    # crash-retry: same batch_id, same data, after the write landed
+    apply_batch(b1, 1)
+    again = _rows(ag.read_quarantine(spark, out), ["event_id"])
+    assert again == once == [(2,), (3,)]
+
+
+# --------------------------------------------------------------------- #
+# near-dup guard (flags + bands + sigs indexes)
+# --------------------------------------------------------------------- #
+
+
+def test_neardup_guard_same_batch_replay(spark, tmp_path):
+    from graphdb_for_drones_spark.streaming import dedup_guard as dg
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "flags")
+    apply_batch = dg.make_apply_batch(idx, out, jaccard_threshold=0.5)
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = spark.createDataFrame(
+        [(1, text), (2, "completely unrelated words about spark plans")],
+        "doc_id long, text string",
+    ).localCheckpoint()
+    b1 = spark.createDataFrame(
+        [(3, text), (4, "another distinct document body")],
+        "doc_id long, text string",
+    ).localCheckpoint()
+
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    flags_once = _rows(
+        dg.read_neardup_flags(spark, out), ["id_a", "id_b"]
+    )
+    bands_once = _rows(
+        spark.read.parquet(f"{idx}/bands"), ["id", "band", "band_hash"]
+    )
+    sigs_once = _rows(spark.read.parquet(f"{idx}/sigs"), ["id"])
+
+    apply_batch(b1, 1)  # crash-retry of batch 1
+    assert (
+        _rows(dg.read_neardup_flags(spark, out), ["id_a", "id_b"])
+        == flags_once
+        == [(1, 3)]
+    )
+    assert (
+        _rows(spark.read.parquet(f"{idx}/bands"), ["id", "band", "band_hash"])
+        == bands_once
+    )
+    assert _rows(spark.read.parquet(f"{idx}/sigs"), ["id"]) == sigs_once
+
+
+# --------------------------------------------------------------------- #
+# linkage guard (flags + pattern index)
+# --------------------------------------------------------------------- #
+
+
+def test_linkage_guard_same_batch_replay(spark, tmp_path):
+    from graphdb_for_drones_spark.streaming import linkage_guard as lg
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "flags")
+    apply_batch = lg.make_apply_batch(idx, out, max_subs=1)
+
+    b0 = spark.createDataFrame(
+        [(1, "ABCDEF"), (2, "ZZZZZZ")], "id long, key string"
+    ).localCheckpoint()
+    b1 = spark.createDataFrame(
+        [(3, "ABCDEX"), (4, "QQQQQQ")], "id long, key string"
+    ).localCheckpoint()
+
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    flags_once = _rows(
+        lg.read_linkage_flags(spark, out),
+        ["id_a", "id_b", "key_a", "key_b", "hamming"],
+    )
+    pats_once = _rows(spark.read.parquet(f"{idx}/patterns"), ["id", "pat"])
+
+    apply_batch(b1, 1)  # crash-retry of batch 1
+    assert (
+        _rows(
+            lg.read_linkage_flags(spark, out),
+            ["id_a", "id_b", "key_a", "key_b", "hamming"],
+        )
+        == flags_once
+        == [(1, 3, "ABCDEF", "ABCDEX", 1)]
+    )
+    assert _rows(spark.read.parquet(f"{idx}/patterns"), ["id", "pat"]) == pats_once
+
+
+# --------------------------------------------------------------------- #
+# contamination guard
+# --------------------------------------------------------------------- #
+
+
+def test_contamination_guard_same_batch_replay(spark, tmp_path):
+    from graphdb_for_drones_spark.operators import curation
+    from graphdb_for_drones_spark.streaming import decontam as dc
+
+    out = str(tmp_path / "quarantine")
+    prompt = "the secret benchmark prompt goes here tonight"
+    ev = curation.shingle_index(
+        spark.createDataFrame([(100, prompt)], "doc_id long, text string"),
+        "eval_id",
+    ).localCheckpoint()
+    apply_batch = dc.make_apply_batch(ev, out, threshold=0.3)
+
+    b0 = spark.createDataFrame(
+        [(1, prompt), (2, "unrelated text body entirely")],
+        "doc_id long, text string",
+    ).localCheckpoint()
+    b1 = spark.createDataFrame(
+        [(3, prompt + " with a suffix"), (4, "more unrelated words")],
+        "doc_id long, text string",
+    ).localCheckpoint()
+
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    once = _rows(dc.read_quarantine(spark, out), ["train_id", "eval_id"])
+    assert once == [(1, 100), (3, 100)]
+
+    apply_batch(b1, 1)  # crash-retry of batch 1: previously duplicated
+    again = _rows(dc.read_quarantine(spark, out), ["train_id", "eval_id"])
+    assert again == once
+
+
+def test_contamination_guard_refuses_legacy_layout(spark, tmp_path):
+    """A flat-append quarantine dir (pre-batch_id layout) must be
+    refused at start, not discovered as a read-time layout conflict."""
+    from graphdb_for_drones_spark.streaming import decontam as dc
+
+    out = tmp_path / "quarantine"
+    out.mkdir()
+    (out / "part-00000-legacy.snappy.parquet").write_bytes(b"PAR1")
+    ev = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    ).select(F.col("value").alias("doc_id"), F.lit("t").alias("text"))
+    with pytest.raises(ValueError, match="flat-append"):
+        dc.start_contamination_guard(
+            stream,
+            ev,
+            out_dir=str(out),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
