@@ -92,6 +92,72 @@ def shingle_index(
     )
 
 
+def capped_train_index(tr: DataFrame, max_df: int) -> DataFrame:
+    """Train-side document-frequency cap over a ``shingle_index`` frame.
+
+    Both the df cap and the per-doc size recount are unbounded COUNT
+    windows over ONE lineage: the groupBy + join-back form re-scans and
+    re-shingles the corpus per branch (column pruning specializes each
+    branch's exchange and defeats ReuseExchange), measured 4.1 → 2.4 s
+    at sf0.1.  The window does shuffle a hot shingle's rows to one
+    reducer before dropping them; the alternative (counters-only
+    groupBy + anti-join of the hot set) avoids that at the price of a
+    second corpus scan — measured SLOWER on both the uniform and the
+    power-law corpora (PERF.md), because re-shingling costs more than
+    moving the boilerplate rows once.  Window buffers spill rather
+    than OOM."""
+    w_h = Window.partitionBy("h")
+    w_t = Window.partitionBy("train_id")
+    return (
+        tr.withColumn("__df", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df", "n_train_id")
+        .withColumn("n_train_id", F.count(F.lit(1)).over(w_t))
+    )
+
+
+def bucketed_shingle_table_open(
+    spark,
+    builder,
+    table: str,
+    path: str,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Materialize a shingle-index side as an ``h``-BUCKETED, h-sorted
+    table (``sources.io.write_bucketed``) and return it; on a warm open
+    (path exists) just (re-)register the table metadata over the
+    existing bucketed files — the files carry Spark bucket ids in their
+    names, and the DDL restores the layout contract for a fresh
+    session's in-memory catalog.
+
+    Two sides bucketed on ``h`` with the same bucket count join with NO
+    shuffle exchange on either side: at 100 TB this converts the
+    decontamination inverted-index join — the one recurring
+    corpus-scale exchange of the contamination family — into a zip of
+    pre-sorted buckets.  ``builder`` is a zero-arg callable returning
+    the index DataFrame, invoked only on a cold build."""
+    import os as _os
+
+    if not _os.path.isdir(path):
+        from graphdb_for_drones_spark.sources.io import write_bucketed
+
+        write_bucketed(
+            builder(), table, ["h"], num_buckets, sort_cols=["h"], path=path
+        )
+        return spark.table(table)
+    if not spark.catalog.tableExists(table):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY (h) SORTED BY (h) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(table)
+
+
 def contamination_pairs_from_index(
     tr: DataFrame,
     ev: DataFrame,
@@ -108,25 +174,7 @@ def contamination_pairs_from_index(
     actually gates on (a short benchmark prompt quoted inside a long
     training document has low jaccard but containment ≈ 1)."""
     if max_df is not None:
-        # Both the df cap and the per-doc size recount are unbounded
-        # COUNT windows over ONE lineage: the groupBy + join-back form
-        # re-scans and re-shingles the corpus per branch (column pruning
-        # specializes each branch's exchange and defeats ReuseExchange),
-        # measured 4.1 → 2.4 s at sf0.1.  The window does shuffle a hot
-        # shingle's rows to one reducer before dropping them; the
-        # alternative (counters-only groupBy + anti-join of the hot set)
-        # avoids that at the price of a second corpus scan — measured
-        # SLOWER on both the uniform and the power-law corpora
-        # (PERF.md), because re-shingling costs more than moving the
-        # boilerplate rows once.  Window buffers spill rather than OOM.
-        w_h = Window.partitionBy("h")
-        w_t = Window.partitionBy("train_id")
-        tr = (
-            tr.withColumn("__df", F.count(F.lit(1)).over(w_h))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df", "n_train_id")
-            .withColumn("n_train_id", F.count(F.lit(1)).over(w_t))
-        )
+        tr = capped_train_index(tr, max_df)
     common = (
         tr.join(ev, "h")
         .groupBy("train_id", "n_train_id", "eval_id", "n_eval_id")

@@ -48,6 +48,58 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_check_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`contamination_check` over BUCKETED index sides: both shingle
+    indexes (df-capped train, eval) are materialized as h-bucketed,
+    h-sorted tables (`curation.bucketed_shingle_table_open`, the
+    fingerprinted-open contract), so the inverted-index join — the one
+    corpus-scale exchange of the contamination family — runs with ZERO
+    shuffle on either side (asserted by
+    tests/test_plan_shape.py::test_bucketed_contamination_join_shuffle_free).
+    Same output as `contamination_check`, same oracle: the layout is a
+    physical property, not a semantic one.  The 100 TB shape: the
+    decontamination index is maintained bucketed; per-release eval
+    sweeps zip pre-sorted buckets instead of re-shuffling the corpus."""
+    import os as _os
+
+    from graphdb_for_drones_spark.operators.similarity import (
+        _index_root,
+        _source_fingerprint,
+        _source_id,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    src = _os.path.join(sf_dir, "documents.parquet")
+    sid, fp = _source_id(src), _source_fingerprint(src)
+    root = _index_root()
+
+    def side(name: str, builder):
+        return curation.bucketed_shingle_table_open(
+            spark,
+            builder,
+            table=f"shidx_{name}_{sid}_{fp}",
+            path=_os.path.join(root, f"shidx-{name}-{sid}-{fp}"),
+        )
+
+    tr = side(
+        "tr",
+        lambda: curation.capped_train_index(
+            curation.shingle_index(
+                docs.filter(F.col("source") != "src0"), "train_id"
+            ),
+            MAX_TRAIN_DF,
+        ),
+    )
+    ev = side(
+        "ev",
+        lambda: curation.shingle_index(
+            docs.filter(F.col("source") == "src0"), "eval_id"
+        ),
+    )
+    return curation.contamination_pairs_from_index(tr, ev, threshold=0.1)
+
+
 ORACLE_CONTAMINATION_CHECK = rf"""
 WITH d AS (
   SELECT doc_id, source, {_WORDS} AS w FROM documents
@@ -1543,6 +1595,7 @@ CURATION_QUERIES = {
     "bpe_train_merges": q_bpe_train_merges,
     "doc_quality_logit": q_doc_quality_logit,
     "contamination_check": q_contamination_check,
+    "contamination_check_bucketed": q_contamination_check_bucketed,
     "doc_pack_stats": q_doc_pack_stats,
     "mixture_weights": q_mixture_weights,
     "lang_temperature_mixture": q_lang_temperature_mixture,
@@ -1577,6 +1630,7 @@ CURATION_ORACLES = {
     "bpe_train_merges": ORACLE_BPE_TRAIN_MERGES,
     "doc_quality_logit": ORACLE_DOC_QUALITY_LOGIT,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
+    "contamination_check_bucketed": ORACLE_CONTAMINATION_CHECK,
     "doc_pack_stats": ORACLE_DOC_PACK_STATS,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "lang_temperature_mixture": ORACLE_LANG_TEMPERATURE_MIXTURE,

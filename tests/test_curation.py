@@ -829,3 +829,39 @@ def test_bm25_and_bigram_lm_match_python_reference_on_random_texts(spark):
         for r in curation.bigram_lm_scores(docs).collect()
     }
     assert got2 == expect
+
+
+def test_bucketed_shingle_table_open_reregisters(spark, tmp_path):
+    """Warm open over existing bucketed files: the builder must NOT
+    re-run, and a session whose in-memory catalog lost the table (a
+    fresh driver) must get the bucket layout re-registered via DDL."""
+    from graphdb_for_drones_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "c d e f g h")], "doc_id long, text string"
+    ).localCheckpoint()
+    path = str(tmp_path / "shidx-test")
+
+    built = curation.bucketed_shingle_table_open(
+        spark,
+        lambda: curation.shingle_index(docs, "train_id"),
+        table="shidx_test_t1",
+        path=path,
+    )
+    expect = sorted(tuple(r) for r in built.collect())
+    assert len(expect) > 0
+
+    # simulate a fresh session: drop the catalog entry, keep the files
+    spark.sql("DROP TABLE shidx_test_t1")
+
+    def _boom():  # pragma: no cover - the assertion is the point
+        raise AssertionError("builder re-ran on a warm open")
+
+    again = curation.bucketed_shingle_table_open(
+        spark, _boom, table="shidx_test_t1", path=path
+    )
+    assert sorted(tuple(r) for r in again.collect()) == expect
+    # the re-registered table still reports the bucket spec
+    ddl = spark.sql("SHOW CREATE TABLE shidx_test_t1").collect()[0][0]
+    assert "CLUSTERED BY" in ddl and "16 BUCKETS" in ddl
+    spark.sql("DROP TABLE shidx_test_t1")

@@ -207,3 +207,29 @@ def test_recursive_sql_matches_iterative_kernel(spark):
     native = QUERIES["flat_chain_count_recursive_sql"](spark, SF_DIR)
     kernel = QUERIES["flat_chain_count"](spark, SF_DIR)
     assert native.collect()[0][0] == kernel.collect()[0][0]
+
+
+def test_bucketed_contamination_join_shuffle_free(spark):
+    """The bucketed contamination variant's inverted-index join must
+    read both h-bucketed sides with NO shuffle exchange before the
+    join — the layout contract `write_bucketed` promises, asserted on
+    the cataloged query (not just the synthetic io test).  Only the
+    post-join pair aggregation may exchange."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the sf0.001 eval side would broadcast and hide the layout
+        # property under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["contamination_check_bucketed"](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    # exactly the aggregation exchanges survive: nothing between the
+    # bucketed scans and the join
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part, (
+        "bucketed sides must feed the join without a shuffle:\n"
+        + join_part[:1500]
+    )
