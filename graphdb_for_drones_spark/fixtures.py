@@ -424,3 +424,82 @@ def skewed_corpus_dist(
             "' tail', base, 'p', parity) AS text",
         )
     )
+
+
+def scaled_embeddings_dist(
+    spark: SparkSession, sf_dir: str, factor: int, copy_stride: int = 10_000_000
+) -> DataFrame:
+    """``factor`` copies of a scale factor's ``embeddings`` table — the
+    embedding twin of ``bench_scale.scaled_documents``.  Copy 0 is
+    verbatim; copy c>0 re-keys vec_ids and flips coordinate signs by the
+    WALSH-HADAMARD pattern ``(-1)^popcount(c & i)``.  A per-copy sign
+    pattern cancels inside every within-copy dot product, so norms and
+    all WITHIN-copy pairwise cosines are preserved EXACTLY (every copy
+    carries the base corpus's near-pair structure); across copies c1,c2
+    the cross cosine of the same base vector is the signed sum
+    ``Σ x_i² (-1)^popcount((c1 XOR c2) & i)`` — a Walsh coefficient,
+    near zero for generic vectors (a cyclic-shift scheme was measured
+    first: embedding autocorrelation kept shifted copies ABOVE the 0.3
+    near-pair threshold and the sf1 pair graph blew up 102× instead of
+    10×; the sign pattern fixes exactly that).  LSH signatures still
+    differ per copy (fixed hyperplanes, flipped vectors), exercising
+    fresh buckets — the "more data, same density" regime the ANN scale
+    measurements need."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(base.select("embedding").first()[0])
+    parts = []
+    for c in range(factor):
+        if c == 0:
+            vec = F.col("embedding")
+        else:
+            signs = F.array(
+                *[
+                    F.lit(float((-1) ** bin(c & i).count("1")))
+                    for i in range(dim)
+                ]
+            )
+            vec = F.zip_with(
+                F.col("embedding"), signs, lambda x, s: (x * s).cast("float")
+            )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(c * copy_stride)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def write_scaled_sf(
+    spark: SparkSession,
+    base_sf_dir: str,
+    out_dir: str,
+    factor: int = 10,
+) -> None:
+    """Persist an sf×``factor`` LLM-pipeline corpus (documents +
+    embeddings) derived from ``base_sf_dir`` — the sf1 tier when base is
+    sf0.1.  Deterministic (copy-tag words, cyclic-shift vectors), so
+    regenerating yields byte-equivalent content; written as real parquet
+    directories so every measurement reads from disk exactly like the
+    driver testdata."""
+    import os as _os
+
+    from graphdb_for_drones_spark.bench_scale import scaled_documents
+
+    _os.makedirs(out_dir, exist_ok=True)
+    scaled_documents(spark, base_sf_dir, factor).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(out_dir, "documents.parquet"))
+    scaled_embeddings_dist(spark, base_sf_dir, factor).repartition(
+        32
+    ).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "embeddings.parquet")
+    )

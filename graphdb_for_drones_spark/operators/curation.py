@@ -139,11 +139,18 @@ def bucketed_shingle_table_open(
     import os as _os
 
     if not _os.path.isdir(path):
+        from graphdb_for_drones_spark.operators.similarity import (
+            _sweep_stale_fingerprints,
+        )
         from graphdb_for_drones_spark.sources.io import write_bucketed
 
         write_bucketed(
             builder(), table, ["h"], num_buckets, sort_cols=["h"], path=path
         )
+        # drop dead index dirs of the SAME source's older corpus states
+        # (path carries <...>-<source id>-<content fingerprint>, the
+        # *_path_for naming contract the sweep keys on)
+        _sweep_stale_fingerprints(path)
         return spark.table(table)
     if not spark.catalog.tableExists(table):
         schema = spark.read.parquet(path).schema

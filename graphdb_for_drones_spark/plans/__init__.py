@@ -5,16 +5,16 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-6 rotation: every query that has never had a driver row leads the
-window — the 31 oracle-paired entries added in rounds 4-5 beyond those
-rounds' windows, the round-6 additions (doc_quality_logit,
-bpe_train_merges, doc_bpe_compression, corpus_stopword_candidates,
-customer_fuzzy_pairs, lang_temperature_mixture), the changed
-doc_weighted_sample (u now maps to (0,1] on both sides), and the 4
-declared rows-only surfaces — then flagship re-gates fill the remaining
-slots.  With this round every cataloged query has had a driver row in
-rounds 4-6; rotated-out entries stay covered by the local oracle replica
-(``tests/test_queries_oracle.py`` runs every oracle-paired query).
+Round-7 rotation: the 4 new entries (recursive-CTE SQL surface twins,
+event_hll_vs_exact, contamination_check_bucketed) lead, then the 8
+entries whose plans changed this round (materialized pair-graph
+consumers, the NULLS LAST temperature fold, the dense co-occurrence
+string keys, the probe-gated SSSP, the capped_train_index extraction),
+then the driver rows stalest by round (all of r4's survivors, then
+r5's) — freshening the window's coverage now that every query has had
+at least one green row.  Rotated-out entries stay covered by the local
+oracle replica (``tests/test_queries_oracle.py`` runs every
+oracle-paired query).
 """
 
 from graphdb_for_drones_spark.plans.queries import QUERIES as _BASE_QUERIES
@@ -45,65 +45,67 @@ _MERGED_ORACLES = {
 # Queries promoted to the head of the gate window this round.  Order within
 # the first 50 does not matter; membership does.
 _GATE_FIRST = [
-    # ---- Round-6 rotation ----------------------------------------------
-    # The 31 oracle-paired queries that have NEVER had a driver row
-    # (added rounds 4-5 beyond the 50-row windows; every one is green in
-    # the local oracle replica, tests/test_queries_oracle.py):
+    # ---- Round-7 rotation ----------------------------------------------
+    # New this round (never driver-checked): the native recursive-CTE SQL
+    # surface, the driver-visible HLL accuracy assertion, and the
+    # bucketed zero-exchange contamination variant.
+    "flat_chain_count_recursive_sql",
+    "delegation_reachable_recursive_sql",
+    "event_hll_vs_exact",
+    "contamination_check_bucketed",
+    # Changed this round — re-gate: the materialized pair-graph
+    # consumers (near_pairs_open / ngram_pairs_open), the NULLS LAST
+    # temperature fold, the string-keyed dense co-occurrence branch, the
+    # probe-gated SSSP broadcast, and the capped_train_index extraction.
     "embedding_dbscan_cores",
-    "embedding_distance_hist",
-    "nation_trade_flows",
-    "nation_market_share",
-    "part_type_profit",
-    "supplier_shared_customers",
-    "orders_profile",
-    "event_type_outliers",
-    "events_hourly_gapfilled",
-    "orders_cube",
-    "events_pivot_dow",
     "dedup_cluster_keepers",
-    "event_value_trends",
-    "event_type_robust_outliers",
-    "event_type_transitions",
-    "event_type_twap",
-    "shipping_delay_histogram",
-    "trade_cheapest_route",
-    "customer_spend_quartiles",
-    "events_native_session_windows",
-    "customer_rfm_segments",
-    "lineitem_price_qty_corr",
-    "ann_recall_at_k",
-    "doc_lm_fluency",
-    "doc_bpe_token_stats",
-    "doc_dup_passages",
-    "doc_winnow_stats",
-    "doc_weighted_sample",  # engine+oracle changed this round: u -> (h+1)/2^60
-    "bpe_merge_candidates",
-    "source_vocab_stats",
-    "mixture_resample_stats",
-    # New in round 6 (never driver-checked):
-    "doc_quality_logit",
-    "bpe_train_merges",
-    "doc_bpe_compression",
-    "corpus_stopword_candidates",
-    "customer_fuzzy_pairs",
-    "customer_supplier_fuzzy_matches",
+    "dedup_clusters",
+    "ann_near_pairs",
     "lang_temperature_mixture",
-    "user_activity_islands",
-    # Declared rows-only twins/surfaces, never driver-recorded (driver
-    # does the weaker rows-only check for these by design):
-    "minhash_pairs",
-    "simhash_pairs",
-    "event_hll_rollup",
-    "doc_pack_greedy_stats",
-    # ---- Filler: flagship re-gates (all r4/r5-green; keeps the window's
-    # remaining slots on the operators users hit first) -------------------
-    "mission_count",
-    "delegation_reachable",
-    "flat_chain_count",
-    "wot_path_count",
-    "abac_check",
-    "path_count_diamond",
-    "top_customers",
+    "supplier_shared_customers",
+    "trade_cheapest_route",
+    "contamination_check",
+    # Stalest driver rows (last checked r4) — every one green in the
+    # local oracle replica (tests/test_queries_oracle.py) since:
+    "asof_signup_before_purchase",
+    "cdc_apply_events",
+    "delegation_count_by_level",
+    "distinct_segments",
+    "doc_dedup_stats",
+    "doc_repetition",
+    "embedding_clusters",
+    "entity_counts",
+    "event_props_extract",
+    "event_type_stats",
+    "event_user_distinct",
+    "event_value_hist_quantiles",
+    "event_value_percentiles",
+    "events_filter",
+    "events_in_windows",
+    "events_tumbling_hourly",
+    "ivf_topk",
+    "latest_event_per_user",
+    "min_price_supplier",
+    "minhash_pairs_md5",
+    "nation_triangles",
+    "ngram_jaccard",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_prefix",
+    "order_price_percentiles",
+    "pricing_summary",
+    "priority_histogram",
+    "simhash_pairs_md5",
+    "user_event_hash_chain",
+    "vc_count_per_region",
+    "wot_path_count_short",
+    # Stalest r5 rows, filling the remaining slots:
+    "ann_topk",
+    "contamination_containment",
+    "corpus_curation_stats",
+    "curation_pipeline_stats",
+    "customer_pii_scrub",
+    "customers_with_orders",
+    "customers_without_orders",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

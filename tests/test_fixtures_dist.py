@@ -45,3 +45,57 @@ def test_abac_tables_dist_identical(spark):
     b = abac_tables_dist(spark, num_users=23, num_groups=5)
     for field in ("user", "group", "resource", "member", "subgroup", "permission"):
         assert _rows(getattr(b, field)) == _rows(getattr(a, field)), field
+
+
+def test_scaled_embeddings_sign_flip_invariants(spark, tmp_path):
+    """The sf1 embedding scaling scheme's two load-bearing properties:
+    (1) within-copy pairwise cosines are EXACTLY the base corpus's (the
+    Walsh sign pattern cancels in every same-copy dot product), so each
+    copy carries the base near-pair structure; (2) cross-copy cosines of
+    the same base vector are Walsh coefficients — well below the 0.3
+    near-pair threshold for these vectors (the cyclic-shift scheme
+    failed exactly this and blew the sf1 pair graph up 102×)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.fixtures import scaled_embeddings_dist
+
+    # small deterministic base written as parquet (the function reads a dir)
+    import math
+    import random
+
+    rng = random.Random(9)
+    dim = 16
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3)
+        for i in range(20)
+    ]
+    base_dir = str(tmp_path / "sfbase")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+
+    scaled = scaled_embeddings_dist(spark, base_dir, factor=4).collect()
+    by_id = {r.vec_id: list(r.embedding) for r in scaled}
+    assert len(by_id) == 80
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    stride = 10_000_000
+    # (1) within-copy cosine == base cosine, bit-for-bit on the float32 grid
+    for c in range(4):
+        for i, j in ((0, 1), (2, 7), (5, 19)):
+            got = cos(by_id[c * stride + i], by_id[c * stride + j])
+            want = cos(by_id[i], by_id[j])
+            assert abs(got - want) < 1e-6, (c, i, j)
+    # (2) cross-copy same-base cosine stays far below the 0.3 threshold
+    for c1 in range(4):
+        for c2 in range(c1 + 1, 4):
+            for i in range(20):
+                x = cos(by_id[c1 * stride + i], by_id[c2 * stride + i])
+                assert abs(x) < 0.3, (c1, c2, i, x)
