@@ -199,11 +199,28 @@ def ann_search(
     )
 
 
+def auto_band_width(n_rows: int, target_bucket: int = 128) -> int:
+    """Band width (bits per band) sized so an isotropic corpus of
+    ``n_rows`` vectors averages ~``target_bucket`` members per bucket:
+    width = ceil(log2(n / target)), floored at 4 (the sf0.1-tuned
+    default).  The sf1 sweep measured why this must GROW with the
+    corpus: at 20k vectors a fixed 4-bit band leaves ~1.25k
+    members/bucket and the candidate stream goes quadratic
+    (91.5 s → 3.95 s at 8-bit, PERF.md round 7).  Wider bands trade
+    recall down the banded-LSH S-curve — the documented knob, now with
+    a measured default."""
+    import math
+
+    if n_rows <= 0:
+        return 4
+    return max(4, math.ceil(math.log2(max(1.0, n_rows / target_bucket))))
+
+
 def ann_near_pairs(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.3,
-    n_planes: int = 16,
+    n_planes: int | None = 16,
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -233,9 +250,18 @@ def ann_near_pairs(
     cheap integer band-ownership filter runs BEFORE the 64-term dot
     product, so the fold only evaluates on owned pairs.  Norms are
     hoisted per ROW (sqrt(Σx²) folded once per vector, not per pair) —
-    pair scores stay bit-identical to the join formulation."""
+    pair scores stay bit-identical to the join formulation.
+
+    ``n_planes=None`` = AUTO: one column-pruned count sizes the band
+    width to the corpus (``auto_band_width``), so the bucket space
+    grows with data instead of saturating — the sf1 knee fixed by
+    default.  Cataloged oracle-paired entries pass explicit params
+    (the oracle inlines the planes, so the geometry must be pinned)."""
     from graphdb_for_drones_spark.operators.dedup import posting_pairs
 
+    if n_planes is None:
+        width = auto_band_width(embeddings.select(id_col).count())
+        n_planes = width * bands
     planes = hyperplanes(dim, n_planes, seed)
     width = n_planes // bands
     mask = (1 << width) - 1
@@ -1146,6 +1172,64 @@ def pq_query_table(query_vec, codebooks: list) -> list:
             row.append(int(_math.floor(acc * 1_000_000.0 + 0.5)))
         dt.append(row)
     return dt
+
+
+def ivfpq_topk(
+    ivf_index: DataFrame,
+    centroids: list,
+    codes: DataFrame,
+    codebooks: list,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-pruned ADC top-k — the IVFPQ serving composition (Jégou,
+    Douze, Schmid 2011; the FAISS billion-scale default): the coarse
+    quantizer prunes the scan to ``n_probe`` cluster directories
+    (partition-pruned on the materialized IVF index), then asymmetric
+    distance ranks only the surviving rows' PQ codes — m small ints per
+    candidate, never a raw vector.  This variant encodes RAW vectors
+    rather than per-cluster residuals (simpler; residual encoding would
+    thread the probe's centroid into the lookup table), so both legs
+    reuse the independently oracle-checked IVF and PQ artifacts and the
+    composition itself is driver-hash-checkable.
+
+    Cost shape at 100 TB: probe = n_probe/k of the code table (cluster
+    directory pruning), each row m integer lookups + one integer sum —
+    the scan that keeps a billion-vector index interactive."""
+
+    def cos_py(a, b):
+        # sequential fold, same order as the engine/oracle folds
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return round(dot / ((na**0.5) * (nb**0.5)), 6)
+
+    ranked = sorted(
+        ((cos_py(query_vec, v), -int(cid)) for cid, v in centroids),
+        reverse=True,
+    )
+    probes = [-neg for _, neg in ranked[:n_probe]]
+    cand = ivf_index.filter(F.col("cluster").isin(probes)).select(id_col)
+    dt = pq_query_table(query_vec, codebooks)
+    m = len(codebooks)
+    adist = None
+    for j in range(m):
+        cell = F.element_at(
+            F.array(*[F.lit(v) for v in dt[j]]), F.col(f"code_{j}") + 1
+        )
+        adist = cell if adist is None else adist + cell
+    return (
+        codes.join(cand, id_col, "left_semi")
+        .select(F.col(id_col), adist.cast("long").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def pq_adc_topk_from_codes(

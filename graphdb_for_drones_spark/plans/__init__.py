@@ -53,6 +53,7 @@ _GATE_FIRST = [
     "delegation_reachable_recursive_sql",
     "event_hll_vs_exact",
     "contamination_check_bucketed",
+    "ivfpq_topk",
     # Changed this round — re-gate: the materialized pair-graph
     # consumers (near_pairs_open / ngram_pairs_open), the NULLS LAST
     # temperature fold, the string-keyed dense co-occurrence branch, the
@@ -105,7 +106,6 @@ _GATE_FIRST = [
     "curation_pipeline_stats",
     "customer_pii_scrub",
     "customers_with_orders",
-    "customers_without_orders",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

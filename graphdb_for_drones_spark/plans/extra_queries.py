@@ -1906,6 +1906,21 @@ def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 2, seed: int = 42) -> str:
     """ivf_topk oracle with the k-means derivation UNROLLED as CTEs —
     init sample, per-round assignment + decimal-exact means — mirroring
     ``operators.similarity.kmeans_centroids`` step for step."""
+    body = _ivf_kmeans_cte_body(k, iters, seed)
+    return f"""
+WITH {body}
+SELECT e.vec_id, {_cos64('e', 'q')} AS cosine
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q
+ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+"""
+
+
+def _ivf_kmeans_cte_body(
+    k: int = 8, iters: int = 2, seed: int = 42, n_probe: int = 2
+) -> str:
+    """The unrolled-k-means CTE chain (c0..c{iters}, asg, qv, probes,
+    cand) WITHOUT a final select, so composed oracles (ivfpq_topk) can
+    extend it with their own scoring CTEs."""
     # every round CTE AS MATERIALIZED: a/s/m/c stages chain with
     # multiple consumers, and downstream oracles (semantic dedup) read
     # `asg` three times — the k-core inlining lesson, preempted
@@ -1959,22 +1974,105 @@ c{it} AS MATERIALIZED (
 qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 probes AS (
   SELECT c.cid FROM {cents} c CROSS JOIN qv q
-  ORDER BY {_cos_ec('q', 'c')} DESC, c.cid ASC LIMIT 2
+  ORDER BY {_cos_ec('q', 'c')} DESC, c.cid ASC LIMIT {n_probe}
 ),
 cand AS (
   SELECT a.vec_id FROM asg a JOIN probes p ON a.cluster = p.cid
 )"""
     )
-    body = ",\n".join(ctes)
-    return f"""
-WITH {body}
-SELECT e.vec_id, {_cos64('e', 'q')} AS cosine
-FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q
-ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
-"""
+    return ",\n".join(ctes)
 
 
 ORACLE_IVF_TOPK = _ivf_kmeans_oracle_sql()
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the composed billion-scale ANN serving shape (coarse IVF
+    probe prunes cluster directories, PQ asymmetric distance ranks the
+    survivors' 8-byte codes; Jégou et al. 2011, the FAISS default).
+    Both artifacts are the MATERIALIZED fingerprinted indexes the
+    standalone entries already oracle-check (`_ivf_open_for_sf`,
+    `pq_open`); this entry checks the composition itself — probe-set
+    semi-join + integer ADC sum — against an oracle that chains the
+    unrolled-k-means CTEs with the PQ encode CTEs.  Raw-vector PQ (not
+    per-cluster residuals): documented variant choice, see
+    `similarity.ivfpq_topk`."""
+    import os as _os
+
+    from graphdb_for_drones_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_open,
+        pq_path_for,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    data = cat.embeddings.filter(F.col("vec_id") != 0)
+    idx, centroids = _ivf_open_for_sf(spark, sf_dir)
+    pq_path = pq_path_for(
+        _os.path.join(sf_dir, "embeddings.parquet"), m=8, ksub=16, seed=42
+    )
+    codes, books = pq_open(spark, data, pq_path, m=8, ksub=16, seed=42)
+    q = [
+        float(v)
+        for v in cat.embeddings.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    return ivfpq_topk(idx, centroids, codes, books, q, k=10, n_probe=2)
+
+
+def _ivfpq_oracle_sql(m: int = 8, ksub: int = 16, seed: int = 42) -> str:
+    """The IVF CTE chain (cand = 2-probe member set) + the PQ encode
+    chain (codes, qd), joined: ADC sum over the pruned candidates only.
+    CTE namespaces are disjoint by construction (ivf: c*/a*/s*/m*/asg/
+    qv/probes/cand; pq: smp/e/q/enc0/codes/qd)."""
+    dsub = 64 // m
+    sq = (
+        f"(CAST(e.embedding[j*{dsub}+i+1] AS DOUBLE)"
+        f" - CAST(s.embedding[j*{dsub}+i+1] AS DOUBLE))"
+    )
+    qsq = (
+        f"(CAST(q.embedding[j*{dsub}+i+1] AS DOUBLE)"
+        f" - CAST(s.embedding[j*{dsub}+i+1] AS DOUBLE))"
+    )
+    ivf_body = _ivf_kmeans_cte_body()
+    return f"""
+WITH {ivf_body},
+smp AS (
+  SELECT embedding, ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS c
+  FROM (
+    SELECT vec_id, embedding,
+           md5(CAST(vec_id AS VARCHAR) || ':{seed}') AS rk
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY rk, vec_id LIMIT {ksub}
+  )
+),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+enc0 AS (
+  SELECT e.vec_id, t.j, s.c,
+    CAST(FLOOR(list_sum(list_transform(range({dsub}), i ->
+      {sq} * {sq})) * 1000000.0 + 0.5) AS BIGINT) AS d
+  FROM e CROSS JOIN smp s CROSS JOIN range({m}) t(j)
+),
+codes AS (
+  SELECT vec_id, j, CAST(MIN(d * {ksub} + c) % {ksub} AS INTEGER) AS code
+  FROM enc0 GROUP BY vec_id, j
+),
+qd AS (
+  SELECT t.j, s.c,
+    CAST(FLOOR(list_sum(list_transform(range({dsub}), i ->
+      {qsq} * {qsq})) * 1000000.0 + 0.5) AS BIGINT) AS d
+  FROM q CROSS JOIN smp s CROSS JOIN range({m}) t(j)
+)
+SELECT codes.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adist
+FROM codes
+JOIN cand USING (vec_id)
+JOIN qd ON qd.j = codes.j AND qd.c = codes.code
+GROUP BY codes.vec_id
+ORDER BY adist ASC, vec_id ASC LIMIT 10
+"""
+
+
+ORACLE_IVFPQ_TOPK = _ivfpq_oracle_sql()
 
 
 def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2941,6 +3039,7 @@ EXTRA_QUERIES = {
     "user_funnel_counts": q_user_funnel_counts,
     "user_retention_cohorts": q_user_retention_cohorts,
     "ivf_topk": q_ivf_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "ann_recall_at_k": q_ann_recall_at_k,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
@@ -3000,6 +3099,7 @@ EXTRA_ORACLES = {
     "user_funnel_counts": ORACLE_USER_FUNNEL_COUNTS,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "ann_recall_at_k": ORACLE_ANN_RECALL_AT_K,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,

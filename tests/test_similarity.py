@@ -542,3 +542,90 @@ def test_ngram_pairs_open_persists_and_matches_fresh(spark, tmp_path, monkeypatc
         for r in dd.ngram_pairs_open(spark, docs, path, threshold=0.1).collect()
     )
     assert got2 == fresh
+
+
+def test_ivfpq_topk_equals_adc_over_probed_members(spark):
+    """The IVFPQ composition must equal ADC ranking restricted to the
+    coarse probe's member set — the two independently tested artifacts
+    composed with no new approximation beyond the probe itself."""
+    import random
+
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(1, 60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    q = rows[4][1]
+
+    cents = sim.kmeans_centroids(emb, k=4, iters=1, seed=7)
+    idx = sim.ivf_index(emb, cents).localCheckpoint()
+    books = sim.pq_codebooks(emb, m=4, ksub=8, seed=7)
+    codes = sim.pq_encode(emb, books).localCheckpoint()
+
+    got = sim.ivfpq_topk(idx, cents, codes, books, q, k=5, n_probe=2)
+    got_rows = [(r.vec_id, r.adist) for r in got.collect()]
+
+    # expected: ADC over exactly the probed clusters' members
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return round(d / (na * nb), 6)
+
+    probes = [
+        cid
+        for _, cid in sorted(
+            ((cos(q, v), -cid) for cid, v in cents), reverse=True
+        )[:2]
+    ]
+    probes = [-c for c in probes]
+    members = {
+        r.vec_id for r in idx.collect() if r.cluster in probes
+    }
+    adc_all = sim.pq_adc_topk_from_codes(
+        codes.filter(codes.vec_id.isin(list(members))), q, books, k=5
+    )
+    want_rows = [(r.vec_id, r.adist) for r in adc_all.collect()]
+    assert got_rows == want_rows and len(got_rows) == 5
+    # every result id really is a probed-cluster member
+    assert {i for i, _ in got_rows} <= members
+
+
+def test_ann_near_pairs_auto_band_width(spark):
+    """n_planes=None sizes the bucket space to the corpus: small inputs
+    keep the 4-bit default; the width grows ~log2(n) past the target
+    bucket size (the sf1 saturation knee, fixed by default)."""
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    assert sim.auto_band_width(100) == 4
+    assert sim.auto_band_width(2_000) == 4
+    assert sim.auto_band_width(20_000) == 8
+    assert sim.auto_band_width(1_000_000) == 13
+    assert sim.auto_band_width(0) == 4
+
+    import random
+
+    rng = random.Random(2)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [(i, [v + rng.uniform(-0.005, 0.005) for v in base]) for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    # auto on a tiny corpus == the explicit 16/4 default (width 4)
+    auto = sorted(
+        tuple(r)
+        for r in sim.ann_near_pairs(
+            emb, dim=8, threshold=0.9, n_planes=None
+        ).collect()
+    )
+    fixed = sorted(
+        tuple(r)
+        for r in sim.ann_near_pairs(
+            emb, dim=8, threshold=0.9, n_planes=16
+        ).collect()
+    )
+    assert auto == fixed and len(auto) > 0
