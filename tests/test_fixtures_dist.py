@@ -52,9 +52,11 @@ def test_scaled_embeddings_sign_flip_invariants(spark, tmp_path):
     (1) within-copy pairwise cosines are EXACTLY the base corpus's (the
     Walsh sign pattern cancels in every same-copy dot product), so each
     copy carries the base near-pair structure; (2) cross-copy cosines of
-    the same base vector are Walsh coefficients — well below the 0.3
-    near-pair threshold for these vectors (the cyclic-shift scheme
-    failed exactly this and blew the sf1 pair graph up 102×)."""
+    the same base vector are Walsh coefficients — zero-mean and MOSTLY
+    below the 0.3 near-pair threshold (a distributional property, not a
+    per-pair bound: the sf0.1 corpus measured ~5% of same-base cross
+    pairs above 0.3, vs the cyclic-shift scheme where autocorrelation
+    kept enough pairs above threshold to blow the sf1 graph up 102×)."""
     import os
 
     from pyspark.sql import functions as F
@@ -66,7 +68,7 @@ def test_scaled_embeddings_sign_flip_invariants(spark, tmp_path):
     import random
 
     rng = random.Random(9)
-    dim = 16
+    dim = 64  # the real corpus width — Walsh spread shrinks with dim
     rows = [
         (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3)
         for i in range(20)
@@ -93,9 +95,16 @@ def test_scaled_embeddings_sign_flip_invariants(spark, tmp_path):
             got = cos(by_id[c * stride + i], by_id[c * stride + j])
             want = cos(by_id[i], by_id[j])
             assert abs(got - want) < 1e-6, (c, i, j)
-    # (2) cross-copy same-base cosine stays far below the 0.3 threshold
-    for c1 in range(4):
-        for c2 in range(c1 + 1, 4):
-            for i in range(20):
-                x = cos(by_id[c1 * stride + i], by_id[c2 * stride + i])
-                assert abs(x) < 0.3, (c1, c2, i, x)
+    # (2) cross-copy same-base cosines: zero-mean Walsh coefficients,
+    # mostly sub-threshold — assert the DISTRIBUTION (deterministic for
+    # this seed), not a per-pair bound that doesn't exist
+    xs = [
+        cos(by_id[c1 * stride + i], by_id[c2 * stride + i])
+        for c1 in range(4)
+        for c2 in range(c1 + 1, 4)
+        for i in range(20)
+    ]
+    mean_abs = sum(abs(x) for x in xs) / len(xs)
+    frac_over = sum(1 for x in xs if abs(x) >= 0.3) / len(xs)
+    assert mean_abs < 0.15, mean_abs
+    assert frac_over <= 0.15, frac_over
