@@ -1056,28 +1056,15 @@ def ngram_pairs_open(
 ) -> DataFrame:
     """Load the persisted exact-jaccard pair graph at ``path`` if
     present, else enumerate (``ngram_jaccard_pairs``), persist
-    atomically (tmp dir + rename, concurrent-builder safe) and load.
-    Returns (id_a, id_b, jaccard) exactly as a fresh run would."""
-    import os as _os
-    import shutil as _shutil
+    atomically and load (the shared ``similarity.persisted_pairs``
+    kernel).  Returns (id_a, id_b, jaccard) exactly as a fresh run
+    would."""
+    from graphdb_for_drones_spark.operators.similarity import persisted_pairs
 
-    from graphdb_for_drones_spark.operators.similarity import (
-        _sweep_stale_fingerprints,
-        _sweep_stale_tmp,
-    )
-
-    if not _os.path.isdir(path):
-        _sweep_stale_tmp(path)
-        pairs = ngram_jaccard_pairs(
+    return persisted_pairs(
+        spark,
+        path,
+        lambda: ngram_jaccard_pairs(
             documents, text_col, id_col, shingle_n, threshold
-        )
-        tmp = f"{path}.tmp.{_os.getpid()}"
-        pairs.write.mode("overwrite").parquet(_os.path.join(tmp, "pairs"))
-        try:
-            _os.rename(tmp, path)
-        except OSError:
-            _shutil.rmtree(tmp, ignore_errors=True)
-            if not _os.path.isdir(path):  # pragma: no cover - genuine IO failure
-                raise
-        _sweep_stale_fingerprints(path)
-    return spark.read.parquet(_os.path.join(path, "pairs"))
+        ),
+    )

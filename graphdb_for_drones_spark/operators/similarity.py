@@ -886,6 +886,29 @@ def near_pairs_path_for(
     )
 
 
+def persisted_pairs(spark: SparkSession, path: str, builder) -> DataFrame:
+    """The shared pair-graph materialization kernel (the ``ivf_open``
+    contract): load the persisted pair table at ``path`` if present,
+    else invoke ``builder()`` (a zero-arg callable returning the pair
+    DataFrame — must be DETERMINISTIC, so the persisted graph is
+    bit-identical to a fresh run), persist atomically (tmp dir +
+    rename, concurrent-builder safe, stale-sibling sweep) and load.
+    At 100 TB this is the difference between one corpus-scale pair
+    enumeration per INDEX BUILD and one per QUERY."""
+    if not os.path.isdir(path):
+        _sweep_stale_tmp(path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        builder().write.mode("overwrite").parquet(os.path.join(tmp, "pairs"))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):  # pragma: no cover - genuine IO failure
+                raise
+        _sweep_stale_fingerprints(path)
+    return spark.read.parquet(os.path.join(path, "pairs"))
+
+
 def near_pairs_open(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -898,31 +921,62 @@ def near_pairs_open(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Materialized eps-neighbor graph: load the persisted
-    ``ann_near_pairs`` output at ``path`` if present, else compute,
-    persist atomically (tmp dir + rename, concurrent-builder safe) and
-    load.  ``ann_near_pairs`` is deterministic given the seed, so the
-    persisted graph is bit-identical to a fresh run — oracle checks
-    hold either way — and every graph-composition query (DBSCAN cores,
-    dup-cluster composition, any future density analysis) amortizes the
-    one LSH-candidate + exact-verify pass instead of recomputing it.
-    At 100 TB this is the difference between one corpus-scale pair
-    enumeration per INDEX BUILD and one per QUERY."""
-    if not os.path.isdir(path):
-        _sweep_stale_tmp(path)
-        pairs = ann_near_pairs(
+    """Materialized eps-neighbor graph: the persisted ``ann_near_pairs``
+    output — every graph-composition query (DBSCAN cores, dup-cluster
+    composition, density analysis) amortizes the one LSH-candidate +
+    exact-verify pass instead of recomputing it."""
+    return persisted_pairs(
+        spark,
+        path,
+        lambda: ann_near_pairs(
             embeddings, dim, threshold, n_planes, bands, id_col, vec_col, seed
-        )
-        tmp = f"{path}.tmp.{os.getpid()}"
-        pairs.write.mode("overwrite").parquet(os.path.join(tmp, "pairs"))
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.isdir(path):  # pragma: no cover - genuine IO failure
-                raise
-        _sweep_stale_fingerprints(path)
-    return spark.read.parquet(os.path.join(path, "pairs"))
+        ),
+    )
+
+
+def blocked_pairs_path_for(
+    source_path: str,
+    block_col: str,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> str:
+    """Deterministic directory for a materialized ``cosine_pairs_blocked``
+    graph — the ``ivf_path_for`` naming contract."""
+    sid = _source_id(source_path)
+    fp = _source_fingerprint(source_path)
+    t = str(threshold).replace(".", "_")
+    return os.path.join(
+        _index_root(), f"bpairs-{block_col}-t{t}-s{seed}-{sid}-{fp}"
+    )
+
+
+def blocked_pairs_open(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    path: str,
+    block_col: str,
+    threshold: float = 0.3,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialized label-blocked cosine pair graph: the persisted
+    ``cosine_pairs_blocked`` output (exact within-block scoring below
+    the block cap, banded-LSH above — deterministic either way)."""
+    return persisted_pairs(
+        spark,
+        path,
+        lambda: cosine_pairs_blocked(
+            embeddings,
+            block_col,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            seed=seed,
+        ),
+    )
 
 
 def ivf_open(

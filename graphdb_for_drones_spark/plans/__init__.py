@@ -66,6 +66,7 @@ _GATE_FIRST = [
     "supplier_shared_customers",
     "trade_cheapest_route",
     "contamination_check",
+    "embedding_dup_clusters",
     # Stalest driver rows (last checked r4) — every one green in the
     # local oracle replica (tests/test_queries_oracle.py) since:
     "asof_signup_before_purchase",
@@ -105,7 +106,6 @@ _GATE_FIRST = [
     "corpus_curation_stats",
     "curation_pipeline_stats",
     "customer_pii_scrub",
-    "customers_with_orders",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

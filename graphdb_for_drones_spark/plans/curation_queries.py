@@ -267,12 +267,20 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (>= 0.3) as an undirected graph, connected components by
     min-label propagation, per-cluster sizes.  The text-side twin is
     `dedup_clusters`; this closes the modality gap (embedding cosine is
-    the near-dup signal a text-shingle pipeline cannot see)."""
+    the near-dup signal a text-shingle pipeline cannot see).
+
+    The blocked pair graph is MATERIALIZED (`blocked_pairs_open`, the
+    fingerprinted-open contract): the per-block scoring runs once per
+    corpus state and the cluster composition probes the persisted,
+    bit-identical graph."""
+    import os as _os
+
     from graphdb_for_drones_spark.operators.graph_algorithms import (
         connected_components,
     )
     from graphdb_for_drones_spark.operators.similarity import (
-        cosine_pairs_blocked,
+        blocked_pairs_open,
+        blocked_pairs_path_for,
     )
 
     cat = Catalog(spark, sf_dir)
@@ -280,8 +288,11 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it skips the one-row dim probe.  Blocks here are far below
     # MAX_EXACT_BLOCK at test scale, so the exact leg runs and the oracle
     # is bit-exact; at 100 TB oversized blocks route through the LSH leg.
-    pairs = cosine_pairs_blocked(
-        cat.embeddings, block_col="label", threshold=0.3, dim=64
+    path = blocked_pairs_path_for(
+        _os.path.join(sf_dir, "embeddings.parquet"), "label", threshold=0.3
+    )
+    pairs = blocked_pairs_open(
+        spark, cat.embeddings, path, block_col="label", threshold=0.3, dim=64
     ).select(
         F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
