@@ -5,11 +5,12 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-7 rotation: the 4 new entries (recursive-CTE SQL surface twins,
-event_hll_vs_exact, contamination_check_bucketed) lead, then the 8
-entries whose plans changed this round (materialized pair-graph
-consumers, the NULLS LAST temperature fold, the dense co-occurrence
-string keys, the probe-gated SSSP, the capped_train_index extraction),
+Round-7 rotation: the 6 new entries (recursive-CTE SQL surface twins,
+event_hll_vs_exact, contamination_check_bucketed, ivfpq_topk,
+contamination_exact_13gram) lead, then the 9 entries whose plans
+changed this round (materialized pair-graph consumers, the NULLS LAST
+temperature fold, the dense co-occurrence string keys, the probe-gated
+SSSP, the capped_train_index extraction),
 then the driver rows stalest by round (all of r4's survivors, then
 r5's) — freshening the window's coverage now that every query has had
 at least one green row.  Rotated-out entries stay covered by the local
@@ -54,6 +55,7 @@ _GATE_FIRST = [
     "event_hll_vs_exact",
     "contamination_check_bucketed",
     "ivfpq_topk",
+    "contamination_exact_13gram",
     # Changed this round — re-gate: the materialized pair-graph
     # consumers (near_pairs_open / ngram_pairs_open), the NULLS LAST
     # temperature fold, the string-keyed dense co-occurrence branch, the
@@ -105,7 +107,6 @@ _GATE_FIRST = [
     "contamination_containment",
     "corpus_curation_stats",
     "curation_pipeline_stats",
-    "customer_pii_scrub",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

@@ -48,6 +48,54 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_exact_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-gram overlap decontamination — the GPT-3 appendix-C /
+    PaLM rule (Brown et al. 2020 §4, "dirty if it shares any 13-gram
+    with an eval example"), beside the jaccard/containment gates: per
+    (train, eval) pair, the count of shared DISTINCT word-13-grams;
+    any row at all marks the train doc dirty.  Same inverted-index
+    join as the 3-gram family (hashed grams, never all-pairs) — only
+    the gram width and the no-threshold semantics differ; at 13 words
+    a shared gram is essentially a quotation, so no similarity score
+    is needed."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    tr = curation.shingle_index(
+        docs.filter(F.col("source") != "src0"), "train_id", shingle_n=13
+    )
+    ev = curation.shingle_index(
+        docs.filter(F.col("source") == "src0"), "eval_id", shingle_n=13
+    )
+    return (
+        tr.join(ev, "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+        .orderBy("train_id", "eval_id")
+    )
+
+
+ORACLE_CONTAMINATION_EXACT_13GRAM = rf"""
+WITH d AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+),
+g AS (
+  -- docs under 13 words carry one whole-text shingle, matching the
+  -- engine's shingles()/shingle_hash_array short-doc contract
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(w) < 13 THEN [array_to_string(w, ' ')]
+         ELSE [array_to_string(w[i+1:i+13], ' ') for i in range(len(w)-12)] END
+  ) AS gram FROM d
+),
+gd AS (SELECT DISTINCT doc_id, source, gram FROM g),
+tr AS (SELECT doc_id, gram FROM gd WHERE source <> 'src0'),
+ev AS (SELECT doc_id, gram FROM gd WHERE source = 'src0')
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM tr JOIN ev USING (gram)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_contamination_check_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`contamination_check` over BUCKETED index sides: both shingle
     indexes (df-capped train, eval) are materialized as h-bucketed,
@@ -1607,6 +1655,7 @@ CURATION_QUERIES = {
     "doc_quality_logit": q_doc_quality_logit,
     "contamination_check": q_contamination_check,
     "contamination_check_bucketed": q_contamination_check_bucketed,
+    "contamination_exact_13gram": q_contamination_exact_13gram,
     "doc_pack_stats": q_doc_pack_stats,
     "mixture_weights": q_mixture_weights,
     "lang_temperature_mixture": q_lang_temperature_mixture,
@@ -1642,6 +1691,7 @@ CURATION_ORACLES = {
     "doc_quality_logit": ORACLE_DOC_QUALITY_LOGIT,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "contamination_check_bucketed": ORACLE_CONTAMINATION_CHECK,
+    "contamination_exact_13gram": ORACLE_CONTAMINATION_EXACT_13GRAM,
     "doc_pack_stats": ORACLE_DOC_PACK_STATS,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "lang_temperature_mixture": ORACLE_LANG_TEMPERATURE_MIXTURE,
