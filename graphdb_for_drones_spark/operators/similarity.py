@@ -1286,6 +1286,121 @@ def ivfpq_topk(
     )
 
 
+def ivf_residuals(
+    embeddings: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, resid): each vector minus its assigned centroid —
+    the quantity residual PQ encodes.  The centroid lookup is a
+    when-chain of array literals on the cluster id (k is small by
+    design; broadcast literals, pure codegen, no join)."""
+    asg = ivf_index(embeddings, centroids, id_col, vec_col)
+    cent_expr = None
+    for cid, v in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in v])
+        cent_expr = (
+            F.when(F.col("cluster") == int(cid), arr)
+            if cent_expr is None
+            else cent_expr.when(F.col("cluster") == int(cid), arr)
+        )
+    return asg.select(
+        F.col(id_col),
+        "cluster",
+        F.zip_with(
+            F.col(vec_col), cent_expr, lambda x, c: x.cast("double") - c
+        ).alias("resid"),
+    )
+
+
+def ivfpq_residual_build(
+    embeddings: DataFrame,
+    centroids: list,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """Residual-PQ code table: codebooks are trained on (and codes
+    encode) the RESIDUALS x − centroid[cluster(x)] — the true IVFPQ
+    of Jégou et al. 2011 / FAISS IndexIVFPQ, where quantization error
+    shrinks because residuals are centered near zero.  Returns
+    (codes (id, cluster, code_0..m-1), codebooks).  Deterministic:
+    same seeded md5 sample rule as ``pq_codebooks``, applied to the
+    residual vectors."""
+    res = ivf_residuals(embeddings, centroids, id_col, vec_col).localCheckpoint()
+    books = pq_codebooks(res, m, ksub, seed, id_col, "resid")
+    codes = pq_encode(res, books, id_col, "resid").join(
+        res.select(id_col, "cluster"), id_col
+    )
+    return codes, books
+
+
+def ivfpq_residual_search(
+    codes: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual-ADC top-k: the coarse probe picks ``n_probe`` clusters
+    (query-centroid cosine, the ivf_search rule); each probed cluster
+    gets ITS OWN asymmetric-distance table built from the query's
+    residual against that centroid (q − c_p), and a candidate row's
+    distance sums its codewords' cells from its cluster's table.
+    Residual ADC approximates the same ||q − x||² as raw ADC
+    (‖(q−c) − (x−c)‖²) with tighter quantization — the reason FAISS
+    defaults to it.  All integer micro-unit sums — hash-checkable."""
+
+    def cos_py(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return round(dot / ((na**0.5) * (nb**0.5)), 6)
+
+    ranked = sorted(
+        ((cos_py(query_vec, v), -int(cid)) for cid, v in centroids),
+        reverse=True,
+    )
+    probes = [-neg for _, neg in ranked[:n_probe]]
+    cent = {int(cid): [float(x) for x in v] for cid, v in centroids}
+    tables = {
+        p: pq_query_table(
+            [float(q) - c for q, c in zip(query_vec, cent[p])], codebooks
+        )
+        for p in probes
+    }
+    m = len(codebooks)
+    adist = None
+    for j in range(m):
+        cell = None
+        for p in probes:
+            arr = F.array(*[F.lit(v) for v in tables[p][j]])
+            cell = (
+                F.when(F.col("cluster") == p, F.element_at(arr, F.col(f"code_{j}") + 1))
+                if cell is None
+                else cell.when(
+                    F.col("cluster") == p,
+                    F.element_at(arr, F.col(f"code_{j}") + 1),
+                )
+            )
+        adist = cell if adist is None else adist + cell
+    return (
+        codes.filter(F.col("cluster").isin(probes))
+        .select(F.col(id_col), adist.cast("long").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def pq_adc_topk_from_codes(
     codes: DataFrame,
     query_vec,

@@ -56,6 +56,7 @@ _GATE_FIRST = [
     "contamination_check_bucketed",
     "ivfpq_topk",
     "contamination_exact_13gram",
+    "ivfpq_residual_topk",
     # Changed this round — re-gate: the materialized pair-graph
     # consumers (near_pairs_open / ngram_pairs_open), the NULLS LAST
     # temperature fold, the string-keyed dense co-occurrence branch, the
@@ -106,7 +107,6 @@ _GATE_FIRST = [
     "ann_topk",
     "contamination_containment",
     "corpus_curation_stats",
-    "curation_pipeline_stats",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]

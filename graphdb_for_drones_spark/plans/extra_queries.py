@@ -2075,6 +2075,90 @@ ORDER BY adist ASC, vec_id ASC LIMIT 10
 ORACLE_IVFPQ_TOPK = _ivfpq_oracle_sql()
 
 
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVFPQ — the full Jégou et al. 2011 / FAISS IndexIVFPQ
+    shape: PQ codebooks are trained on (and codes encode) the residuals
+    x − centroid[cluster(x)], and each probed cluster gets its own
+    query-residual distance table.  Residuals center near zero, so
+    quantization error shrinks vs the raw-vector `ivfpq_topk` twin —
+    both are cataloged so the accuracy/complexity trade is visible.
+    Deterministic end-to-end (seeded k-means, seeded md5 codebook
+    sample, integer micro-unit distances): the oracle chains the
+    unrolled-k-means CTEs → residual CTE → residual-PQ encode → a
+    per-probe-cluster distance table."""
+    from graphdb_for_drones_spark.operators.similarity import (
+        ivfpq_residual_build,
+        ivfpq_residual_search,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    data = cat.embeddings.filter(F.col("vec_id") != 0)
+    _idx, centroids = _ivf_open_for_sf(spark, sf_dir)
+    codes, books = ivfpq_residual_build(data, centroids, m=8, ksub=16, seed=42)
+    q = [
+        float(v)
+        for v in cat.embeddings.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    return ivfpq_residual_search(codes, centroids, books, q, k=10, n_probe=2)
+
+
+def _ivfpq_residual_oracle_sql(
+    m: int = 8, ksub: int = 16, seed: int = 42, iters: int = 2
+) -> str:
+    dsub = 64 // m
+    ivf_body = _ivf_kmeans_cte_body(iters=iters)
+    cents = f"c{iters}"
+    esq = f"(e.r[j*{dsub}+i+1] - s.r[j*{dsub}+i+1])"
+    qsq = (
+        f"((CAST(q.embedding[j*{dsub}+i+1] AS DOUBLE)"
+        f" - c.emb[j*{dsub}+i+1]) - s.r[j*{dsub}+i+1])"
+    )
+    return f"""
+WITH {ivf_body},
+resid AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster,
+         list_transform(range(64), i ->
+           CAST(e.embedding[i+1] AS DOUBLE) - c.emb[i+1]) AS r
+  FROM asg a JOIN embeddings e USING (vec_id)
+  JOIN {cents} c ON c.cid = a.cluster
+),
+smp AS MATERIALIZED (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY rk, vec_id) - 1 AS c
+  FROM (
+    SELECT vec_id, r, md5(CAST(vec_id AS VARCHAR) || ':{seed}') AS rk
+    FROM resid ORDER BY rk, vec_id LIMIT {ksub}
+  )
+),
+enc0 AS (
+  SELECT e.vec_id, t.j, s.c,
+    CAST(FLOOR(list_sum(list_transform(range({dsub}), i ->
+      {esq} * {esq})) * 1000000.0 + 0.5) AS BIGINT) AS d
+  FROM resid e CROSS JOIN smp s CROSS JOIN range({m}) t(j)
+),
+codes AS (
+  SELECT vec_id, j, CAST(MIN(d * {ksub} + c) % {ksub} AS INTEGER) AS code
+  FROM enc0 GROUP BY vec_id, j
+),
+qd AS (
+  SELECT p.cid AS cluster, t.j, s.c,
+    CAST(FLOOR(list_sum(list_transform(range({dsub}), i ->
+      {qsq} * {qsq})) * 1000000.0 + 0.5) AS BIGINT) AS d
+  FROM probes p JOIN {cents} c ON c.cid = p.cid
+  CROSS JOIN qv q CROSS JOIN smp s CROSS JOIN range({m}) t(j)
+)
+SELECT codes.vec_id AS vec_id, CAST(SUM(qd.d) AS BIGINT) AS adist
+FROM codes
+JOIN asg ON asg.vec_id = codes.vec_id
+JOIN qd ON qd.cluster = asg.cluster
+       AND qd.j = codes.j AND qd.c = codes.code
+GROUP BY codes.vec_id
+ORDER BY adist ASC, codes.vec_id ASC LIMIT 10
+"""
+
+
+ORACLE_IVFPQ_RESIDUAL_TOPK = _ivfpq_residual_oracle_sql()
+
+
 def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index EVALUATION: recall@10 of the 2-probe IVF search against
     brute-force cosine top-10 for the vec_id=0 query — the accuracy
@@ -3040,6 +3124,7 @@ EXTRA_QUERIES = {
     "user_retention_cohorts": q_user_retention_cohorts,
     "ivf_topk": q_ivf_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "ann_recall_at_k": q_ann_recall_at_k,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
@@ -3100,6 +3185,7 @@ EXTRA_ORACLES = {
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivfpq_topk": ORACLE_IVFPQ_TOPK,
+    "ivfpq_residual_topk": ORACLE_IVFPQ_RESIDUAL_TOPK,
     "ann_recall_at_k": ORACLE_ANN_RECALL_AT_K,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,

@@ -629,3 +629,112 @@ def test_ann_near_pairs_auto_band_width(spark):
         ).collect()
     )
     assert auto == fixed and len(auto) > 0
+
+
+def test_ivfpq_residual_matches_python_reference(spark):
+    """Residual IVFPQ end-to-end vs a straight-line python reference:
+    same centroids, same residuals, same seeded codebook sample, same
+    integer micro-unit ADC — the engine's distributed composition must
+    reproduce it row for row."""
+    import hashlib
+    import math
+    import random
+
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    rng = random.Random(13)
+    dim, m, ksub = 16, 4, 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(1, 50)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    q = rows[7][1]
+
+    cents = sim.kmeans_centroids(emb, k=3, iters=1, seed=5)
+    codes, books = sim.ivfpq_residual_build(
+        emb, cents, m=m, ksub=ksub, seed=5
+    )
+    got = [
+        (r.vec_id, r.adist)
+        for r in sim.ivfpq_residual_search(
+            codes, cents, books, q, k=5, n_probe=2
+        ).collect()
+    ]
+
+    # ---- python reference ------------------------------------------------
+    vecs = {i: [float(x) for x in spark.createDataFrame(
+        [(i, v)], "vec_id long, embedding array<float>"
+    ).first().embedding] for i, v in rows}  # float32 round-trip like the engine
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
+
+    # assignment: best cosine, centroid-id tiebreak (ivf_index rule)
+    asg = {}
+    for i, v in vecs.items():
+        best = max(((cos(v, cv), -cid) for cid, cv in cents))
+        asg[i] = -best[1]
+    cent = {cid: cv for cid, cv in cents}
+    resid = {i: [x - c for x, c in zip(v, cent[asg[i]])] for i, v in vecs.items()}
+
+    # codebooks: ksub smallest md5(f"{id}:5"), id tiebreak
+    sample = sorted(
+        vecs, key=lambda i: (hashlib.md5(f"{i}:5".encode()).hexdigest(), i)
+    )[:ksub]
+    dsub = dim // m
+    books_ref = [
+        [resid[i][j * dsub : (j + 1) * dsub] for i in sample]
+        for j in range(m)
+    ]
+    for j in range(m):
+        assert [
+            [round(x, 9) for x in cw] for cw in books[j]
+        ] == [[round(x, 9) for x in cw] for cw in books_ref[j]]
+
+    def micro(x):
+        return int(math.floor(x * 1_000_000.0 + 0.5))
+
+    def encode(r):
+        out = []
+        for j in range(m):
+            ds = []
+            for c, cw in enumerate(books_ref[j]):
+                acc = 0.0
+                for i2 in range(dsub):
+                    d = r[j * dsub + i2] - cw[i2]
+                    acc += d * d
+                ds.append((micro(acc), c))
+            out.append(min(ds)[1])
+        return out
+
+    probes = [-p for _, p in sorted(
+        ((cos(q, cv), -cid) for cid, cv in cents), reverse=True
+    )[:2]]
+    qf = vecs[8]  # float32-rounded query (rows[7] has vec_id 8)
+    cand = []
+    for i in vecs:
+        if asg[i] not in probes:
+            continue
+        qres = [x - c for x, c in zip(qf, cent[asg[i]])]
+        code = encode(resid[i])
+        adist = 0
+        for j in range(m):
+            cw = books_ref[j][code[j]]
+            acc = 0.0
+            for i2 in range(dsub):
+                d = qres[j * dsub + i2] - cw[i2]
+                acc += d * d
+            adist += micro(acc)
+        cand.append((adist, i))
+    want = [(i, a) for a, i in sorted(cand)[:5]]
+    assert got == want
