@@ -247,18 +247,23 @@ def main() -> None:
     spark = get_spark("bench-protocol")
     spark.sparkContext.setLogLevel("ERROR")
     scenarios = tuple(args.scenarios.split(","))
+
+    def _ints(csv: str) -> list[int]:
+        # "--nodes ''" legally skips a grid (e.g. a big-grid-only run)
+        return [int(x) for x in csv.split(",") if x.strip()]
+
     results = sweep(
         spark,
-        [int(x) for x in args.nodes.split(",")],
-        [int(x) for x in args.depths.split(",")],
+        _ints(args.nodes),
+        _ints(args.depths),
         iterations=args.iterations,
         scenarios=scenarios,
     )
     if args.big_nodes:
         results += sweep(
             spark,
-            [int(x) for x in args.big_nodes.split(",")],
-            [int(x) for x in args.big_depths.split(",")],
+            _ints(args.big_nodes),
+            _ints(args.big_depths),
             iterations=args.big_iterations,
             scenarios=scenarios,
         )
