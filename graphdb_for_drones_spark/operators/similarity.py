@@ -1338,6 +1338,68 @@ def ivfpq_residual_build(
     return codes, books
 
 
+def ivfpq_residual_path_for(
+    source_path: str,
+    k: int = 8,
+    iters: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> str:
+    """Deterministic residual-code directory for (source data, coarse +
+    PQ params) — the ``ivf_path_for`` naming contract."""
+    sid = _source_id(source_path)
+    fp = _source_fingerprint(source_path)
+    return os.path.join(
+        _index_root(),
+        f"ivfpqr-k{k}-i{iters}-m{m}-c{ksub}-s{seed}-{sid}-{fp}",
+    )
+
+
+def ivfpq_residual_open(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    centroids: list,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """Load the persisted residual-code table at ``path`` if present,
+    else build (``ivfpq_residual_build``), persist atomically — codes
+    parquet PARTITIONED BY cluster (a probe's ``cluster IN`` filter
+    becomes directory pruning, the ivf_write layout) plus the residual
+    codebooks as JSON — and load.  Deterministic, so bit-identical to a
+    fresh build; probes amortize the residual + encode pass exactly
+    like ``pq_open`` amortizes the raw encode."""
+    if not os.path.isdir(path):
+        _sweep_stale_tmp(path)
+        codes, books = ivfpq_residual_build(
+            embeddings, centroids, m, ksub, seed, id_col, vec_col
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        codes.write.mode("overwrite").partitionBy("cluster").parquet(
+            os.path.join(tmp, "codes")
+        )
+        with open(os.path.join(tmp, "codebooks.json"), "w") as fh:
+            json.dump(
+                [[[float(x) for x in cw] for cw in book] for book in books],
+                fh,
+            )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):  # pragma: no cover - genuine IO failure
+                raise
+        _sweep_stale_fingerprints(path)
+    with open(os.path.join(path, "codebooks.json")) as fh:
+        books = json.load(fh)
+    return spark.read.parquet(os.path.join(path, "codes")), books
+
+
 def ivfpq_residual_search(
     codes: DataFrame,
     centroids: list,

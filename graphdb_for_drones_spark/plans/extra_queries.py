@@ -2085,16 +2085,26 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end-to-end (seeded k-means, seeded md5 codebook
     sample, integer micro-unit distances): the oracle chains the
     unrolled-k-means CTEs → residual CTE → residual-PQ encode → a
-    per-probe-cluster distance table."""
+    per-probe-cluster distance table.  Codes are MATERIALIZED
+    cluster-partitioned (`ivfpq_residual_open`): a probe reads only its
+    cluster directories' m-int rows."""
+    import os as _os
+
     from graphdb_for_drones_spark.operators.similarity import (
-        ivfpq_residual_build,
+        ivfpq_residual_open,
+        ivfpq_residual_path_for,
         ivfpq_residual_search,
     )
 
     cat = Catalog(spark, sf_dir)
     data = cat.embeddings.filter(F.col("vec_id") != 0)
     _idx, centroids = _ivf_open_for_sf(spark, sf_dir)
-    codes, books = ivfpq_residual_build(data, centroids, m=8, ksub=16, seed=42)
+    path = ivfpq_residual_path_for(
+        _os.path.join(sf_dir, "embeddings.parquet"), k=8, iters=2, m=8, ksub=16
+    )
+    codes, books = ivfpq_residual_open(
+        spark, data, centroids, path, m=8, ksub=16, seed=42
+    )
     q = [
         float(v)
         for v in cat.embeddings.filter(F.col("vec_id") == 0).first().embedding
