@@ -72,12 +72,25 @@ def shingle_index(
     """Exploded distinct-shingle inverted index for one corpus side:
     (``name``, ``n_<name>`` set size, ``h`` shingle hash).  For a static
     eval set, build once and reuse (e.g. ``localCheckpoint`` it for the
-    streaming guard)."""
-    from graphdb_for_drones_spark.operators.dedup import with_shingle_hashes
+    streaming guard).
+
+    Input is SPREAD to the cluster's parallelism before the shingle
+    fold (`dedup._spread_input`): a single small parquet file reads as
+    ONE partition, which would serialize all per-doc hash CPU onto one
+    core — measured 11.7 → 2.9 s on the 13-gram entry at sf0.1; no-op
+    at real corpus scale where the source already has enough splits."""
+    from graphdb_for_drones_spark.operators.dedup import (
+        _spread_input,
+        with_shingle_hashes,
+    )
 
     return (
         with_shingle_hashes(
-            df.select(F.col(id_col).alias(name), F.col(text_col)),
+            _spread_input(
+                df.select(F.col(id_col).alias(name), F.col(text_col)),
+                name,
+                text_col,
+            ),
             text_col,
             shingle_n,
             out_col="__sh",

