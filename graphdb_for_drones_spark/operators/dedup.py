@@ -823,6 +823,22 @@ def _extract_pieces(fp, pieces: list[tuple[int, int]]):
     return val
 
 
+def _extract_pieces_sql(fp_sql: str, pieces: list[tuple[int, int]]) -> str:
+    """SQL-text twin of ``_extract_pieces`` (the py4j plan-build-tax
+    fix: the sub-banding expressions reference it bands² times, and
+    building them as Column ops costs ~9k py4j round-trips ≈ 2 s of
+    DRIVER time per plan; one parsed string builds the identical
+    tree)."""
+    parts, acc = [], 0
+    for s, w in pieces:
+        p = f"(shiftrightunsigned({fp_sql}, {s}) & {(1 << w) - 1}L)"
+        if acc:
+            p = f"shiftleft({p}, {acc})"
+        parts.append(p)
+        acc += w
+    return " + ".join(parts)
+
+
 def simhash_candidate_pairs(
     fp_df: DataFrame,
     max_hamming: int,
@@ -899,26 +915,20 @@ def simhash_candidate_pairs(
             b: _complement_subchunks(bits, layout, b, bands)
             for b in range(bands)
         }
-        member_fp = F.col("id.fp")
-        sub_arr = None
+        # both the sub-chunk array and the nested-ownership chain below
+        # are bands²-sized expression families: emit them as ONE SQL
+        # string each (F.expr parses the identical tree) — the py4j
+        # plan-build tax measured ~2 s of driver time per plan on the
+        # Column-op formulation (~9k gateway round-trips)
+        arr_sql = []
         for b in range(bands):
-            arr_b = F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("sub_band"),
-                        _extract_pieces(member_fp, subs[b][j]).alias(
-                            "sub_chunk"
-                        ),
-                    )
-                    for j in range(bands)
-                ]
+            entries = ", ".join(
+                f"named_struct('sub_band', {j}, 'sub_chunk', "
+                f"{_extract_pieces_sql('`id`.`fp`', subs[b][j])})"
+                for j in range(bands)
             )
-            cond = F.col("band") == b
-            sub_arr = (
-                F.when(cond, arr_b)
-                if sub_arr is None
-                else sub_arr.when(cond, arr_b)
-            )
+            arr_sql.append(f"WHEN band = {b} THEN array({entries})")
+        sub_arr = F.expr("CASE " + " ".join(arr_sql) + " END")
         sub_keyed = (
             hot.select("band", "chunk", F.explode("ids").alias("id"))
             .select("band", "chunk", "id", F.explode(sub_arr).alias("sb"))
@@ -934,28 +944,21 @@ def simhash_candidate_pairs(
             ["band", "chunk", "sub_band", "sub_chunk"],
             keep_keys=True,
         )
-        sfa, sfb = F.col("id_a.fp"), F.col("id_b.fp")
-        inner_own = None
+        own_sql = []
         for b in range(bands):
-            first_j = None
-            for j in range(bands):
-                agree_j = _extract_pieces(sfa, subs[b][j]) == _extract_pieces(
-                    sfb, subs[b][j]
-                )
-                first_j = (
-                    F.when(agree_j, F.lit(j))
-                    if first_j is None
-                    else first_j.when(agree_j, F.lit(j))
-                )
-            cond = F.col("band") == b
-            inner_own = (
-                F.when(cond, first_j)
-                if inner_own is None
-                else inner_own.when(cond, first_j)
+            inner = " ".join(
+                f"WHEN ({_extract_pieces_sql('`id_a`.`fp`', subs[b][j])})"
+                f" = ({_extract_pieces_sql('`id_b`.`fp`', subs[b][j])})"
+                f" THEN {j}"
+                for j in range(bands)
             )
+            own_sql.append(f"WHEN band = {b} THEN (CASE {inner} END)")
+        inner_own = F.expr("CASE " + " ".join(own_sql) + " END")
         # radius check first (one xor + popcount) so the 49-branch
         # nested-ownership chain only evaluates on survivors
-        sub_ham = F.bit_count(sfa.bitwiseXOR(sfb))
+        sub_ham = F.bit_count(
+            F.col("id_a.fp").bitwiseXOR(F.col("id_b.fp"))
+        )
         hot_pairs = (
             sub_cand.filter(sub_ham <= max_hamming)
             .filter(F.col("sub_band") == inner_own)
