@@ -2,9 +2,12 @@
 
 `bench_scale` demonstrated linearity on an in-memory 10× corpus; this
 sweep generates a REAL sf1 tier on disk (`fixtures.write_scaled_sf`:
-documents via copy-tagged words, embeddings via cyclic-shift copies —
-both schemes keep per-copy pair structure exact while adding no
-cross-copy overlap) and times the dedup / contamination / ANN families
+documents via copy-tagged words, embeddings via Walsh-Hadamard
+sign-flip copies — both schemes keep per-copy pair structure exact
+while adding no cross-copy overlap; cyclic-shift was measured and
+REJECTED, its autocorrelation blew the pair graph up ~102×, see
+tests/test_fixtures_dist.py) and times the dedup / contamination / ANN
+families
 reading parquet exactly like the driver testdata.
 
 Strategy transitions this sweep exercises (named per family below):

@@ -486,7 +486,9 @@ def write_scaled_sf(
 ) -> None:
     """Persist an sf×``factor`` LLM-pipeline corpus (documents +
     embeddings) derived from ``base_sf_dir`` — the sf1 tier when base is
-    sf0.1.  Deterministic (copy-tag words, cyclic-shift vectors), so
+    sf0.1.  Deterministic (copy-tag words; embeddings via Walsh-Hadamard
+    SIGN-FLIP copies — cyclic-shift was the measured-and-rejected scheme
+    that blew the sf1 pair graph up ~102×, see test_fixtures_dist), so
     regenerating yields byte-equivalent content; written as real parquet
     directories so every measurement reads from disk exactly like the
     driver testdata."""

@@ -135,13 +135,21 @@ def bucketed_shingle_table_open(
     table: str,
     path: str,
     num_buckets: int = 16,
+    build_params: dict | None = None,
 ) -> DataFrame:
     """Materialize a shingle-index side as an ``h``-BUCKETED, h-sorted
     table (``sources.io.write_bucketed``) and return it; on a warm open
-    (path exists) just (re-)register the table metadata over the
-    existing bucketed files — the files carry Spark bucket ids in their
-    names, and the DDL restores the layout contract for a fresh
-    session's in-memory catalog.
+    (path exists) re-register the table metadata over the existing
+    bucketed files — the DDL's bucket count is taken from the
+    ``_bucket_spec.json`` sidecar the cold build wrote (the persisted
+    layout), NEVER from the argument, and a spec/argument mismatch
+    raises instead of silently registering a layout the files don't
+    have (a bucketed-join under a wrong declared layout drops matching
+    rows with no error).  A spec-less legacy dir is rebuilt.
+    ``build_params`` records semantic build constants (shingle_n,
+    max_df, …) in the sidecar and is asserted the same way — callers
+    must ALSO encode every build param in ``path``/``table`` (the
+    ``*_path_for`` contract) so distinct param sets never share a dir.
 
     Two sides bucketed on ``h`` with the same bucket count join with NO
     shuffle exchange on either side: at 100 TB this converts the
@@ -149,22 +157,46 @@ def bucketed_shingle_table_open(
     corpus-scale exchange of the contamination family — into a zip of
     pre-sorted buckets.  ``builder`` is a zero-arg callable returning
     the index DataFrame, invoked only on a cold build."""
+    import json as _json
     import os as _os
+    import shutil as _shutil
 
+    spec_file = _os.path.join(path, "_bucket_spec.json")
+    want = {
+        "num_buckets": num_buckets,
+        "bucket_cols": ["h"],
+        "sort_cols": ["h"],
+        "build_params": build_params or {},
+    }
+    if _os.path.isdir(path) and not _os.path.isfile(spec_file):
+        # pre-spec dir: layout unverifiable, rebuild (it is a cache)
+        _shutil.rmtree(path)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     if not _os.path.isdir(path):
         from graphdb_for_drones_spark.operators.similarity import (
             _sweep_stale_fingerprints,
         )
         from graphdb_for_drones_spark.sources.io import write_bucketed
 
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
         write_bucketed(
             builder(), table, ["h"], num_buckets, sort_cols=["h"], path=path
         )
+        with open(spec_file, "w") as fh:
+            _json.dump(want, fh)
         # drop dead index dirs of the SAME source's older corpus states
         # (path carries <...>-<source id>-<content fingerprint>, the
         # *_path_for naming contract the sweep keys on)
         _sweep_stale_fingerprints(path)
         return spark.table(table)
+    with open(spec_file) as fh:
+        spec = _json.load(fh)
+    if spec != want:
+        raise ValueError(
+            f"bucketed index at {path} was built with {spec}, opened with "
+            f"{want}: encode build params in the path/table name so "
+            "param sets never share a directory"
+        )
     if not spark.catalog.tableExists(table):
         schema = spark.read.parquet(path).schema
         cols = ", ".join(
@@ -172,8 +204,8 @@ def bucketed_shingle_table_open(
         )
         spark.sql(
             f"CREATE TABLE {table} ({cols}) USING parquet "
-            f"CLUSTERED BY (h) SORTED BY (h) INTO {num_buckets} BUCKETS "
-            f"LOCATION '{path}'"
+            f"CLUSTERED BY (h) SORTED BY (h) INTO {spec['num_buckets']} "
+            f"BUCKETS LOCATION '{path}'"
         )
     return spark.table(table)
 

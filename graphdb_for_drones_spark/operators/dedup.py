@@ -118,12 +118,61 @@ def shingle_hash_array(col, n: int = 3):
     return _shingle_hashes_from(words, wh, n)
 
 
+def _wide_gram_hashes(wh, n: int, stage=None):
+    """Shared n>8 staged-doubling gram combine — the ONE definition of
+    the wide-gram hash family, so it is a function of ``n`` alone no
+    matter which builder emits it (``shingle_hash_array`` nests the
+    expressions; ``with_shingle_hashes`` pins each level as a named
+    column via ``stage`` for lambda-CSE).  Recurrence: gram-hash arrays
+    for power-of-two widths by doubling (g2k[i] = xxhash64(gk[i],
+    gk[i+k])); width n combines the largest power p with itself at
+    offset n−p.  ``stage(expr, name)`` must return an expression that
+    evaluates to ``expr`` (identity by default)."""
+    if stage is None:
+        stage = lambda e, _name: e
+    p = 1
+    while p * 2 < n:
+        p *= 2
+    cur, k = wh, 1
+    while k < p:
+        # m2 can go negative on short docs: clamp the slice length; the
+        # short-doc fallback never reads these rows' grams
+        m2 = F.greatest(F.size(wh) - F.lit(2 * k - 1), F.lit(0))
+        g = F.zip_with(
+            F.slice(cur, 1, m2),
+            F.slice(cur, k + 1, m2),
+            lambda a, b: F.xxhash64(a, b),
+        )
+        k *= 2
+        cur = stage(g, f"__g{k}")
+    m_n = F.greatest(F.size(wh) - F.lit(n - 1), F.lit(0))
+    return F.zip_with(
+        F.slice(cur, 1, m_n),
+        F.slice(cur, n - p + 1, m_n),
+        lambda a, b: F.xxhash64(a, b),
+    )
+
+
 def _shingle_hashes_from(words, wh, n: int):
     """Window-fold shingle hashes given words + word-hash expressions.
     Pass COLUMN references for multi-use plans (``with_shingle_hashes``):
     subexpression elimination skips lambda-bearing subtrees, so inline
     ``words``/``wh`` expressions are re-evaluated at every reference
-    below (n slices + 2 sizes + the short-doc fallback)."""
+    below (n slices + 2 sizes + the short-doc fallback).
+
+    n > 8 emits the SAME staged-doubling family as
+    ``with_shingle_hashes`` (``_wide_gram_hashes``, nested inline here)
+    so the shingle-hash family is a function of ``n`` alone across both
+    builders — a consumer joining the two builders' outputs, or a
+    persisted index re-opened against freshly hashed probes, meets the
+    identical family at every n.  For wide grams prefer
+    ``with_shingle_hashes`` (staged named columns): the nested inline
+    form re-evaluates lambda-bearing levels per reference."""
+    if n > 8:
+        comb = _wide_gram_hashes(wh, n)
+        return F.when(
+            F.size(wh) < n, F.array(F.xxhash64(F.concat_ws(" ", words)))
+        ).otherwise(comb)
     m = F.size(wh) - n + 1  # shingle count when the doc has >= n words
 
     def win(j):  # j-th shifted slice, exactly m elements
@@ -162,11 +211,12 @@ def with_shingle_hashes(
     builds an (n−1)-deep nested zip_with tree whose per-ACTION
     analysis/codegen cost dominates at 13-gram width (measured ~3.3 s
     driver-side vs 0.8 s at n=3 on identical rows); the staged
-    doubling is ⌈log2 n⌉ shallow levels.  The wide-gram hash FAMILY
-    differs from the linear chain's — consumers only need a stable
-    injective-ish family (equality semantics are unchanged modulo
-    64-bit collisions), and every n ≤ 8 consumer keeps the original
-    chain bit-for-bit."""
+    doubling is ⌈log2 n⌉ shallow levels.  The wide-gram family is the
+    SHARED ``_wide_gram_hashes`` recurrence — ``shingle_hash_array``
+    emits the identical family at n > 8 (nested, unstaged), so the
+    shingle-hash family is a function of ``n`` alone regardless of
+    builder; every n ≤ 8 consumer keeps the original chain
+    bit-for-bit."""
     keep = list(keep)
     words = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda w: w != F.lit("")
@@ -177,30 +227,16 @@ def with_shingle_hashes(
         F.transform(F.col("__w"), lambda w: F.xxhash64(w)).alias("__wh"),
     )
     if n > 8:
-        p = 1
-        while p * 2 < n:
-            p *= 2
-        cur, prev, k = staged, "__wh", 1
-        while k < p:
-            # m_k can go negative on short docs: clamp the slice length;
-            # the short-doc fallback below never reads these rows' grams
-            m2 = F.greatest(
-                F.size(F.col("__wh")) - F.lit(2 * k - 1), F.lit(0)
-            )
-            g = F.zip_with(
-                F.slice(F.col(prev), 1, m2),
-                F.slice(F.col(prev), k + 1, m2),
-                lambda a, b: F.xxhash64(a, b),
-            )
-            k *= 2
-            cur = cur.select(*keep, "__w", "__wh", g.alias(f"__g{k}"))
-            prev = f"__g{k}"
-        m_n = F.greatest(F.size(F.col("__wh")) - F.lit(n - 1), F.lit(0))
-        comb = F.zip_with(
-            F.slice(F.col(prev), 1, m_n),
-            F.slice(F.col(prev), n - p + 1, m_n),
-            lambda a, b: F.xxhash64(a, b),
-        )
+        cur = staged
+
+        def stage(expr, name):
+            # pin the level as a named column (CSE skips lambda-bearing
+            # subtrees); the recurrence itself lives in _wide_gram_hashes
+            nonlocal cur
+            cur = cur.select(*keep, "__w", "__wh", expr.alias(name))
+            return F.col(name)
+
+        comb = _wide_gram_hashes(F.col("__wh"), n, stage=stage)
         sh = F.when(
             F.size(F.col("__wh")) < n,
             F.array(F.xxhash64(F.concat_ws(" ", F.col("__w")))),

@@ -819,13 +819,20 @@ def weighted_sssp(
     def maybe_bcast(d, small):
         return F.broadcast(d) if small else d
 
-    small = True if broadcast_best else bool(broadcast_best)
-    for _ in range(rounds):
-        if broadcast_best is None:
+    small = bool(broadcast_best)
+    probing = broadcast_best is None
+    if probing:
+        small = True  # best is exactly the single source row pre-round-1
+    for rnd in range(rounds):
+        if probing and rnd > 0:
             small = (
                 best.limit(broadcast_threshold + 1).count()
                 <= broadcast_threshold
             )
+            if not small:
+                # best only grows round-over-round: once it outgrows the
+                # threshold it never shrinks back, so stop paying the probe
+                probing = False
         relaxed = (
             e.join(maybe_bcast(best, small), e["src"] == best["id"])
             .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))

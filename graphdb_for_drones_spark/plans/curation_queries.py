@@ -122,12 +122,22 @@ def q_contamination_check_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     sid, fp = _source_id(src), _source_fingerprint(src)
     root = _index_root()
 
-    def side(name: str, builder):
+    num_buckets = 16
+
+    def side(name: str, builder, **params):
+        # every build param is IN the path/table name (the *_path_for
+        # contract): a param change lands in a fresh dir instead of
+        # silently warm-opening files with a different layout/cap, and
+        # the sidecar spec asserts the same on open
+        tok = "-".join(f"{k}{v}" for k, v in sorted(params.items()))
+        tok = f"{tok}-b{num_buckets}" if tok else f"b{num_buckets}"
         return curation.bucketed_shingle_table_open(
             spark,
             builder,
-            table=f"shidx_{name}_{sid}_{fp}",
-            path=_os.path.join(root, f"shidx-{name}-{sid}-{fp}"),
+            table=f"shidx_{name}_{tok.replace('-', '_')}_{sid}_{fp}",
+            path=_os.path.join(root, f"shidx-{name}-{tok}-{sid}-{fp}"),
+            num_buckets=num_buckets,
+            build_params=params,
         )
 
     tr = side(
@@ -138,12 +148,15 @@ def q_contamination_check_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
             ),
             MAX_TRAIN_DF,
         ),
+        n=3,
+        df=MAX_TRAIN_DF,
     )
     ev = side(
         "ev",
         lambda: curation.shingle_index(
             docs.filter(F.col("source") == "src0"), "eval_id"
         ),
+        n=3,
     )
     return curation.contamination_pairs_from_index(tr, ev, threshold=0.1)
 

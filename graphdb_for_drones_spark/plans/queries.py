@@ -38,16 +38,17 @@ from graphdb_for_drones_spark.traversal import (
 # shared sub-plans
 # --------------------------------------------------------------------- #
 
-_EDGES_SQL = """
-    SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS src,
-           'N' || CAST(n_nationkey AS VARCHAR) AS dst FROM nation
+_EDGES_SQL_T = """
+    SELECT 'R' || CAST(n_regionkey AS {vt}) AS src,
+           'N' || CAST(n_nationkey AS {vt}) AS dst FROM nation
     UNION ALL
-    SELECT 'N' || CAST(c_nationkey AS VARCHAR),
-           'C' || CAST(c_custkey AS VARCHAR) FROM customer
+    SELECT 'N' || CAST(c_nationkey AS {vt}),
+           'C' || CAST(c_custkey AS {vt}) FROM customer
     UNION ALL
-    SELECT 'N' || CAST(s_nationkey AS VARCHAR),
-           'S' || CAST(s_suppkey AS VARCHAR) FROM supplier
+    SELECT 'N' || CAST(s_nationkey AS {vt}),
+           'S' || CAST(s_suppkey AS {vt}) FROM supplier
 """
+_EDGES_SQL = _EDGES_SQL_T.format(vt="VARCHAR")
 
 _NATION_CHAIN_SQL = """
     SELECT 'N' || CAST(a.n_nationkey AS VARCHAR) AS src,
@@ -84,8 +85,13 @@ def q_delegation_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DELEGATION_REACHABLE = f"""
-WITH RECURSIVE edges AS ({_EDGES_SQL}),
+def _delegation_reachable_sql(vt: str) -> str:
+    """ONE dialect-neutral ``WITH RECURSIVE`` template, rendered per
+    engine via the string-type spelling (DuckDB ``VARCHAR`` / Spark
+    ``STRING``) — no post-hoc string surgery on the oracle text, so a
+    future oracle edit can't silently break the engine twin."""
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL_T.format(vt=vt)}),
 chain AS (
   SELECT 'R0' AS node, 0 AS level
   UNION ALL
@@ -94,6 +100,9 @@ chain AS (
 )
 SELECT node, level FROM chain WHERE level >= 1
 """
+
+
+ORACLE_DELEGATION_REACHABLE = _delegation_reachable_sql("VARCHAR")
 
 
 def q_delegation_count_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,19 +700,19 @@ def q_delegation_reachable_recursive_sql(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Bounded reachability as LITERAL ``WITH RECURSIVE`` SQL — the
-    exact oracle text (VARCHAR spelled STRING for Spark's parser)
-    planned natively by Catalyst's UnionLoop (Spark 4), beside the
-    iterative-kernel twin `delegation_reachable`.  Hash-matches the
-    same oracle, so the driver row certifies the NATIVE recursion
-    path end-to-end (reference common/bench_utils.py:9-34 shape)."""
+    shared dialect-neutral template rendered with Spark's string-type
+    spelling (``_delegation_reachable_sql("STRING")``; the oracle is the
+    same template rendered ``VARCHAR``), planned natively by Catalyst's
+    UnionLoop (Spark 4), beside the iterative-kernel twin
+    `delegation_reachable`.  Hash-matches the same oracle, so the
+    driver row certifies the NATIVE recursion path end-to-end
+    (reference common/bench_utils.py:9-34 shape)."""
     if not recursive_cte_supported(spark):  # pragma: no cover - Spark<4
         return q_delegation_reachable(spark, sf_dir)
     from graphdb_for_drones_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        ORACLE_DELEGATION_REACHABLE.replace("AS VARCHAR", "AS STRING")
-    )
+    return spark.sql(_delegation_reachable_sql("STRING"))
 
 
 # --------------------------------------------------------------------- #

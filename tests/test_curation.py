@@ -865,3 +865,79 @@ def test_bucketed_shingle_table_open_reregisters(spark, tmp_path):
     ddl = spark.sql("SHOW CREATE TABLE shidx_test_t1").collect()[0][0]
     assert "CLUSTERED BY" in ddl and "16 BUCKETS" in ddl
     spark.sql("DROP TABLE shidx_test_t1")
+
+
+def test_bucketed_shingle_table_open_spec_mismatch_raises(spark, tmp_path):
+    """A warm open whose arguments disagree with the persisted
+    ``_bucket_spec.json`` must raise — registering the argument's
+    layout over files with a different one silently drops join rows."""
+    import pytest
+
+    from graphdb_for_drones_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    ).localCheckpoint()
+    path = str(tmp_path / "shidx-spec")
+    curation.bucketed_shingle_table_open(
+        spark,
+        lambda: curation.shingle_index(docs, "train_id"),
+        table="shidx_spec_t1",
+        path=path,
+        num_buckets=16,
+        build_params={"n": 3},
+    )
+    with pytest.raises(ValueError, match="built with"):
+        curation.bucketed_shingle_table_open(
+            spark,
+            lambda: curation.shingle_index(docs, "train_id"),
+            table="shidx_spec_t1",
+            path=path,
+            num_buckets=8,
+            build_params={"n": 3},
+        )
+    with pytest.raises(ValueError, match="built with"):
+        curation.bucketed_shingle_table_open(
+            spark,
+            lambda: curation.shingle_index(docs, "train_id"),
+            table="shidx_spec_t1",
+            path=path,
+            num_buckets=16,
+            build_params={"n": 13},
+        )
+    spark.sql("DROP TABLE IF EXISTS shidx_spec_t1")
+
+
+def test_bucketed_shingle_table_open_legacy_dir_rebuilds(spark, tmp_path):
+    """A pre-spec directory (no ``_bucket_spec.json``) has an
+    unverifiable layout: the open must rebuild it, not trust it."""
+    import os
+
+    from graphdb_for_drones_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "c d e f g h")], "doc_id long, text string"
+    ).localCheckpoint()
+    path = str(tmp_path / "shidx-legacy")
+    built = curation.bucketed_shingle_table_open(
+        spark,
+        lambda: curation.shingle_index(docs, "train_id"),
+        table="shidx_legacy_t1",
+        path=path,
+    )
+    expect = sorted(tuple(r) for r in built.collect())
+    os.remove(os.path.join(path, "_bucket_spec.json"))
+
+    calls = []
+
+    def rebuilt():
+        calls.append(1)
+        return curation.shingle_index(docs, "train_id")
+
+    again = curation.bucketed_shingle_table_open(
+        spark, rebuilt, table="shidx_legacy_t1", path=path
+    )
+    assert calls == [1]
+    assert sorted(tuple(r) for r in again.collect()) == expect
+    assert os.path.isfile(os.path.join(path, "_bucket_spec.json"))
+    spark.sql("DROP TABLE IF EXISTS shidx_legacy_t1")

@@ -269,3 +269,41 @@ def test_posting_pairs_mixed_paths(spark, monkeypatch):
         + [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
     )
     assert got == expect
+
+
+def test_wide_gram_family_identical_across_builders(spark):
+    """The n>8 shingle-hash family is a function of n alone
+    (ADVICE r7): ``shingle_hash_array`` and ``with_shingle_hashes``
+    must emit bit-identical hash arrays at wide gram widths, incl.
+    the short-doc whole-text fallback — a family split silently
+    zeroes any join between the two builders' outputs."""
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.dedup import (
+        shingle_hash_array,
+        with_shingle_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(30))),
+            (2, " ".join(f"w{i}" for i in range(13))),  # exactly n words
+            (3, "short doc under n words"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (13, 9, 16, 3):
+        via_expr = {
+            r["doc_id"]: r["h"]
+            for r in docs.select(
+                "doc_id", shingle_hash_array(F.col("text"), n).alias("h")
+            ).collect()
+        }
+        via_staged = {
+            r["doc_id"]: r["h"]
+            for r in with_shingle_hashes(
+                docs, "text", n, out_col="h", keep=("doc_id",)
+            ).collect()
+        }
+        assert via_expr == via_staged, f"family split at n={n}"
