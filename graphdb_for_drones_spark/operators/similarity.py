@@ -208,12 +208,18 @@ def auto_band_width(n_rows: int, target_bucket: int = 128) -> int:
     members/bucket and the candidate stream goes quadratic
     (91.5 s → 3.95 s at 8-bit, PERF.md round 7).  Wider bands trade
     recall down the banded-LSH S-curve — the documented knob, now with
-    a measured default."""
-    import math
+    a measured default.
 
+    Computed in INTEGER arithmetic — smallest w with 2^w·target ≥ n,
+    i.e. ``(ceil(n/target) − 1).bit_length()`` — which equals the float
+    ``ceil(log2(n/target))`` everywhere but is ulp-proof, so the
+    ``ann_near_pairs_auto`` SQL oracle twin reproduces the width from
+    COUNT(*) exactly (a one-ulp log2 disagreement at a power-of-two
+    boundary would flip the whole geometry)."""
     if n_rows <= 0:
         return 4
-    return max(4, math.ceil(math.log2(max(1.0, n_rows / target_bucket))))
+    m = -(-n_rows // target_bucket)  # ceil(n/target), integer-exact
+    return max(4, (m - 1).bit_length())
 
 
 def ann_near_pairs(
@@ -758,6 +764,23 @@ def _newest_mtime(root: str) -> float:
     return newest
 
 
+def _private_tmp(path: str) -> str:
+    """A tmp dir name no other builder can share: pid alone is NOT
+    unique across concurrent builders in one process (threads share
+    it), and two builders writing one tmp dir corrupt the live index —
+    the loser's parquet tasks keep writing through the renamed inode
+    INTO the winner's published path.  pid + thread id + random token
+    gives every builder a private staging dir; the loser then fails its
+    rename cleanly and reads the winner's identical index."""
+    import threading
+    import uuid
+
+    return (
+        f"{path}.tmp.{os.getpid()}.{threading.get_ident()}."
+        f"{uuid.uuid4().hex[:8]}"
+    )
+
+
 def _sweep_stale_tmp(path: str, min_age_s: float = 3600.0) -> None:
     """Remove crash leftovers: sibling ``<path>.tmp.<pid>`` dirs a
     builder that died between its parquet write and the rename leaked.
@@ -844,7 +867,7 @@ def ivf_write(index: DataFrame, centroids: list, path: str) -> None:
     index is kept.  Stale ``.tmp.*`` leftovers from a crashed builder are
     swept first, so they can't accumulate forever."""
     _sweep_stale_tmp(path)
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = _private_tmp(path)
     index.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(tmp, "index")
     )
@@ -897,7 +920,7 @@ def persisted_pairs(spark: SparkSession, path: str, builder) -> DataFrame:
     enumeration per INDEX BUILD and one per QUERY."""
     if not os.path.isdir(path):
         _sweep_stale_tmp(path)
-        tmp = f"{path}.tmp.{os.getpid()}"
+        tmp = _private_tmp(path)
         builder().write.mode("overwrite").parquet(os.path.join(tmp, "pairs"))
         try:
             os.rename(tmp, path)
@@ -1164,7 +1187,7 @@ def pq_write(codes: DataFrame, codebooks: list, path: str) -> None:
     the code table as parquet — m small ints per vector, the RAM-sized
     stand-in for dim·4 bytes — plus the codebooks as JSON."""
     _sweep_stale_tmp(path)
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = _private_tmp(path)
     codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
     with open(os.path.join(tmp, "codebooks.json"), "w") as fh:
         json.dump(
@@ -1379,7 +1402,7 @@ def ivfpq_residual_open(
         codes, books = ivfpq_residual_build(
             embeddings, centroids, m, ksub, seed, id_col, vec_col
         )
-        tmp = f"{path}.tmp.{os.getpid()}"
+        tmp = _private_tmp(path)
         codes.write.mode("overwrite").partitionBy("cluster").parquet(
             os.path.join(tmp, "codes")
         )

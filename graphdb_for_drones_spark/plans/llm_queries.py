@@ -835,6 +835,89 @@ WHERE {cos} >= {threshold}
 ORACLE_ANN_NEAR_PAIRS = _ann_near_pairs_oracle_sql()
 
 
+def q_ann_near_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_near_pairs` with AUTO band width (``n_planes=None``): one
+    column-pruned count sizes the band width to the corpus
+    (``similarity.auto_band_width`` — integer-exact
+    ceil(log2(n/128)), floored at 4), so the bucket space grows with
+    data instead of saturating.  The sf1 sweep measured why this is
+    the right default: fixed 16-plane geometry goes quadratic at 20k
+    vectors (91.5 s → 3.95 s at 32 planes, PERF.md round 7).  The
+    oracle derives the SAME width from COUNT(*) in SQL and gates each
+    inlined plane on ``j < bands·width`` (hyperplanes are prefix-stable
+    in n_planes: one seeded row-major RandomState stream), so this row
+    certifies the count → width → planes → pairs derivation end-to-end,
+    not a hand-pinned geometry."""
+    cat = Catalog(spark, sf_dir)
+    return S.ann_near_pairs(
+        cat.embeddings, dim=64, threshold=0.3, n_planes=None
+    )
+
+
+def _ann_near_pairs_auto_oracle_sql(
+    dim: int = 64,
+    bands: int = 4,
+    threshold: float = 0.3,
+    max_planes: int = 48,
+    target_bucket: int = 128,
+) -> str:
+    """ann_near_pairs_auto twin: band width derived from COUNT(*) in
+    integer-exact SQL (smallest w with 2^w ≥ ceil(n/target), floored at
+    4 — bit-for-bit `similarity.auto_band_width`), plane j participates
+    iff j < bands·width.  ``max_planes`` inlined literals cover widths
+    ≤ max_planes/bands (12 → corpora ≤ 128·2^12 ≈ 524k vectors — far
+    past any gate sf; the engine itself is unbounded)."""
+    planes = S.hyperplanes(dim, max_planes, seed=42)
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(j, ",".join(repr(float(v)) for v in p))
+        for j, p in enumerate(planes)
+    )
+    band_match = " OR ".join(
+        f"((s1.sig >> ({b} * g.width)) & ((CAST(1 AS BIGINT) << g.width) - 1))"
+        f" = ((s2.sig >> ({b} * g.width)) & ((CAST(1 AS BIGINT) << g.width) - 1))"
+        for b in range(bands)
+    )
+    cos = (
+        f"ROUND(list_sum(list_transform(range({dim}), "
+        f"i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform(range({dim}), "
+        f"i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform(range({dim}), "
+        f"i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES {rows}),
+geom AS (
+  SELECT GREATEST(4, MIN(w)) AS width
+  FROM range(0, 40) t(w)
+  WHERE (CAST(1 AS BIGINT) << CAST(w AS INT))
+        >= ((SELECT COUNT(*) FROM embeddings) + {target_bucket - 1}) // {target_bucket}
+),
+sig AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN pl.j < {bands} * g.width
+                    AND list_sum(list_transform(range({dim}),
+                    i -> CAST(e.embedding[i+1] AS DOUBLE) * pl.p[i+1])) > 0
+               THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes pl CROSS JOIN geom g
+  GROUP BY e.vec_id
+),
+cand AS (
+  SELECT s1.vec_id AS id_a, s2.vec_id AS id_b
+  FROM sig s1 JOIN sig s2 ON s1.vec_id < s2.vec_id CROSS JOIN geom g
+  WHERE {band_match}
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+ORACLE_ANN_NEAR_PAIRS_AUTO = _ann_near_pairs_auto_oracle_sql()
+
+
 def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density-based clustering (core-point DBSCAN, Ester et al. 1996)
     over the LSH eps-neighbor graph: eps-neighbors = `ann_near_pairs`
@@ -1305,6 +1388,7 @@ LLM_QUERIES = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
+    "ann_near_pairs_auto": q_ann_near_pairs_auto,
     "embedding_dbscan_cores": q_embedding_dbscan_cores,
     "embedding_distance_hist": q_embedding_distance_hist,
     "doc_split_counts": q_doc_split_counts,
@@ -1335,6 +1419,7 @@ LLM_ORACLES = {
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
+    "ann_near_pairs_auto": ORACLE_ANN_NEAR_PAIRS_AUTO,
     "embedding_dbscan_cores": ORACLE_EMBEDDING_DBSCAN_CORES,
     "embedding_distance_hist": ORACLE_EMBEDDING_DISTANCE_HIST,
     "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,

@@ -194,3 +194,162 @@ def test_contamination_guard_refuses_legacy_layout(spark, tmp_path):
             out_dir=str(out),
             checkpoint_dir=str(tmp_path / "ckpt"),
         )
+
+
+# --------------------------------------------------------------------- #
+# persisted-index builder races (the index layer's failure window:
+# two concurrent builders on ONE fingerprint path — both pass the
+# isdir check, both build, one os.rename wins, the loser must fail its
+# rename CLEANLY, leak nothing, and read the winner's identical index)
+# --------------------------------------------------------------------- #
+
+
+def _race(fn):
+    """Run ``fn(0)`` and ``fn(1)`` on two threads; re-raise the first
+    worker exception."""
+    import threading
+
+    errs = []
+
+    def run(i):
+        try:
+            fn(i)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    if errs:
+        raise errs[0]
+
+
+def _embeddings(spark, n=40, dim=8, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+
+
+def test_persisted_pairs_concurrent_builders(spark, tmp_path):
+    """Two persisted_pairs builds race one path: a barrier INSIDE the
+    builder guarantees both threads passed the cold-path check before
+    either writes, so exactly one rename wins and the loser executes
+    the rename-failure branch for real.  Exactly one readable index,
+    zero .tmp.* leftovers, loser rows bit-identical to winner's."""
+    import glob
+    import os
+    import threading
+
+    import graphdb_for_drones_spark.operators.similarity as sim
+
+    emb = _embeddings(spark)
+    path = str(tmp_path / "npairs-race")
+    expect = _rows(
+        sim.ann_near_pairs(emb, dim=8, threshold=0.3),
+        ["id_a", "id_b", "cosine"],
+    )
+    assert len(expect) > 0
+    barrier = threading.Barrier(2)
+    built = []
+
+    def builder():
+        built.append(1)
+        barrier.wait(timeout=120)
+        return sim.ann_near_pairs(emb, dim=8, threshold=0.3)
+
+    results = [None, None]
+
+    def work(i):
+        results[i] = _rows(
+            sim.persisted_pairs(spark, path, builder),
+            ["id_a", "id_b", "cosine"],
+        )
+
+    _race(work)
+    assert len(built) == 2  # both builders really ran (both lost isdir)
+    assert results[0] == results[1] == expect
+    assert os.path.isdir(path)
+    assert glob.glob(path + ".tmp.*") == []
+    # the published index re-reads clean
+    again = _rows(
+        sim.persisted_pairs(
+            spark, path, lambda: (_ for _ in ()).throw(AssertionError)
+        ),
+        ["id_a", "id_b", "cosine"],
+    )
+    assert again == expect
+
+
+def test_ivf_open_concurrent_builders(spark, tmp_path, monkeypatch):
+    """Same race through ivf_open/ivf_write: barrier inside the
+    (monkeypatched) centroid trainer holds both threads in the build
+    path; one rename wins, the loser reads the winner's index."""
+    import glob
+    import os
+    import threading
+
+    import graphdb_for_drones_spark.operators.similarity as sim
+
+    emb = _embeddings(spark)
+    path = str(tmp_path / "ivf-race")
+    real = sim.kmeans_centroids
+    barrier = threading.Barrier(2)
+
+    def slow_kmeans(*a, **kw):
+        barrier.wait(timeout=120)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "kmeans_centroids", slow_kmeans)
+    results = [None, None]
+
+    def work(i):
+        idx, cents = sim.ivf_open(spark, emb, path, k=4, iters=1)
+        results[i] = (_rows(idx, ["vec_id", "cluster"]), cents)
+
+    _race(work)
+    assert results[0] == results[1]
+    assert len(results[0][0]) == 40 and len(results[0][1]) == 4
+    assert os.path.isdir(path)
+    assert glob.glob(path + ".tmp.*") == []
+
+
+def test_ivfpq_residual_open_concurrent_builders(spark, tmp_path, monkeypatch):
+    """Same race for the residual-code index: barrier inside the
+    (monkeypatched) build step; single readable index, no leftovers,
+    both racers read identical codes + codebooks."""
+    import glob
+    import os
+    import threading
+
+    import graphdb_for_drones_spark.operators.similarity as sim
+
+    emb = _embeddings(spark)
+    cents = sim.kmeans_centroids(emb, k=4, iters=1)
+    path = str(tmp_path / "ivfpqres-race")
+    real = sim.ivfpq_residual_build
+    barrier = threading.Barrier(2)
+
+    def slow_build(*a, **kw):
+        barrier.wait(timeout=120)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "ivfpq_residual_build", slow_build)
+    results = [None, None]
+
+    def work(i):
+        codes, books = sim.ivfpq_residual_open(
+            spark, emb, cents, path, m=4, ksub=4
+        )
+        results[i] = (_rows(codes, ["vec_id", "cluster"]), books)
+
+    _race(work)
+    assert results[0] == results[1]
+    assert len(results[0][0]) == 40
+    assert os.path.isdir(path)
+    assert glob.glob(path + ".tmp.*") == []

@@ -738,3 +738,72 @@ def test_ivfpq_residual_matches_python_reference(spark):
         cand.append((adist, i))
     want = [(i, a) for a, i in sorted(cand)[:5]]
     assert got == want
+
+
+def test_auto_band_width_integer_equals_float_form():
+    """The integer form ((ceil(n/t)−1).bit_length(), ulp-proof) must
+    equal the float ceil(log2(n/t)) everywhere, including the
+    power-of-two boundaries where a one-ulp log2 error would flip the
+    geometry."""
+    import math
+
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    ns = list(range(1, 4097))
+    for k in range(3, 32):
+        ns += [128 * (1 << k) - 1, 128 * (1 << k), 128 * (1 << k) + 1]
+    for n in ns:
+        want = max(4, math.ceil(math.log2(max(1.0, n / 128))))
+        assert sim.auto_band_width(n) == want, n
+
+
+def test_ann_near_pairs_auto_oracle_width_matches_engine():
+    """The ann_near_pairs_auto ORACLE derives the band width from
+    COUNT(*) in SQL; it must agree with ``auto_band_width`` for every
+    corpus size, else the whole inlined-plane geometry diverges."""
+    import duckdb
+
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    geom = """
+    SELECT GREATEST(4, MIN(w)) AS width
+    FROM range(0, 40) t(w)
+    WHERE (CAST(1 AS BIGINT) << CAST(w AS INT)) >= ({n} + 127) // 128
+    """
+    for n in [1, 100, 127, 128, 129, 2000, 2048, 2049, 16384, 16385,
+              20_000, 131072, 131073, 1_000_000]:
+        got = duckdb.sql(geom.format(n=n)).fetchone()[0]
+        assert got == sim.auto_band_width(n), n
+
+
+def test_ann_near_pairs_auto_widens_and_verifies_on_bigger_corpus(spark):
+    """Past the 128-per-bucket target the auto path must pick a WIDER
+    band than the fixed default (the sf1 knee) while still returning
+    exactly the LSH-candidates-verified-by-cosine of the explicit
+    geometry it chose."""
+    import random
+
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(3000)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    width = sim.auto_band_width(3000)
+    assert width == 5  # wider than the fixed 4-bit default
+    auto = sorted(
+        tuple(r)
+        for r in sim.ann_near_pairs(
+            emb, dim=8, threshold=0.5, n_planes=None
+        ).collect()
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in sim.ann_near_pairs(
+            emb, dim=8, threshold=0.5, n_planes=width * 4
+        ).collect()
+    )
+    assert auto == explicit and len(auto) > 0
