@@ -92,6 +92,13 @@ def _ann_families(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # strategy can make a quadratic RESULT linear; that's a property
         # of the threshold, not the kernel.
         "ann_near_pairs": S.ann_near_pairs(emb, dim=64, threshold=0.5),
+        # the corpus-sized default (n_planes=None -> auto_band_width):
+        # measured HERE so the knee-avoidance claim carries numbers —
+        # at sf1 (20k vectors) auto picks 8-bit bands where the fixed
+        # 16-plane geometry saturates
+        "ann_near_pairs_auto": S.ann_near_pairs(
+            emb, dim=64, threshold=0.5, n_planes=None
+        ),
         "brute_topk": S.cosine_topk(emb, list(q), k=10),
         "ivf_build_probe": ivf_probe(),
     }

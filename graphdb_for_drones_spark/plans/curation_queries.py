@@ -402,21 +402,116 @@ FROM comp GROUP BY cluster_id HAVING COUNT(*) > 1
 
 
 def q_doc_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-fit-decreasing packing rollup (rows-only: the per-shard
-    FFD state machine is not ANSI-SQL-expressible; invariants — budget
-    respected except singleton oversize, determinism, shard bounds —
-    are pinned in tests/test_curation.py).  Compare with
-    `doc_pack_stats`' token-offset binning: FFD never splits a document
-    across packs."""
+    """First-fit-decreasing packing, ORACLE-PAIRED via the
+    est-beside-exact pattern (`event_hll_vs_exact`): the per-shard FFD
+    state machine itself is not ANSI-SQL-expressible, so the row lays
+    SQL-computable exact values (per-(lang, shard) doc / token /
+    oversize-doc counts) beside boolean invariants of the packing that
+    the oracle asserts TRUE — a packer bug flips a boolean and
+    hash-mismatches the driver row:
+
+    * ``packs_within_budget`` — every pack ≤ budget except a singleton
+      oversize document (FFD's only legal overflow);
+    * ``tokens_conserved`` / ``docs_conserved`` — the packing is a
+      permutation of the shard, nothing dropped or duplicated;
+    * ``pack_count_ok`` — n_oversize + ceil(rest_tokens/budget) ≤
+      n_packs ≤ n_docs (the bin-packing lower bound: non-oversize packs
+      each hold ≤ budget, oversize docs are singletons by construction);
+    * ``at_most_one_halffull`` — ≤ 1 pack at ≤ budget/2 load (the
+      first-fit guarantee: two half-empty packs can't coexist, the
+      later one's first document would have fit the earlier).
+
+    Compare with `doc_pack_stats`' token-offset binning: FFD never
+    splits a document across packs."""
+    budget = 512
     cat = Catalog(spark, sf_dir)
+    docs = cat.documents
     packed = curation.pack_sequences_greedy(
-        cat.documents, budget=512, group_cols=("lang",), shard_size=1_000
+        docs, budget=budget, group_cols=("lang",), shard_size=1_000
     )
-    return packed.groupBy("lang", "shard", "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
+    per_pack = packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("pd"),
+        F.sum("n_tokens").alias("pt"),
+        F.max("n_tokens").alias("pm"),
+    )
+    got = per_pack.groupBy("lang", "shard").agg(
+        F.sum("pd").alias("packed_docs"),
+        F.sum("pt").cast("long").alias("packed_tokens"),
+        F.count(F.lit(1)).alias("n_packs"),
+        F.bool_and(
+            (F.col("pt") <= budget)
+            | ((F.col("pd") == 1) & (F.col("pm") > budget))
+        ).alias("packs_within_budget"),
+        F.sum(
+            F.when(F.col("pt") * 2 <= budget, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_halffull"),
+    )
+    from graphdb_for_drones_spark.operators.text import token_count
+
+    src = (
+        docs.select(
+            "lang",
+            F.expr("doc_id div 1000").alias("shard"),
+            F.coalesce(token_count(F.col("text")), F.lit(0)).alias("t"),
+        )
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("t") > budget, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oversize"),
+            F.sum(F.when(F.col("t") > budget, F.col("t")).otherwise(0))
+            .cast("long")
+            .alias("oversize_tokens"),
+        )
+    )
+    # bin-packing lower bound, integer-exact: ceil(rest/budget) via div
+    lower = F.expr(
+        f"n_oversize + ((total_tokens - oversize_tokens + {budget - 1}) "
+        f"div {budget})"
+    )
+    return (
+        src.join(got, ["lang", "shard"])
+        .select(
+            "lang",
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "n_oversize",
+            "packs_within_budget",
+            (F.col("packed_tokens") == F.col("total_tokens")).alias(
+                "tokens_conserved"
+            ),
+            (F.col("packed_docs") == F.col("n_docs")).alias("docs_conserved"),
+            (
+                (F.col("n_packs") >= lower)
+                & (F.col("n_packs") <= F.col("n_docs"))
+            ).alias("pack_count_ok"),
+            (F.col("n_halffull") <= 1).alias("at_most_one_halffull"),
+        )
     )
 
+
+
+ORACLE_DOC_PACK_GREEDY_STATS = rf"""
+WITH t AS (
+  SELECT lang, doc_id // 1000 AS shard,
+         COALESCE(len(list_filter({_WORDS}, x -> x <> '')), 0) AS n_tokens
+  FROM documents
+)
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize,
+       TRUE AS packs_within_budget,
+       TRUE AS tokens_conserved,
+       TRUE AS docs_conserved,
+       TRUE AS pack_count_ok,
+       TRUE AS at_most_one_halffull
+FROM t GROUP BY 1, 2
+"""
 
 
 def q_doc_quality_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1706,6 +1801,7 @@ CURATION_ORACLES = {
     "contamination_check_bucketed": ORACLE_CONTAMINATION_CHECK,
     "contamination_exact_13gram": ORACLE_CONTAMINATION_EXACT_13GRAM,
     "doc_pack_stats": ORACLE_DOC_PACK_STATS,
+    "doc_pack_greedy_stats": ORACLE_DOC_PACK_GREEDY_STATS,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "lang_temperature_mixture": ORACLE_LANG_TEMPERATURE_MIXTURE,
     "doc_repetition": ORACLE_DOC_REPETITION,
