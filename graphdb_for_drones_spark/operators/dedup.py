@@ -379,6 +379,7 @@ def _bucket_pairs(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
         keyed.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
+        .localCheckpoint()
     )
     return posting_pairs(buckets, key_cols).dropDuplicates(["id_a", "id_b"])
 
@@ -933,14 +934,37 @@ def simhash_candidate_pairs(
     )
     layout = band_layout(bits, bands)
     keyed = _fp_chunks(carrier, bits, bands)
+    # PIN the bucket table: it has 3-4 consumers (small/hot split here,
+    # plus posting_pairs' own small/hot split), and while ReuseExchange
+    # dedups the shuffle, the post-shuffle collect_list AGGREGATE is
+    # re-executed per consumer — Spark has no plan-level reuse above the
+    # exchange.  One localCheckpoint (row-based, NOT the columnar cache
+    # that is ~20× slow on array columns) makes every consumer a scan of
+    # the materialized posting lists: 5.2 → 3.9 s isolated at sf0.1 for
+    # both simhash entries, identical pairs (PERF.md round 8).  The
+    # materialization is posting-list-sized (linear in corpus, one row
+    # per shared chunk value) vs 3-4 corpus-scale re-aggregations.
     buckets = (
         keyed.groupBy("band", "chunk")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
+        .localCheckpoint()
     )
     # sub-banding needs bands non-empty sub-chunks of the complement;
     # with very narrow fingerprints fall back to the streaming path
     can_subband = bits - max(w for _, w in layout) >= bands
+    if can_subband:
+        # the checkpoint makes this probe a limit-1 scan of materialized
+        # posting lists (~50 ms) — and in the COMMON case (no degenerate
+        # bucket) it skips building the entire sub-band leg: 2 × bands²
+        # CASE branches of parsed SQL (~1 s of driver plan-build at 9
+        # bands even after the r7 SQL-string fix) plus its empty stages
+        can_subband = (
+            buckets.filter(F.size("ids") > SUBBAND_POSTING_SIZE)
+            .limit(1)
+            .count()
+            > 0
+        )
     if not can_subband:
         cand = posting_pairs(buckets, ["band", "chunk"], keep_keys=True)
     else:

@@ -299,6 +299,7 @@ def ann_near_pairs(
         keyed.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
+        .localCheckpoint()
     )
     cand = posting_pairs(buckets, ["band", "bucket"], keep_keys=True)
     sa, sb = F.col("id_a.sig"), F.col("id_b.sig")
