@@ -5,15 +5,18 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-7 rotation: the 6 new entries (recursive-CTE SQL surface twins,
-event_hll_vs_exact, contamination_check_bucketed, ivfpq_topk,
-contamination_exact_13gram) lead, then the 9 entries whose plans
-changed this round (materialized pair-graph consumers, the NULLS LAST
-temperature fold, the dense co-occurrence string keys, the probe-gated
-SSSP, the capped_train_index extraction),
-then the driver rows stalest by round (all of r4's survivors, then
-r5's) — freshening the window's coverage now that every query has had
-at least one green row.  Rotated-out entries stay covered by the local
+Round-8 rotation (the VERDICT r7 staleness plan): the 2 new entries
+(`ann_near_pairs_auto`, the invariant-paired `doc_pack_greedy_stats`)
+plus the 7 whose plans changed this round (posting-bucket pinning in
+the simhash/minhash/ann kernels, the bucketed-contamination param
+encoding, the wide-gram staging refactor under the 13-gram entry, the
+dialect-neutral recursive template, the SSSP probe edit) lead; the
+remaining 41 slots take the stalest driver rows (last checked r5).
+Three r5 rows defer to round 9 (`pq_adc_topk` and
+`semantic_dedup_stats` were independently judge-verified against
+DuckDB in the r7 session; `label_maxsim_topk` is unchanged since r5)
+— after round 8 every other live row is ≤ 2 rounds old and round 9
+sweeps those three.  Rotated-out entries stay covered by the local
 oracle replica (``tests/test_queries_oracle.py`` runs every
 oracle-paired query).
 """
@@ -46,67 +49,63 @@ _MERGED_ORACLES = {
 # Queries promoted to the head of the gate window this round.  Order within
 # the first 50 does not matter; membership does.
 _GATE_FIRST = [
-    # ---- Round-7 rotation ----------------------------------------------
-    # New this round (never driver-checked): the native recursive-CTE SQL
-    # surface, the driver-visible HLL accuracy assertion, and the
-    # bucketed zero-exchange contamination variant.
-    "flat_chain_count_recursive_sql",
-    "delegation_reachable_recursive_sql",
-    "event_hll_vs_exact",
-    "contamination_check_bucketed",
-    "ivfpq_topk",
-    "contamination_exact_13gram",
-    "ivfpq_residual_topk",
-    # Changed this round — re-gate: the materialized pair-graph
-    # consumers (near_pairs_open / ngram_pairs_open), the NULLS LAST
-    # temperature fold, the string-keyed dense co-occurrence branch, the
-    # probe-gated SSSP broadcast, and the capped_train_index extraction.
-    "embedding_dbscan_cores",
-    "dedup_cluster_keepers",
-    "dedup_clusters",
-    "ann_near_pairs",
-    "lang_temperature_mixture",
-    "supplier_shared_customers",
-    "trade_cheapest_route",
-    "contamination_check",
-    "embedding_dup_clusters",
-    # Stalest driver rows (last checked r4) — every one green in the
-    # local oracle replica (tests/test_queries_oracle.py) since:
-    "asof_signup_before_purchase",
-    "cdc_apply_events",
-    "delegation_count_by_level",
-    "distinct_segments",
-    "doc_dedup_stats",
-    "doc_repetition",
-    "embedding_clusters",
-    "entity_counts",
-    "event_props_extract",
-    "event_type_stats",
-    "event_user_distinct",
-    "event_value_hist_quantiles",
-    "event_value_percentiles",
-    "events_filter",
-    "events_in_windows",
-    "events_tumbling_hourly",
-    "ivf_topk",
-    "latest_event_per_user",
-    "min_price_supplier",
-    "minhash_pairs_md5",
-    "nation_triangles",
-    "ngram_jaccard",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_prefix",
-    "order_price_percentiles",
-    "pricing_summary",
-    "priority_histogram",
+    # ---- Round-8 rotation ----------------------------------------------
+    # New this round, then entries whose plans changed (posting-bucket
+    # pinning, bucketed-index param encoding, wide-gram staging, the
+    # dialect-neutral recursive template, the SSSP probe edit):
+    "ann_near_pairs_auto",
+    "doc_pack_greedy_stats",
     "simhash_pairs_md5",
-    "user_event_hash_chain",
-    "vc_count_per_region",
-    "wot_path_count_short",
-    # Stalest r5 rows, filling the remaining slots:
-    "ann_topk",
-    "contamination_containment",
-    "corpus_curation_stats",
+    "minhash_pairs_md5",
+    "ann_near_pairs",
+    "contamination_check_bucketed",
+    "contamination_exact_13gram",
+    "delegation_reachable_recursive_sql",
+    "trade_cheapest_route",
+    # Stalest driver rows (last checked r5; 41 of 44 — pq_adc_topk,
+    # semantic_dedup_stats, label_maxsim_topk defer to round 9, the
+    # first two independently judge-verified in the r7 session):
+    "curation_pipeline_stats",
+    "customer_pii_scrub",
+    "customers_with_orders",
+    "customers_without_orders",
+    "doc_bm25_topk",
+    "doc_chunk_stats",
+    "doc_difficulty_deciles",
+    "doc_dup_span_stats",
+    "doc_fingerprint",
+    "doc_gopher_rules",
+    "doc_lang_id",
+    "doc_lang_summary",
+    "doc_negative_pairs",
+    "doc_pack_stats",
+    "doc_quality",
+    "doc_quality_sample_stats",
+    "doc_sample_per_source",
+    "doc_split_counts",
+    "doc_tfidf_topk",
+    "doc_token_stats",
+    "doc_top_ngram_stats",
+    "embedding_near_pairs",
+    "embedding_topk",
+    "event_type_salted_counts",
+    "event_user_cm_counts",
+    "events_sliding_windows",
+    "media_feature_stats",
+    "mixture_weights",
+    "orders_rollup",
+    "region_volume",
+    "shipping_priority",
+    "source_bloom_probe_stats",
+    "supplier_pagerank",
+    "trade_graph_degrees",
+    "trade_kcore",
+    "trade_temporal_reach",
+    "trade_trust_from_anchor",
+    "user_funnel_counts",
+    "user_retention_cohorts",
+    "user_sessions",
+    "vc_verify_count",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]
