@@ -5,18 +5,20 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-8 rotation (the VERDICT r7 staleness plan): the 2 new entries
-(`ann_near_pairs_auto`, the invariant-paired `doc_pack_greedy_stats`)
+Round-8 rotation (the VERDICT r7 staleness plan): the 3 new entries
+(`ann_near_pairs_auto`, its persisted-graph consumer
+`embedding_dbscan_cores_auto`, the invariant-paired
+`doc_pack_greedy_stats`)
 plus the 7 whose plans changed this round (posting-bucket pinning in
 the simhash/minhash/ann kernels, the bucketed-contamination param
 encoding, the wide-gram staging refactor under the 13-gram entry, the
 dialect-neutral recursive template, the SSSP probe edit) lead; the
 remaining 41 slots take the stalest driver rows (last checked r5).
-Three r5 rows defer to round 9 (`pq_adc_topk` and
+Four r5 rows defer to round 9 (`pq_adc_topk` and
 `semantic_dedup_stats` were independently judge-verified against
-DuckDB in the r7 session; `label_maxsim_topk` is unchanged since r5)
-— after round 8 every other live row is ≤ 2 rounds old and round 9
-sweeps those three.  Rotated-out entries stay covered by the local
+DuckDB in the r7 session; `label_maxsim_topk` / `media_feature_stats`
+are unchanged since r5 and pytest-pinned) — after round 8 every other
+live row is ≤ 2 rounds old and round 9 sweeps those four.  Rotated-out entries stay covered by the local
 oracle replica (``tests/test_queries_oracle.py`` runs every
 oracle-paired query).
 """
@@ -54,6 +56,7 @@ _GATE_FIRST = [
     # pinning, bucketed-index param encoding, wide-gram staging, the
     # dialect-neutral recursive template, the SSSP probe edit):
     "ann_near_pairs_auto",
+    "embedding_dbscan_cores_auto",
     "doc_pack_greedy_stats",
     "simhash_pairs_md5",
     "minhash_pairs_md5",
@@ -62,9 +65,10 @@ _GATE_FIRST = [
     "contamination_exact_13gram",
     "delegation_reachable_recursive_sql",
     "trade_cheapest_route",
-    # Stalest driver rows (last checked r5; 41 of 44 — pq_adc_topk,
-    # semantic_dedup_stats, label_maxsim_topk defer to round 9, the
-    # first two independently judge-verified in the r7 session):
+    # Stalest driver rows (last checked r5; 40 of 44 — pq_adc_topk,
+    # semantic_dedup_stats, label_maxsim_topk, media_feature_stats defer
+    # to round 9; the first two were independently judge-verified in the
+    # r7 session, the last two are unchanged since r5 and pytest-pinned):
     "curation_pipeline_stats",
     "customer_pii_scrub",
     "customers_with_orders",
@@ -91,7 +95,6 @@ _GATE_FIRST = [
     "event_type_salted_counts",
     "event_user_cm_counts",
     "events_sliding_windows",
-    "media_feature_stats",
     "mixture_weights",
     "orders_rollup",
     "region_volume",

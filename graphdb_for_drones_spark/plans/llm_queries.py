@@ -949,13 +949,24 @@ def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = S.near_pairs_open(
         spark, cat.embeddings, path, dim=64, threshold=0.3
     ).select("id_a", "id_b")
+    return _dbscan_over_pairs(pairs)
+
+
+def _dbscan_over_pairs(pairs: DataFrame, min_pts: int = 3) -> DataFrame:
+    """Shared DBSCAN composition over an eps-pair table: degrees →
+    core points → components of the core-core subgraph → per-cluster
+    core counts."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        connected_components,
+    )
+
     und = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     deg = und.groupBy(F.col("id_a").alias("vid")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    core = deg.filter(F.col("deg") >= 3).select("vid")
+    core = deg.filter(F.col("deg") >= min_pts).select("vid")
     cc = (
         pairs.join(core.select(F.col("vid").alias("id_a")), "id_a", "left_semi")
         .join(core.select(F.col("vid").alias("id_b")), "id_b", "left_semi")
@@ -972,8 +983,35 @@ def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dbscan_oracle_sql(min_pts: int = 3) -> str:
-    inner = _ann_near_pairs_oracle_sql()
+def q_embedding_dbscan_cores_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embedding_dbscan_cores` over the AUTO-geometry persisted
+    eps-graph: the corpus-sized band width (`auto_band_width`, the sf1
+    knee fix) resolved at the ENTRY, encoded in the graph's
+    fingerprint path, and composed through `near_pairs_open` into the
+    same DBSCAN stack — the 100 TB shape end-to-end: count → width →
+    materialized pair graph → density clustering, every stage
+    driver-hash-checked (the oracle wraps the auto-width pairs twin in
+    the degree/core/closure CTEs).  Auto and pinned graphs built at
+    the SAME resolved geometry share a path and are bit-identical, so
+    neither entry double-builds."""
+    import os as _os
+
+    cat = Catalog(spark, sf_dir)
+    n = cat.embeddings.select("vec_id").count()
+    n_planes = S.auto_band_width(n) * 4
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    path = S.near_pairs_path_for(
+        src, dim=64, threshold=0.3, n_planes=n_planes
+    )
+    pairs = S.near_pairs_open(
+        spark, cat.embeddings, path, dim=64, threshold=0.3,
+        n_planes=n_planes,
+    ).select("id_a", "id_b")
+    return _dbscan_over_pairs(pairs)
+
+
+def _dbscan_oracle_sql(min_pts: int = 3, inner: str | None = None) -> str:
+    inner = inner or _ann_near_pairs_oracle_sql()
     return f"""
 WITH RECURSIVE p AS (
   SELECT id_a, id_b FROM ({inner}) t
@@ -1004,6 +1042,9 @@ FROM comp GROUP BY cluster_id
 
 
 ORACLE_EMBEDDING_DBSCAN_CORES = _dbscan_oracle_sql()
+ORACLE_EMBEDDING_DBSCAN_CORES_AUTO = _dbscan_oracle_sql(
+    inner=_ann_near_pairs_auto_oracle_sql()
+)
 
 
 def q_doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,6 +1430,7 @@ LLM_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
     "ann_near_pairs_auto": q_ann_near_pairs_auto,
+    "embedding_dbscan_cores_auto": q_embedding_dbscan_cores_auto,
     "embedding_dbscan_cores": q_embedding_dbscan_cores,
     "embedding_distance_hist": q_embedding_distance_hist,
     "doc_split_counts": q_doc_split_counts,
@@ -1420,6 +1462,7 @@ LLM_ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
     "ann_near_pairs_auto": ORACLE_ANN_NEAR_PAIRS_AUTO,
+    "embedding_dbscan_cores_auto": ORACLE_EMBEDDING_DBSCAN_CORES_AUTO,
     "embedding_dbscan_cores": ORACLE_EMBEDDING_DBSCAN_CORES,
     "embedding_distance_hist": ORACLE_EMBEDDING_DISTANCE_HIST,
     "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,
