@@ -145,7 +145,12 @@ def bucketed_shingle_table_open(
     layout), NEVER from the argument, and a spec/argument mismatch
     raises instead of silently registering a layout the files don't
     have (a bucketed-join under a wrong declared layout drops matching
-    rows with no error).  A spec-less legacy dir is rebuilt.
+    rows with no error).  A spec-less legacy dir is rebuilt once aged
+    past the reader-safety window (young → raise, never delete under a
+    possible active scan).  Cold builds stage in a ``_private_tmp``
+    dir + rename, so concurrent builders never interleave writes in
+    the live directory (the persisted-index race contract,
+    ``tests/test_failure_injection.py``).
     ``build_params`` records semantic build constants (shingle_n,
     max_df, …) in the sidecar and is asserted the same way — callers
     must ALSO encode every build param in ``path``/``table`` (the
@@ -160,6 +165,14 @@ def bucketed_shingle_table_open(
     import json as _json
     import os as _os
     import shutil as _shutil
+    import time as _time
+
+    from graphdb_for_drones_spark.operators.similarity import (
+        _newest_mtime,
+        _private_tmp,
+        _sweep_stale_fingerprints,
+        _sweep_stale_tmp,
+    )
 
     spec_file = _os.path.join(path, "_bucket_spec.json")
     want = {
@@ -169,26 +182,55 @@ def bucketed_shingle_table_open(
         "build_params": build_params or {},
     }
     if _os.path.isdir(path) and not _os.path.isfile(spec_file):
-        # pre-spec dir: layout unverifiable, rebuild (it is a cache)
+        # pre-spec dir: layout unverifiable, rebuild (it is a cache) —
+        # but only once AGED: a young spec-less dir may still be
+        # mid-scan in another session (deleting under an active reader
+        # fails ITS job), and age is how every sweep here stays safe
+        if _time.time() - _newest_mtime(path) < 3600.0:
+            raise RuntimeError(
+                f"spec-less bucketed index at {path} is younger than the "
+                "safety window: another (pre-upgrade) session may still "
+                "be using it; retry after it ages or remove it manually"
+            )
         _shutil.rmtree(path)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     if not _os.path.isdir(path):
-        from graphdb_for_drones_spark.operators.similarity import (
-            _sweep_stale_fingerprints,
-        )
         from graphdb_for_drones_spark.sources.io import write_bucketed
 
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        write_bucketed(
-            builder(), table, ["h"], num_buckets, sort_cols=["h"], path=path
-        )
-        with open(spec_file, "w") as fh:
+        # CONCURRENT-BUILDER SAFE, the _private_tmp contract the other
+        # persisted indexes use: stage the bucketed files in a private
+        # tmp dir under a throwaway table name, then rename into place —
+        # two racing cold builds never interleave writes in the live
+        # dir, the loser's rename fails cleanly and it opens the
+        # winner's identical (deterministic builder) index below.
+        _sweep_stale_tmp(path)
+        tmp = _private_tmp(path)
+        tmp_table = f"{table}__stage_{_os.path.basename(tmp).split('.')[-1]}"
+        try:
+            write_bucketed(
+                builder(),
+                tmp_table,
+                ["h"],
+                num_buckets,
+                sort_cols=["h"],
+                path=tmp,
+            )
+        finally:
+            # metadata points at the tmp location; the real table is
+            # registered over the FINAL path below
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        with open(_os.path.join(tmp, "_bucket_spec.json"), "w") as fh:
             _json.dump(want, fh)
+        try:
+            _os.rename(tmp, path)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)
+            if not _os.path.isdir(path):  # pragma: no cover - IO failure
+                raise
         # drop dead index dirs of the SAME source's older corpus states
         # (path carries <...>-<source id>-<content fingerprint>, the
         # *_path_for naming contract the sweep keys on)
         _sweep_stale_fingerprints(path)
-        return spark.table(table)
     with open(spec_file) as fh:
         spec = _json.load(fh)
     if spec != want:

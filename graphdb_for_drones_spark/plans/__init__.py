@@ -13,7 +13,7 @@ plus the 7 whose plans changed this round (posting-bucket pinning in
 the simhash/minhash/ann kernels, the bucketed-contamination param
 encoding, the wide-gram staging refactor under the 13-gram entry, the
 dialect-neutral recursive template, the SSSP probe edit) lead; the
-remaining 41 slots take the stalest driver rows (last checked r5).
+remaining 40 slots take the stalest driver rows (last checked r5).
 Four r5 rows defer to round 9 (`pq_adc_topk` and
 `semantic_dedup_stats` were independently judge-verified against
 DuckDB in the r7 session; `label_maxsim_topk` / `media_feature_stats`

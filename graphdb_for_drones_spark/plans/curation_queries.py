@@ -124,6 +124,29 @@ def q_contamination_check_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
 
     num_buckets = 16
 
+    # one-time migration: pre-round-8 dirs were named without the param
+    # token (shidx-<name>-<sid>-<fp>); the new prefix never matches them
+    # so the stale-fingerprint sweep can't collect them — sweep aged
+    # ones here (same age guard as every index sweep)
+    import re as _re
+    import shutil as _shutil
+    import time as _time
+
+    from graphdb_for_drones_spark.operators.similarity import _newest_mtime
+
+    if _os.path.isdir(root):
+        legacy_pat = _re.compile(
+            r"shidx-(tr|ev)-[0-9a-f]{8}-[0-9a-f]{16}$"
+        )
+        for entry in _os.listdir(root):
+            d = _os.path.join(root, entry)
+            if (
+                legacy_pat.fullmatch(entry)
+                and _os.path.isdir(d)
+                and _time.time() - _newest_mtime(d) >= 3600.0
+            ):
+                _shutil.rmtree(d, ignore_errors=True)
+
     def side(name: str, builder, **params):
         # every build param is IN the path/table name (the *_path_for
         # contract): a param change lands in a fresh dir instead of
@@ -410,8 +433,12 @@ def q_doc_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle asserts TRUE — a packer bug flips a boolean and
     hash-mismatches the driver row:
 
-    * ``packs_within_budget`` — every pack ≤ budget except a singleton
-      oversize document (FFD's only legal overflow);
+    * ``packs_within_budget`` — every pack ≤ budget except a pack
+      whose largest member is oversize, which then holds EXACTLY that
+      document's tokens (FFD's only legal overflow: an oversize doc
+      opens a pack with 0 remaining capacity, so only zero-token
+      documents can join it — ``pt == pm`` there; a positive-token
+      co-tenant flags);
     * ``tokens_conserved`` / ``docs_conserved`` — the packing is a
       permutation of the shard, nothing dropped or duplicated;
     * ``pack_count_ok`` — n_oversize + ceil(rest_tokens/budget) ≤
@@ -423,9 +450,15 @@ def q_doc_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Compare with `doc_pack_stats`' token-offset binning: FFD never
     splits a document across packs."""
-    budget = 512
     cat = Catalog(spark, sf_dir)
-    docs = cat.documents
+    return _pack_greedy_invariants(cat.documents, budget=512)
+
+
+def _pack_greedy_invariants(docs: DataFrame, budget: int) -> DataFrame:
+    """The packer-invariants frame of `doc_pack_greedy_stats`, over any
+    documents frame — factored out so tests can drive it with
+    adversarial corpora (oversize docs, zero-token docs) the gate
+    corpus lacks."""
     packed = curation.pack_sequences_greedy(
         docs, budget=budget, group_cols=("lang",), shard_size=1_000
     )
@@ -440,7 +473,7 @@ def q_doc_pack_greedy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_packs"),
         F.bool_and(
             (F.col("pt") <= budget)
-            | ((F.col("pd") == 1) & (F.col("pm") > budget))
+            | ((F.col("pm") > budget) & (F.col("pt") == F.col("pm")))
         ).alias("packs_within_budget"),
         F.sum(
             F.when(F.col("pt") * 2 <= budget, F.lit(1)).otherwise(F.lit(0))

@@ -938,10 +938,6 @@ def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_near_pairs` run and the oracle holds either way."""
     import os as _os
 
-    from graphdb_for_drones_spark.operators.graph_algorithms import (
-        connected_components,
-    )
-
     cat = Catalog(spark, sf_dir)
     path = S.near_pairs_path_for(
         _os.path.join(sf_dir, "embeddings.parquet"), dim=64, threshold=0.3

@@ -910,8 +910,12 @@ def test_bucketed_shingle_table_open_spec_mismatch_raises(spark, tmp_path):
 
 def test_bucketed_shingle_table_open_legacy_dir_rebuilds(spark, tmp_path):
     """A pre-spec directory (no ``_bucket_spec.json``) has an
-    unverifiable layout: the open must rebuild it, not trust it."""
+    unverifiable layout: once AGED past the reader-safety window the
+    open must rebuild it, not trust it; while YOUNG it must raise
+    (another session may still be scanning those files) rather than
+    delete or silently reuse."""
     import os
+    import pytest
 
     from graphdb_for_drones_spark.operators import curation
 
@@ -934,6 +938,18 @@ def test_bucketed_shingle_table_open_legacy_dir_rebuilds(spark, tmp_path):
         calls.append(1)
         return curation.shingle_index(docs, "train_id")
 
+    # young spec-less dir: refuse (possible active reader)
+    with pytest.raises(RuntimeError, match="spec-less"):
+        curation.bucketed_shingle_table_open(
+            spark, rebuilt, table="shidx_legacy_t1", path=path
+        )
+    assert calls == []
+    # age every entry past the window -> rebuild
+    old = (1_000_000_000, 1_000_000_000)
+    for r, _d, files in os.walk(path):
+        os.utime(r, old)
+        for f in files:
+            os.utime(os.path.join(r, f), old)
     again = curation.bucketed_shingle_table_open(
         spark, rebuilt, table="shidx_legacy_t1", path=path
     )
@@ -941,3 +957,46 @@ def test_bucketed_shingle_table_open_legacy_dir_rebuilds(spark, tmp_path):
     assert sorted(tuple(r) for r in again.collect()) == expect
     assert os.path.isfile(os.path.join(path, "_bucket_spec.json"))
     spark.sql("DROP TABLE IF EXISTS shidx_legacy_t1")
+
+
+def test_pack_greedy_invariants_oversize_and_zero_token_docs(spark):
+    """The gate corpus has neither oversize (>budget) nor zero-token
+    documents, so the driver row can't exercise FFD's overflow edge:
+    an oversize doc opens a pack with 0 remaining capacity and
+    ZERO-TOKEN docs then first-fit into it (t=0 <= cap=0) — a legal
+    2+ member pack whose total exceeds budget.  Every invariant
+    boolean must still be TRUE (the oracle hardcodes TRUE), including
+    on shards mixing oversize, zero-token, empty-text and normal
+    docs."""
+    from graphdb_for_drones_spark.plans.curation_queries import (
+        _pack_greedy_invariants,
+    )
+
+    rows = [
+        # shard 0: oversize + zero-token hitchhiker + normal
+        (0, "en", " ".join(["w"] * 600)),
+        (1, "en", ""),
+        (2, "en", " ".join(["x"] * 100)),
+        # shard 1 (doc_id 1000+): all zero-token
+        (1000, "en", ""),
+        (1001, "en", "   "),
+        # shard 2: two oversize + fillers
+        (2000, "de", " ".join(["a"] * 700)),
+        (2001, "de", " ".join(["b"] * 600)),
+        (2002, "de", ""),
+        (2003, "de", " ".join(["c"] * 10)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).localCheckpoint()
+    out = _pack_greedy_invariants(docs, budget=512).collect()
+    assert len(out) == 3
+    for r in out:
+        for b in (
+            "packs_within_budget",
+            "tokens_conserved",
+            "docs_conserved",
+            "pack_count_ok",
+            "at_most_one_halffull",
+        ):
+            assert r[b] is True, (r["lang"], r["shard"], b, r)
