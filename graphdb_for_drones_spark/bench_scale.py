@@ -70,39 +70,45 @@ def scaled_documents(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame
     return df.repartition(32).localCheckpoint()
 
 
-def _families(docs: DataFrame) -> dict[str, DataFrame]:
+def _families(docs: DataFrame) -> dict:
+    """Family name -> zero-arg BUILDER.  Thunks, not DataFrames: kernels
+    with eager pinned intermediates (posting-bucket localCheckpoints,
+    round 8) do that work at CONSTRUCTION time, and re-counting one
+    prebuilt frame also reuses retained shuffle files — so the timed
+    region must build a fresh plan per measurement (the bench.py
+    protocol)."""
     train = docs.filter(F.col("source") != "src0")
     ev = docs.filter(F.col("source") == "src0")
     per_text = docs.groupBy("text").agg(F.count(F.lit(1)).alias("cnt"))
     return {
         # exact semantics — rows must scale exactly linearly
-        "exact_dedup": per_text.filter(F.col("cnt") > 1),
-        "ngram_jaccard": D.ngram_jaccard_pairs(docs, threshold=0.1),
+        "exact_dedup": lambda: per_text.filter(F.col("cnt") > 1),
+        "ngram_jaccard": lambda: D.ngram_jaccard_pairs(docs, threshold=0.1),
         # df-capped variant (own semantics, like the catalog's _capped
         # entry): the A/B that shows what the cap buys as data grows
-        "ngram_jaccard_capped": D.ngram_jaccard_pairs(
+        "ngram_jaccard_capped": lambda: D.ngram_jaccard_pairs(
             docs, threshold=0.1, max_df=50
         ),
-        "contamination": curation.contamination_pairs(
+        "contamination": lambda: curation.contamination_pairs(
             train, ev, threshold=0.1, max_df=100
         ),
         # round-5 additions, both exact semantics: dup-span rows are one
         # per doc (copy-tagged words keep every within-copy df constant);
         # tfidf's vocabulary grows with the corpus while term df stays
         # constant — the inverted-index linearity case again
-        "dup_span": curation.duplicated_span_scores(docs),
-        "tfidf_topk": curation.tfidf_top_terms(docs, k=3),
+        "dup_span": lambda: curation.duplicated_span_scores(docs),
+        "tfidf_topk": lambda: curation.tfidf_top_terms(docs, k=3),
         # LSH approximations — new buckets per copy, counts ≈ linear
-        "minhash": D.minhash_lsh_pairs(docs, jaccard_threshold=0.3),
-        "simhash": D.simhash_pairs(docs, max_hamming=6),
+        "minhash": lambda: D.minhash_lsh_pairs(docs, jaccard_threshold=0.3),
+        "simhash": lambda: D.simhash_pairs(docs, max_hamming=6),
         # late round-5 additions, exact semantics: top-ngram and
         # chunking emit rows per doc / per token window — exactly
         # linear; the bloom probe emits one row per source (constant)
         # while its WORK is linear in corpus shingles (build) + constant
         # probe side — the time column is the claim
-        "top_ngram": curation.top_ngram_stats(docs),
-        "chunking": curation.chunk_documents(docs),
-        "bloom_probe": _bloom_probe(docs),
+        "top_ngram": lambda: curation.top_ngram_stats(docs),
+        "chunking": lambda: curation.chunk_documents(docs),
+        "bloom_probe": lambda: _bloom_probe(docs),
         # session additions: fluency emits one row per doc (exactly
         # linear; copy-tagged words keep every bigram's corpus counts
         # constant, so even the SCORES are copy-invariant); bm25 keeps
@@ -113,10 +119,10 @@ def _families(docs: DataFrame) -> dict[str, DataFrame]:
         # the left join (a bare count of the doc-id spine would let the
         # optimizer skip the fluency computation entirely — measured
         # 0.1 s flat at both factors); rows stay one-per-doc
-        "bigram_lm": curation.bigram_lm_scores(docs).filter(
+        "bigram_lm": lambda: curation.bigram_lm_scores(docs).filter(
             F.col("n_bigrams") >= 0
         ),
-        "bm25": curation.bm25_topk(
+        "bm25": lambda: curation.bm25_topk(
             docs, ["vector", "join", "dup", "stream"], k=10
         ),
     }
@@ -162,10 +168,10 @@ def run_scale_bench(
     base_rows: dict[str, int] = {}
     for factor in factors:
         docs = scaled_documents(spark, SF_DIR, factor)
-        for name, df in _families(docs).items():
-            df.count()  # warm
+        for name, mk in _families(docs).items():
+            mk().count()  # warm (fresh plan; timed below is another fresh plan)
             t0 = time.time()
-            n = df.count()
+            n = mk().count()
             dt = time.time() - t0
             if factor == min(factors):
                 base_rows[name] = n

@@ -57,21 +57,25 @@ def ensure_sf1(spark: SparkSession, regen: bool = False) -> str:
     return SF1_DIR
 
 
-def _doc_families(docs: DataFrame) -> dict[str, DataFrame]:
+def _doc_families(docs: DataFrame) -> dict:
+    """name -> zero-arg builder: the timed region constructs a FRESH
+    plan per measurement, so eager pinned intermediates (round-8
+    posting-bucket localCheckpoints) and shuffle-file reuse on a
+    re-counted frame cannot fall outside the measurement."""
     train = docs.filter(F.col("source") != "src0")
     ev = docs.filter(F.col("source") == "src0")
     per_text = docs.groupBy("text").agg(F.count(F.lit(1)).alias("cnt"))
     return {
-        "exact_dedup": per_text.filter(F.col("cnt") > 1),
-        "minhash_lsh": D.minhash_lsh_pairs(docs, jaccard_threshold=0.3),
-        "ngram_jaccard": D.ngram_jaccard_pairs(docs, threshold=0.1),
-        "contamination": curation.contamination_pairs(
+        "exact_dedup": lambda: per_text.filter(F.col("cnt") > 1),
+        "minhash_lsh": lambda: D.minhash_lsh_pairs(docs, jaccard_threshold=0.3),
+        "ngram_jaccard": lambda: D.ngram_jaccard_pairs(docs, threshold=0.1),
+        "contamination": lambda: curation.contamination_pairs(
             train, ev, threshold=0.1, max_df=100
         ),
     }
 
 
-def _ann_families(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def _ann_families(spark: SparkSession, sf_dir: str) -> dict:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.select("embedding").first()[0]
 
@@ -91,16 +95,18 @@ def _ann_families(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # pairs pass and the output itself is Θ(n²) — no enumeration
         # strategy can make a quadratic RESULT linear; that's a property
         # of the threshold, not the kernel.
-        "ann_near_pairs": S.ann_near_pairs(emb, dim=64, threshold=0.5),
+        "ann_near_pairs": lambda: S.ann_near_pairs(
+            emb, dim=64, threshold=0.5
+        ),
         # the corpus-sized default (n_planes=None -> auto_band_width):
         # measured HERE so the knee-avoidance claim carries numbers —
         # at sf1 (20k vectors) auto picks 8-bit bands where the fixed
         # 16-plane geometry saturates
-        "ann_near_pairs_auto": S.ann_near_pairs(
+        "ann_near_pairs_auto": lambda: S.ann_near_pairs(
             emb, dim=64, threshold=0.5, n_planes=None
         ),
-        "brute_topk": S.cosine_topk(emb, list(q), k=10),
-        "ivf_build_probe": ivf_probe(),
+        "brute_topk": lambda: S.cosine_topk(emb, list(q), k=10),
+        "ivf_build_probe": ivf_probe,
     }
 
 
@@ -113,11 +119,11 @@ def run(spark: SparkSession, regen: bool = False) -> list[dict]:
         )
         fams = dict(_doc_families(docs))
         fams.update(_ann_families(spark, sf_dir))
-        for name, df in fams.items():
-            df.count()  # warm (cold-JVM/codegen distortion)
+        for name, mk in fams.items():
+            mk().count()  # warm (cold-JVM/codegen distortion; fresh plan)
             t0 = time.time()
-            n = df.count()
-            dt = time.time() - t0
+            n = mk().count()  # timed on ANOTHER fresh plan: eager pins
+            dt = time.time() - t0  # + shuffle reuse stay inside the clock
             row = {
                 "family": name,
                 "sf": sf_name,
