@@ -1000,3 +1000,60 @@ def test_pack_greedy_invariants_oversize_and_zero_token_docs(spark):
             "at_most_one_halffull",
         ):
             assert r[b] is True, (r["lang"], r["shard"], b, r)
+
+
+import pytest as _pytest
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_pytest.mark.slow
+@_settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.function_scoped_fixture],
+)
+@_given(
+    lens=_st.lists(
+        # token lengths spanning every FFD regime: empty, tiny, near-
+        # budget, exactly budget, oversize (budget here is 64)
+        _st.sampled_from([0, 1, 5, 30, 60, 63, 64, 65, 100, 200]),
+        min_size=1,
+        max_size=24,
+    ),
+    two_langs=_st.booleans(),
+)
+def test_pack_greedy_invariants_hold_on_random_corpora(
+    spark, lens, two_langs
+):
+    """PROPERTY: every invariant boolean of the driver-gated
+    `doc_pack_greedy_stats` entry is TRUE for any corpus — the oracle
+    hardcodes TRUE, so a single False on any reachable input class is
+    a latent red gate row (exactly the bug class the round-8 review
+    caught on oversize+zero-token shards)."""
+    from graphdb_for_drones_spark.plans.curation_queries import (
+        _pack_greedy_invariants,
+    )
+
+    rows = [
+        (
+            i,
+            ("en" if (not two_langs or i % 2 == 0) else "de"),
+            " ".join(["w"] * n),
+        )
+        for i, n in enumerate(lens)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).localCheckpoint()
+    for r in _pack_greedy_invariants(docs, budget=64).collect():
+        for b in (
+            "packs_within_budget",
+            "tokens_conserved",
+            "docs_conserved",
+            "pack_count_ok",
+            "at_most_one_halffull",
+        ):
+            assert r[b] is True, (r["lang"], r["shard"], b, r, lens)
