@@ -506,6 +506,102 @@ def temperature_mixture(
     )
 
 
+def unimax_allocation(
+    df: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    budget_tokens: int = 100_000,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, the mT5-successor
+    budget rule): spread a total token ``budget_tokens`` as UNIFORMLY as
+    possible across domains, but never take more than ``max_epochs``
+    passes over any domain's data — the epoch cap is what stops the
+    uniform target from burning tiny languages to 100+ repeats the way
+    plain uniform sampling does, and the leftover waterfills the
+    bigger domains.
+
+    Closed-form waterfill, no iteration: sort domains by capacity
+    cap_l = max_epochs·c_l ascending; domain at rank i is CAPPED iff
+    cap_i·(n−i+1) + S_{i−1} < B (S = capacity prefix sum) — the capped
+    set is always a prefix of the sorted order and this predicate is
+    exactly "cap_i below the running waterlevel", so one window pass
+    decides it — then every uncapped domain gets the common level
+    (B − S_k)/(n − k).  The predicate is pure BIGINT arithmetic and
+    the level is ONE double division of exact integers, so the output
+    is bit-identical across engines (driver-hash-checkable; the
+    general iterative formulation would not be).
+
+    Window shapes: the per-domain token count is the one corpus-scale
+    aggregation; everything after runs on the domain DIMENSION (one
+    row per language — hundreds at 100 TB), so the empty-partition
+    global windows below are a few-hundred-row single task by design.
+
+    Returns per domain: n_docs, n_tokens, cap_tokens, capped,
+    alloc_tokens (double), weight = alloc/budget, epochs =
+    alloc/n_tokens."""
+    if max_epochs <= 0 or budget_tokens < 0:
+        raise ValueError("max_epochs must be >= 1 and budget_tokens >= 0")
+    per = (
+        df.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(token_count(F.col(text_col))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn("cap_tokens", F.col("n_tokens") * F.lit(int(max_epochs)))
+    )
+    w = Window.orderBy("cap_tokens", domain_col)
+    all_w = Window.partitionBy()
+    b = F.lit(int(budget_tokens))
+    ranked = (
+        per.withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            "__s",
+            F.sum("cap_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(all_w))
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1)
+            + (F.col("__s") - F.col("cap_tokens"))
+            < b,
+        )
+    )
+    ranked = ranked.withColumn(
+        "__k", F.sum(F.col("capped").cast("long")).over(all_w)
+    ).withColumn(
+        "__sk",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(all_w),
+            F.lit(0).cast("long"),
+        ),
+    )
+    level = F.when(F.col("__n") == F.col("__k"), F.lit(0.0)).otherwise(
+        (b - F.col("__sk")).cast("double") / (F.col("__n") - F.col("__k"))
+    )
+    alloc = F.when(
+        F.col("capped"), F.col("cap_tokens").cast("double")
+    ).otherwise(level)
+    return ranked.select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        alloc.alias("alloc_tokens"),
+        (alloc / F.lit(float(budget_tokens))).alias("weight")
+        if budget_tokens > 0
+        else F.lit(0.0).alias("weight"),
+        F.when(F.col("n_tokens") > 0, alloc / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
+    )
+
+
 def repetition_ratio(col: Column, n: int = 2) -> Column:
     """Gopher-style duplicate n-gram ratio: 1 − distinct/total word
     n-grams (0 = no repetition).  Hashed n-grams (codegen xxhash64, the

@@ -224,6 +224,69 @@ FROM c WHERE inter * 1.0 / (na + nb - inter) >= 0.1
 """
 
 
+def q_lang_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023) over the language
+    dimension: spread 40k tokens as uniformly as the 2-epoch cap
+    allows — the epoch-capped successor to temperature sampling
+    (`lang_temperature_mixture`), closed-form waterfill, bit-identical
+    across engines (BIGINT capping predicate + one double division;
+    see operators/curation.unimax_allocation).  At the gate sf both
+    branches execute: four languages hit the 2-epoch cap, the head
+    language takes the waterfilled remainder."""
+    cat = Catalog(spark, sf_dir)
+    return curation.unimax_allocation(
+        cat.documents, domain_col="lang", budget_tokens=40_000, max_epochs=2
+    ).orderBy("lang")
+
+
+def _unimax_oracle_sql(budget: int = 40_000, epochs: int = 2) -> str:
+    return rf"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(COALESCE(SUM(len(list_filter({_WORDS}, x -> x <> ''))), 0)
+           AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+ranked AS (
+  SELECT lang, n_docs, n_tokens, n_tokens * {epochs} AS cap_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * {epochs}, lang) AS i,
+         SUM(n_tokens * {epochs}) OVER (ORDER BY n_tokens * {epochs}, lang
+                                        ROWS UNBOUNDED PRECEDING) AS s,
+         COUNT(*) OVER () AS n
+  FROM per
+),
+flagged AS (
+  SELECT *, (cap_tokens * (n - i + 1) + (s - cap_tokens)) < {budget}
+            AS capped
+  FROM ranked
+),
+agg AS (
+  SELECT *,
+         SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+         COALESCE(SUM(CASE WHEN capped THEN cap_tokens END) OVER (), 0)
+           AS sk
+  FROM flagged
+),
+alloc AS (
+  SELECT *,
+         CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+              WHEN n = k THEN 0.0
+              ELSE CAST({budget} - sk AS DOUBLE) / CAST(n - k AS DOUBLE)
+         END AS alloc_tokens
+  FROM agg
+)
+SELECT lang, n_docs, n_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+       capped, alloc_tokens,
+       alloc_tokens / CAST({budget} AS DOUBLE) AS weight,
+       CASE WHEN n_tokens > 0 THEN alloc_tokens / n_tokens
+            ELSE 0.0 END AS epochs
+FROM alloc ORDER BY lang
+"""
+
+
+ORACLE_LANG_UNIMAX_MIXTURE = _unimax_oracle_sql()
+
+
 def q_doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing rollup: documents laid out in doc_id order within
     (lang, shard) streams, token-offset binned into 512-token packs;
@@ -1800,6 +1863,7 @@ CURATION_QUERIES = {
     "doc_pack_stats": q_doc_pack_stats,
     "mixture_weights": q_mixture_weights,
     "lang_temperature_mixture": q_lang_temperature_mixture,
+    "lang_unimax_mixture": q_lang_unimax_mixture,
     "doc_repetition": q_doc_repetition,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "doc_pack_greedy_stats": q_doc_pack_greedy_stats,
@@ -1837,6 +1901,7 @@ CURATION_ORACLES = {
     "doc_pack_greedy_stats": ORACLE_DOC_PACK_GREEDY_STATS,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "lang_temperature_mixture": ORACLE_LANG_TEMPERATURE_MIXTURE,
+    "lang_unimax_mixture": ORACLE_LANG_UNIMAX_MIXTURE,
     "doc_repetition": ORACLE_DOC_REPETITION,
     "embedding_dup_clusters": ORACLE_EMBEDDING_DUP_CLUSTERS,
     "doc_quality_sample_stats": ORACLE_DOC_QUALITY_SAMPLE_STATS,

@@ -1057,3 +1057,79 @@ def test_pack_greedy_invariants_hold_on_random_corpora(
             "at_most_one_halffull",
         ):
             assert r[b] is True, (r["lang"], r["shard"], b, r, lens)
+
+
+def _unimax_reference(caps, budget):
+    """Straight-line iterative waterfill: the definitionally-correct
+    UniMax allocation the closed-form window formulation must match."""
+    order = sorted(caps)  # list of (cap, lang)
+    alloc, remaining = {}, budget
+    left = len(order)
+    for cap, lang in order:
+        level = remaining / left if left else 0.0
+        if cap < level:
+            alloc[lang] = float(cap)
+            remaining -= cap
+        else:
+            alloc[lang] = level
+        left -= 1
+    # uncapped ones all share the FINAL level, recompute in one pass
+    capped = {l for c, l in order if alloc[l] == float(c) and c < budget}
+    rem = budget - sum(c for c, l in order if l in capped)
+    n_un = len(order) - len(capped)
+    for c, l in order:
+        if l not in capped:
+            alloc[l] = rem / n_un if n_un else 0.0
+    return alloc
+
+
+def test_unimax_allocation_matches_reference(spark):
+    rows = []
+    toks = {"aa": 10, "bb": 50, "cc": 500, "dd": 0, "ee": 2000}
+    i = 0
+    for lang, n in toks.items():
+        rows.append((i, " ".join(["w"] * n), lang, "s"))
+        i += 1
+    docs = _docs(spark, rows)
+    budget, epochs = 1000, 2
+    out = {
+        r.lang: r
+        for r in curation.unimax_allocation(
+            docs, budget_tokens=budget, max_epochs=epochs
+        ).collect()
+    }
+    ref = _unimax_reference(
+        [(n * epochs, lang) for lang, n in toks.items()], budget
+    )
+    assert set(out) == set(toks)
+    total = 0.0
+    for lang, n in toks.items():
+        r = out[lang]
+        assert r.cap_tokens == n * epochs
+        assert r.alloc_tokens == pytest.approx(ref[lang], abs=1e-9), lang
+        # never over the epoch cap; epochs column consistent
+        assert r.alloc_tokens <= r.cap_tokens + 1e-9
+        if n > 0:
+            assert r.epochs == pytest.approx(r.alloc_tokens / n)
+        total += r.alloc_tokens
+    # budget fully spent when total capacity allows it
+    assert total == pytest.approx(min(budget, sum(n * epochs for n in toks.values())))
+
+
+def test_unimax_allocation_edges(spark):
+    docs = _docs(spark, [(1, "a b c", "en", "s"), (2, "d e", "de", "s")])
+    # budget over total capacity: everything capped, leftover unspent
+    out = {
+        r.lang: r
+        for r in curation.unimax_allocation(
+            docs, budget_tokens=1_000_000, max_epochs=3
+        ).collect()
+    }
+    assert out["en"].capped and out["de"].capped
+    assert out["en"].alloc_tokens == 9.0 and out["de"].alloc_tokens == 6.0
+    # zero budget: all-zero allocations, no divide-by-zero failure
+    out0 = curation.unimax_allocation(docs, budget_tokens=0).collect()
+    assert {r.alloc_tokens for r in out0} == {0.0}
+    assert {r.weight for r in out0} == {0.0}
+    with pytest.raises(ValueError, match="max_epochs"):
+        curation.unimax_allocation(docs, max_epochs=0)
