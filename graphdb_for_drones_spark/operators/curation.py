@@ -244,8 +244,11 @@ def bucketed_shingle_table_open(
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema
         )
+        # IF NOT EXISTS: two racers both reach the registration after
+        # the rename settles (name + path encode the same params, so
+        # whichever DDL lands declares the identical layout)
         spark.sql(
-            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING parquet "
             f"CLUSTERED BY (h) SORTED BY (h) INTO {spec['num_buckets']} "
             f"BUCKETS LOCATION '{path}'"
         )

@@ -353,3 +353,64 @@ def test_ivfpq_residual_open_concurrent_builders(spark, tmp_path, monkeypatch):
     assert len(results[0][0]) == 40
     assert os.path.isdir(path)
     assert glob.glob(path + ".tmp.*") == []
+
+
+def test_bucketed_shingle_table_open_concurrent_builders(spark, tmp_path):
+    """The bucketed decontamination index's cold build stages in a
+    _private_tmp dir + rename (round 8) — race it like the other
+    persisted indexes: a barrier inside the builder holds both threads
+    in the cold path, so both write staging dirs and exactly one
+    rename wins.  One readable bucketed table, zero .tmp.* leftovers,
+    both racers read identical rows, spec sidecar present."""
+    import glob
+    import os
+    import threading
+
+    from graphdb_for_drones_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f common tail") for i in range(20)],
+        "doc_id long, text string",
+    ).localCheckpoint()
+    path = str(tmp_path / "shidx-race")
+    expect = _rows(
+        curation.shingle_index(docs, "train_id"), ["train_id", "h"]
+    )
+    barrier = threading.Barrier(2)
+    built = []
+
+    def builder():
+        built.append(1)
+        barrier.wait(timeout=120)
+        return curation.shingle_index(docs, "train_id")
+
+    results = [None, None]
+
+    def work(i):
+        results[i] = _rows(
+            curation.bucketed_shingle_table_open(
+                spark,
+                builder,
+                table="shidx_race_t1",
+                path=path,
+                build_params={"n": 3},
+            ),
+            ["train_id", "h"],
+        )
+
+    _race(work)
+    assert len(built) == 2
+    assert results[0] == results[1] == expect
+    assert os.path.isdir(path)
+    assert os.path.isfile(os.path.join(path, "_bucket_spec.json"))
+    assert glob.glob(path + ".tmp.*") == []
+    # a fresh open is a warm open: builder must not run again
+    again = curation.bucketed_shingle_table_open(
+        spark,
+        lambda: (_ for _ in ()).throw(AssertionError),
+        table="shidx_race_t1",
+        path=path,
+        build_params={"n": 3},
+    )
+    assert _rows(again, ["train_id", "h"]) == expect
+    spark.sql("DROP TABLE IF EXISTS shidx_race_t1")
