@@ -169,10 +169,17 @@ def run_scale_bench(
     for factor in factors:
         docs = scaled_documents(spark, SF_DIR, factor)
         for name, mk in _families(docs).items():
+            import gc
+
             mk().count()  # warm (fresh plan; timed below is another fresh plan)
+            gc.collect()  # drop the warm pass's checkpoint blocks: pinned
+            # RDDs free on Python GC, and letting dozens of stale
+            # checkpoint sets pile up in the block manager would land
+            # eviction pauses inside LATER families' timed regions
             t0 = time.time()
             n = mk().count()
             dt = time.time() - t0
+            gc.collect()
             if factor == min(factors):
                 base_rows[name] = n
             elif check_linearity and name in EXACT_FAMILIES:

@@ -120,10 +120,16 @@ def run(spark: SparkSession, regen: bool = False) -> list[dict]:
         fams = dict(_doc_families(docs))
         fams.update(_ann_families(spark, sf_dir))
         for name, mk in fams.items():
+            import gc
+
             mk().count()  # warm (cold-JVM/codegen distortion; fresh plan)
+            gc.collect()  # free the warm pass's checkpoint blocks (see
+            # bench_scale: stale pinned RDDs otherwise accumulate into
+            # later families' timed regions)
             t0 = time.time()
             n = mk().count()  # timed on ANOTHER fresh plan: eager pins
             dt = time.time() - t0  # + shuffle reuse stay inside the clock
+            gc.collect()
             row = {
                 "family": name,
                 "sf": sf_name,

@@ -239,6 +239,22 @@ def bucketed_shingle_table_open(
             f"{want}: encode build params in the path/table name so "
             "param sets never share a directory"
         )
+    if spark.catalog.tableExists(table):
+        # a registration may predate this open and point ELSEWHERE
+        # (a caller that violated the path/table co-encoding, or a
+        # failed test's leftover): serving rows from the wrong path is
+        # exactly the silent-wrong-data class this function guards
+        # against, so verify the catalog location against ``path`` and
+        # re-register on mismatch
+        loc_rows = (
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .filter("col_name = 'Location'")
+            .collect()
+        )
+        loc = loc_rows[0].data_type if loc_rows else ""
+        loc_path = _os.path.abspath(loc.split("file:", 1)[-1])
+        if loc_path != _os.path.abspath(path):
+            spark.sql(f"DROP TABLE {table}")
     if not spark.catalog.tableExists(table):
         schema = spark.read.parquet(path).schema
         cols = ", ".join(
@@ -253,6 +269,34 @@ def bucketed_shingle_table_open(
             f"BUCKETS LOCATION '{path}'"
         )
     return spark.table(table)
+
+
+def sweep_legacy_shidx_dirs(root: str) -> None:
+    """One-time migration sweep for PRE-param-token bucketed-index dirs
+    (``shidx-<name>-<8 hex sid>-<16 hex fp>``): the round-8 naming puts
+    the build params between name and sid, so ``_sweep_stale_
+    fingerprints``'s prefix keying can never collect the old dirs —
+    without this they leak forever in a shared index root.  Same age
+    guard as every index sweep (never delete under a possible active
+    reader)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    import time as _time
+
+    from graphdb_for_drones_spark.operators.similarity import _newest_mtime
+
+    if not _os.path.isdir(root):
+        return
+    legacy_pat = _re.compile(r"shidx-(tr|ev)-[0-9a-f]{8}-[0-9a-f]{16}$")
+    for entry in _os.listdir(root):
+        d = _os.path.join(root, entry)
+        if (
+            legacy_pat.fullmatch(entry)
+            and _os.path.isdir(d)
+            and _time.time() - _newest_mtime(d) >= 3600.0
+        ):
+            _shutil.rmtree(d, ignore_errors=True)
 
 
 def contamination_pairs_from_index(

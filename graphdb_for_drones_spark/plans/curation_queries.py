@@ -125,27 +125,8 @@ def q_contamination_check_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     num_buckets = 16
 
     # one-time migration: pre-round-8 dirs were named without the param
-    # token (shidx-<name>-<sid>-<fp>); the new prefix never matches them
-    # so the stale-fingerprint sweep can't collect them — sweep aged
-    # ones here (same age guard as every index sweep)
-    import re as _re
-    import shutil as _shutil
-    import time as _time
-
-    from graphdb_for_drones_spark.operators.similarity import _newest_mtime
-
-    if _os.path.isdir(root):
-        legacy_pat = _re.compile(
-            r"shidx-(tr|ev)-[0-9a-f]{8}-[0-9a-f]{16}$"
-        )
-        for entry in _os.listdir(root):
-            d = _os.path.join(root, entry)
-            if (
-                legacy_pat.fullmatch(entry)
-                and _os.path.isdir(d)
-                and _time.time() - _newest_mtime(d) >= 3600.0
-            ):
-                _shutil.rmtree(d, ignore_errors=True)
+    # token; the sweep idiom lives beside the open layer
+    curation.sweep_legacy_shidx_dirs(root)
 
     def side(name: str, builder, **params):
         # every build param is IN the path/table name (the *_path_for

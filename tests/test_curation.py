@@ -1133,3 +1133,32 @@ def test_unimax_allocation_edges(spark):
     assert {r.weight for r in out0} == {0.0}
     with pytest.raises(ValueError, match="max_epochs"):
         curation.unimax_allocation(docs, max_epochs=0)
+
+
+def test_bucketed_shingle_table_open_relocates_stale_registration(spark, tmp_path):
+    """A catalog entry for ``table`` left pointing at a DIFFERENT path
+    (failed-test leftover, co-encoding violation) must be re-registered
+    over the requested path, not silently served — rows from the wrong
+    index are the silent-wrong-data class the sidecar guards against."""
+    from graphdb_for_drones_spark.operators import curation
+
+    d1 = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    ).localCheckpoint()
+    d2 = spark.createDataFrame(
+        [(2, "v w x y z"), (3, "v w x q r")], "doc_id long, text string"
+    ).localCheckpoint()
+    p1, p2 = str(tmp_path / "shidx-loc1"), str(tmp_path / "shidx-loc2")
+    first = curation.bucketed_shingle_table_open(
+        spark, lambda: curation.shingle_index(d1, "train_id"),
+        table="shidx_reloc_t1", path=p1,
+    )
+    rows1 = sorted(tuple(r) for r in first.collect())
+    second = curation.bucketed_shingle_table_open(
+        spark, lambda: curation.shingle_index(d2, "train_id"),
+        table="shidx_reloc_t1", path=p2,
+    )
+    rows2 = sorted(tuple(r) for r in second.collect())
+    assert rows2 != rows1  # really reading p2, not the stale p1 entry
+    assert {r[0] for r in rows2} == {2, 3}
+    spark.sql("DROP TABLE IF EXISTS shidx_reloc_t1")
