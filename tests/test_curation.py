@@ -1162,3 +1162,32 @@ def test_bucketed_shingle_table_open_relocates_stale_registration(spark, tmp_pat
     assert rows2 != rows1  # really reading p2, not the stale p1 entry
     assert {r[0] for r in rows2} == {2, 3}
     spark.sql("DROP TABLE IF EXISTS shidx_reloc_t1")
+
+
+def test_sweep_legacy_shidx_dirs(tmp_path):
+    """Only AGED pre-param-token dirs go; new-style dirs, young legacy
+    dirs, and non-matching names survive."""
+    import os
+    import time
+
+    from graphdb_for_drones_spark.operators.curation import (
+        sweep_legacy_shidx_dirs,
+    )
+
+    root = tmp_path / "idx"
+    root.mkdir()
+    old = ("ab" * 4, "cd" * 8)
+    aged_legacy = root / f"shidx-tr-{old[0]}-{old[1]}"
+    young_legacy = root / f"shidx-ev-{old[0]}-{old[1]}"
+    new_style = root / f"shidx-tr-n3-df100-b16-{old[0]}-{old[1]}"
+    other = root / "ivf-k8-i2-s42-deadbeef-" + "ef" * 8 if False else root / "unrelated-dir"
+    for d in (aged_legacy, young_legacy, new_style, other):
+        d.mkdir()
+    ancient = (1_000_000_000, 1_000_000_000)
+    os.utime(aged_legacy, ancient)
+    os.utime(new_style, ancient)  # aged but NEW naming: must survive
+    sweep_legacy_shidx_dirs(str(root))
+    assert not aged_legacy.exists()
+    assert young_legacy.exists()
+    assert new_style.exists()
+    assert other.exists()
