@@ -414,3 +414,36 @@ def test_bucketed_shingle_table_open_concurrent_builders(spark, tmp_path):
     )
     assert _rows(again, ["train_id", "h"]) == expect
     spark.sql("DROP TABLE IF EXISTS shidx_race_t1")
+
+
+def test_pq_open_concurrent_builders(spark, tmp_path, monkeypatch):
+    """The remaining persisted-index sibling: two pq_open builds race
+    one path through pq_write's private-tmp + rename; one readable
+    code table + codebooks, zero leftovers, identical reads."""
+    import glob
+    import os
+    import threading
+
+    import graphdb_for_drones_spark.operators.similarity as sim
+
+    emb = _embeddings(spark, n=32, dim=8)
+    path = str(tmp_path / "pq-race")
+    real = sim.pq_codebooks
+    barrier = threading.Barrier(2)
+
+    def slow_books(*a, **kw):
+        barrier.wait(timeout=120)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "pq_codebooks", slow_books)
+    results = [None, None]
+
+    def work(i):
+        codes, books = sim.pq_open(spark, emb, path, m=4, ksub=4)
+        results[i] = (_rows(codes, ["vec_id"]), books)
+
+    _race(work)
+    assert results[0] == results[1]
+    assert len(results[0][0]) == 32 and len(results[0][1]) == 4
+    assert os.path.isdir(path)
+    assert glob.glob(path + ".tmp.*") == []
