@@ -30,6 +30,11 @@ FLOAT_BEARING = [
     "doc_quality_logit",
     "doc_bpe_compression",
     "lang_temperature_mixture",
+    # round 8: the UniMax waterfill (double level division) and the
+    # auto-geometry LSH pairs (rounded cosine after a corpus-count-
+    # derived width) must stay shuffle-width independent
+    "lang_unimax_mixture",
+    "ann_near_pairs_auto",
 ]
 
 
