@@ -129,6 +129,26 @@ def capped_train_index(tr: DataFrame, max_df: int) -> DataFrame:
     )
 
 
+def _canonical_location(loc: str) -> str:
+    """Canonical form of a table/catalog location for equality checks.
+
+    DESCRIBE FORMATTED renders locations as URIs (``file:/…`` with
+    percent-escapes; ``hdfs://nn/…``; ``s3a://bucket/…``) while callers
+    pass plain OS paths — naive ``split("file:")`` + ``abspath`` always
+    mismatches on non-local filesystems and on escaped local paths,
+    silently DROP/re-CREATE-ing the table on every warm open (round-8
+    ADVICE).  Local/file locations normalize to ``file:<abspath>`` with
+    escapes decoded; any other scheme compares as the unescaped URI with
+    the trailing slash stripped."""
+    import os as _os
+    from urllib.parse import unquote, urlsplit
+
+    parts = urlsplit(loc)
+    if parts.scheme in ("", "file"):
+        return "file:" + _os.path.abspath(unquote(parts.path))
+    return unquote(loc).rstrip("/")
+
+
 def bucketed_shingle_table_open(
     spark,
     builder,
@@ -146,8 +166,11 @@ def bucketed_shingle_table_open(
     raises instead of silently registering a layout the files don't
     have (a bucketed-join under a wrong declared layout drops matching
     rows with no error).  A spec-less legacy dir is rebuilt once aged
-    past the reader-safety window (young → raise, never delete under a
-    possible active scan).  Cold builds stage in a ``_private_tmp``
+    past the reader-safety window; while still young it is never
+    deleted (a possible active scan) — instead the open DETOURS to a
+    ``-respec`` sibling dir so callers keep serving through the window,
+    and the aged sweep collects the legacy dir later.  Cold builds
+    stage in a ``_private_tmp``
     dir + rename, so concurrent builders never interleave writes in
     the live directory (the persisted-index race contract,
     ``tests/test_failure_injection.py``).
@@ -175,22 +198,39 @@ def bucketed_shingle_table_open(
     )
 
     spec_file = _os.path.join(path, "_bucket_spec.json")
-    want = {
-        "num_buckets": num_buckets,
-        "bucket_cols": ["h"],
-        "sort_cols": ["h"],
-        "build_params": build_params or {},
-    }
+    # Normalize through one JSON round-trip BEFORE both writing and
+    # comparing: build_params values that don't survive json as-is
+    # (tuples → lists, int keys → str) would otherwise make a fresh
+    # index fail its own immediate warm-open forever (round-8 ADVICE).
+    want = _json.loads(
+        _json.dumps(
+            {
+                "num_buckets": num_buckets,
+                "bucket_cols": ["h"],
+                "sort_cols": ["h"],
+                "build_params": build_params or {},
+            }
+        )
+    )
     if _os.path.isdir(path) and not _os.path.isfile(spec_file):
         # pre-spec dir: layout unverifiable, rebuild (it is a cache) —
         # but only once AGED: a young spec-less dir may still be
         # mid-scan in another session (deleting under an active reader
         # fails ITS job), and age is how every sweep here stays safe
         if _time.time() - _newest_mtime(path) < 3600.0:
-            raise RuntimeError(
-                f"spec-less bucketed index at {path} is younger than the "
-                "safety window: another (pre-upgrade) session may still "
-                "be using it; retry after it ages or remove it manually"
+            # DEGRADED PATH, not an availability cliff (round-8 ADVICE):
+            # build under a sibling dir and leave the legacy one for the
+            # aged sweep — a mid-upgrade session keeps serving instead
+            # of hard-failing for up to an hour.  Deterministic suffix,
+            # so concurrent detours race on ONE dir (the staged-build
+            # contract below resolves that race as usual).
+            return bucketed_shingle_table_open(
+                spark,
+                builder,
+                f"{table}_respec",
+                path.rstrip("/") + "-respec",
+                num_buckets=num_buckets,
+                build_params=build_params,
             )
         _shutil.rmtree(path)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -252,8 +292,7 @@ def bucketed_shingle_table_open(
             .collect()
         )
         loc = loc_rows[0].data_type if loc_rows else ""
-        loc_path = _os.path.abspath(loc.split("file:", 1)[-1])
-        if loc_path != _os.path.abspath(path):
+        if _canonical_location(loc) != _canonical_location(path):
             spark.sql(f"DROP TABLE {table}")
     if not spark.catalog.tableExists(table):
         schema = spark.read.parquet(path).schema

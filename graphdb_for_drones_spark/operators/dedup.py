@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphdb_for_drones_spark.operators._pin import pin
+
 
 def quote_ident(name: str) -> str:
     """Backtick-quote a column name for SQL-text interpolation so names
@@ -379,8 +381,8 @@ def _bucket_pairs(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
         keyed.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .localCheckpoint()
     )
+    buckets = pin(buckets)
     return posting_pairs(buckets, key_cols).dropDuplicates(["id_a", "id_b"])
 
 
@@ -938,7 +940,9 @@ def simhash_candidate_pairs(
     # plus posting_pairs' own small/hot split), and while ReuseExchange
     # dedups the shuffle, the post-shuffle collect_list AGGREGATE is
     # re-executed per consumer — Spark has no plan-level reuse above the
-    # exchange.  One localCheckpoint (row-based, NOT the columnar cache
+    # exchange.  One pin (_pin.pin: localCheckpoint in local mode,
+    # reliable checkpoint / no-op on a cluster — see its fault-tolerance
+    # contract; row-based, NOT the columnar cache
     # that is ~20× slow on array columns) makes every consumer a scan of
     # the materialized posting lists: 5.2 → 3.9 s isolated at sf0.1 for
     # both simhash entries, identical pairs (PERF.md round 8).  The
@@ -948,8 +952,8 @@ def simhash_candidate_pairs(
         keyed.groupBy("band", "chunk")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .localCheckpoint()
     )
+    buckets = pin(buckets)
     # sub-banding needs bands non-empty sub-chunks of the complement;
     # with very narrow fingerprints fall back to the streaming path
     can_subband = bits - max(w for _, w in layout) >= bands

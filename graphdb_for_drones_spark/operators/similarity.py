@@ -28,6 +28,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphdb_for_drones_spark.operators._pin import pin
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a left-to-right double fold (deterministic order)."""
@@ -299,8 +301,8 @@ def ann_near_pairs(
         keyed.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .localCheckpoint()
     )
+    buckets = pin(buckets)
     cand = posting_pairs(buckets, ["band", "bucket"], keep_keys=True)
     sa, sb = F.col("id_a.sig"), F.col("id_b.sig")
     own = None
@@ -1354,7 +1356,7 @@ def ivfpq_residual_build(
     (codes (id, cluster, code_0..m-1), codebooks).  Deterministic:
     same seeded md5 sample rule as ``pq_codebooks``, applied to the
     residual vectors."""
-    res = ivf_residuals(embeddings, centroids, id_col, vec_col).localCheckpoint()
+    res = pin(ivf_residuals(embeddings, centroids, id_col, vec_col))
     books = pq_codebooks(res, m, ksub, seed, id_col, "resid")
     codes = pq_encode(res, books, id_col, "resid").join(
         res.select(id_col, "cluster"), id_col

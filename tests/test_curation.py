@@ -911,9 +911,11 @@ def test_bucketed_shingle_table_open_spec_mismatch_raises(spark, tmp_path):
 def test_bucketed_shingle_table_open_legacy_dir_rebuilds(spark, tmp_path):
     """A pre-spec directory (no ``_bucket_spec.json``) has an
     unverifiable layout: once AGED past the reader-safety window the
-    open must rebuild it, not trust it; while YOUNG it must raise
-    (another session may still be scanning those files) rather than
-    delete or silently reuse."""
+    open must rebuild it, not trust it; while YOUNG it must never
+    delete it (another session may still be scanning those files) and
+    never silently reuse it — instead it DETOURS to a ``-respec``
+    sibling build so the caller keeps serving (round-8 ADVICE: the old
+    raise was an hour-long availability cliff)."""
     import os
     import pytest
 
@@ -938,13 +940,24 @@ def test_bucketed_shingle_table_open_legacy_dir_rebuilds(spark, tmp_path):
         calls.append(1)
         return curation.shingle_index(docs, "train_id")
 
-    # young spec-less dir: refuse (possible active reader)
-    with pytest.raises(RuntimeError, match="spec-less"):
-        curation.bucketed_shingle_table_open(
-            spark, rebuilt, table="shidx_legacy_t1", path=path
-        )
-    assert calls == []
-    # age every entry past the window -> rebuild
+    # young spec-less dir: never deleted (possible active reader) —
+    # the open detours to a fresh ``-respec`` sibling and keeps serving
+    detour = curation.bucketed_shingle_table_open(
+        spark, rebuilt, table="shidx_legacy_t1", path=path
+    )
+    assert calls == [1]
+    assert sorted(tuple(r) for r in detour.collect()) == expect
+    assert os.path.isdir(path + "-respec")
+    # legacy dir untouched: still there, still spec-less
+    assert os.path.isdir(path)
+    assert not os.path.isfile(os.path.join(path, "_bucket_spec.json"))
+    # a second young open warm-opens the detour dir (no rebuild)
+    again_young = curation.bucketed_shingle_table_open(
+        spark, rebuilt, table="shidx_legacy_t1", path=path
+    )
+    assert calls == [1]
+    assert sorted(tuple(r) for r in again_young.collect()) == expect
+    # age every entry past the window -> rebuild in place
     old = (1_000_000_000, 1_000_000_000)
     for r, _d, files in os.walk(path):
         os.utime(r, old)
@@ -953,10 +966,11 @@ def test_bucketed_shingle_table_open_legacy_dir_rebuilds(spark, tmp_path):
     again = curation.bucketed_shingle_table_open(
         spark, rebuilt, table="shidx_legacy_t1", path=path
     )
-    assert calls == [1]
+    assert calls == [1, 1]
     assert sorted(tuple(r) for r in again.collect()) == expect
     assert os.path.isfile(os.path.join(path, "_bucket_spec.json"))
     spark.sql("DROP TABLE IF EXISTS shidx_legacy_t1")
+    spark.sql("DROP TABLE IF EXISTS shidx_legacy_t1_respec")
 
 
 def test_pack_greedy_invariants_oversize_and_zero_token_docs(spark):
@@ -1180,7 +1194,7 @@ def test_sweep_legacy_shidx_dirs(tmp_path):
     aged_legacy = root / f"shidx-tr-{old[0]}-{old[1]}"
     young_legacy = root / f"shidx-ev-{old[0]}-{old[1]}"
     new_style = root / f"shidx-tr-n3-df100-b16-{old[0]}-{old[1]}"
-    other = root / "ivf-k8-i2-s42-deadbeef-" + "ef" * 8 if False else root / "unrelated-dir"
+    other = root / "unrelated-dir"
     for d in (aged_legacy, young_legacy, new_style, other):
         d.mkdir()
     ancient = (1_000_000_000, 1_000_000_000)
@@ -1191,3 +1205,55 @@ def test_sweep_legacy_shidx_dirs(tmp_path):
     assert young_legacy.exists()
     assert new_style.exists()
     assert other.exists()
+
+
+def test_bucketed_shingle_table_open_non_json_build_params(spark, tmp_path):
+    """build_params that don't round-trip through JSON verbatim (tuples
+    become lists) must still warm-open: the spec comparison normalizes
+    both sides through one JSON round-trip (round-8 ADVICE — the old
+    ``spec != want`` made a fresh index fail its own immediate warm
+    open forever)."""
+    from graphdb_for_drones_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "c d e f g h")], "doc_id long, text string"
+    ).localCheckpoint()
+    path = str(tmp_path / "shidx-tuple")
+    params = {"grams": (3, 5), "max_df": 100}
+    built = curation.bucketed_shingle_table_open(
+        spark,
+        lambda: curation.shingle_index(docs, "train_id"),
+        table="shidx_tuple_t1",
+        path=path,
+        build_params=params,
+    )
+    expect = sorted(tuple(r) for r in built.collect())
+    # immediate warm open with the SAME tuple-bearing params: must match
+    warm = curation.bucketed_shingle_table_open(
+        spark,
+        lambda: (_ for _ in ()).throw(AssertionError("cold build ran")),
+        table="shidx_tuple_t1",
+        path=path,
+        build_params=params,
+    )
+    assert sorted(tuple(r) for r in warm.collect()) == expect
+    spark.sql("DROP TABLE IF EXISTS shidx_tuple_t1")
+
+
+def test_canonical_location_uri_forms():
+    """Catalog locations arrive as URIs (percent-escaped file:, hdfs://,
+    s3a://) while callers pass OS paths — all equivalent spellings of
+    the same location must canonicalize equal, and distinct locations
+    must stay distinct (round-8 ADVICE: naive file:-splitting made every
+    non-local warm open DROP/re-CREATE the table)."""
+    from graphdb_for_drones_spark.operators.curation import (
+        _canonical_location,
+    )
+
+    c = _canonical_location
+    assert c("/a/b c") == c("file:/a/b%20c")
+    assert c("file:///a/b c/") == c("/a/b c")
+    assert c("hdfs://nn:8020/idx/x") == c("hdfs://nn:8020/idx/x/")
+    assert c("s3a://bucket/idx/a%20b") == c("s3a://bucket/idx/a b")
+    assert c("hdfs://nn:8020/idx/x") != c("hdfs://nn:8020/idx/y")
+    assert c("/a/b") != c("/a/c")
