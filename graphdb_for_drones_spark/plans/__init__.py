@@ -5,22 +5,18 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-8 rotation (the VERDICT r7 staleness plan): the 3 new entries
-(`ann_near_pairs_auto`, its persisted-graph consumer
-`embedding_dbscan_cores_auto`, the invariant-paired
-`doc_pack_greedy_stats`)
-plus the 7 whose plans changed this round (posting-bucket pinning in
-the simhash/minhash/ann kernels, the bucketed-contamination param
-encoding, the wide-gram staging refactor under the 13-gram entry, the
-dialect-neutral recursive template, the SSSP probe edit) lead; the
-remaining 40 slots take the stalest driver rows (last checked r5).
-Four r5 rows defer to round 9 (`pq_adc_topk` and
-`semantic_dedup_stats` were independently judge-verified against
-DuckDB in the r7 session; `label_maxsim_topk` / `media_feature_stats`
-are unchanged since r5 and pytest-pinned) — after round 8 every other
-live row is ≤ 2 rounds old and round 9 sweeps those four.  Rotated-out entries stay covered by the local
-oracle replica (``tests/test_queries_oracle.py`` runs every
-oracle-paired query).
+Round-9 rotation (the VERDICT r8 staleness contract, verbatim): the
+window LEADS with `lang_unimax_mixture` (new in r8, never
+driver-gated) plus the four rows deferred since r5 (`pq_adc_topk`,
+`semantic_dedup_stats`, `label_maxsim_topk`, `media_feature_stats`) —
+all five were judge-verified MATCH in the r8 session; the driver row
+is the contract.  The remaining 45 slots take the entire r6 cohort
+(44 rows, including `minhash_pairs`/`simhash_pairs`, which this round
+gain invariant-paired oracles) and the stalest r7 row (`ann_topk`,
+also a bench-calibration query).  After round 9 every live row is
+≤ 2 rounds old — the steady-state target.  Rotated-out entries stay
+covered by the local oracle replica
+(``tests/test_queries_oracle.py`` runs every oracle-paired query).
 """
 
 from graphdb_for_drones_spark.plans.queries import QUERIES as _BASE_QUERIES
@@ -51,64 +47,59 @@ _MERGED_ORACLES = {
 # Queries promoted to the head of the gate window this round.  Order within
 # the first 50 does not matter; membership does.
 _GATE_FIRST = [
-    # ---- Round-8 rotation ----------------------------------------------
-    # New this round, then entries whose plans changed (posting-bucket
-    # pinning, bucketed-index param encoding, wide-gram staging, the
-    # dialect-neutral recursive template, the SSSP probe edit):
-    "ann_near_pairs_auto",
-    "embedding_dbscan_cores_auto",
-    "doc_pack_greedy_stats",
-    "simhash_pairs_md5",
-    "minhash_pairs_md5",
-    "ann_near_pairs",
-    "contamination_check_bucketed",
-    "contamination_exact_13gram",
-    "delegation_reachable_recursive_sql",
-    "trade_cheapest_route",
-    # Stalest driver rows (last checked r5; 40 of 44 — pq_adc_topk,
-    # semantic_dedup_stats, label_maxsim_topk, media_feature_stats defer
-    # to round 9; the first two were independently judge-verified in the
-    # r7 session, the last two are unchanged since r5 and pytest-pinned):
-    "curation_pipeline_stats",
-    "customer_pii_scrub",
-    "customers_with_orders",
-    "customers_without_orders",
-    "doc_bm25_topk",
-    "doc_chunk_stats",
-    "doc_difficulty_deciles",
-    "doc_dup_span_stats",
-    "doc_fingerprint",
-    "doc_gopher_rules",
-    "doc_lang_id",
-    "doc_lang_summary",
-    "doc_negative_pairs",
-    "doc_pack_stats",
-    "doc_quality",
-    "doc_quality_sample_stats",
-    "doc_sample_per_source",
-    "doc_split_counts",
-    "doc_tfidf_topk",
-    "doc_token_stats",
-    "doc_top_ngram_stats",
-    "embedding_near_pairs",
-    "embedding_topk",
-    "event_type_salted_counts",
-    "event_user_cm_counts",
-    "events_sliding_windows",
-    "mixture_weights",
-    "orders_rollup",
-    "region_volume",
-    "shipping_priority",
-    "source_bloom_probe_stats",
-    "supplier_pagerank",
-    "trade_graph_degrees",
-    "trade_kcore",
-    "trade_temporal_reach",
-    "trade_trust_from_anchor",
-    "user_funnel_counts",
-    "user_retention_cohorts",
-    "user_sessions",
-    "vc_verify_count",
+    # ---- Round-9 rotation ----------------------------------------------
+    # Contract leads (VERDICT r8 task #1): never-gated + the four r5 rows
+    # deferred in r8 -- all judge-verified MATCH, now getting driver rows:
+    "lang_unimax_mixture",
+    "pq_adc_topk",
+    "semantic_dedup_stats",
+    "label_maxsim_topk",
+    "media_feature_stats",
+    "abac_check",
+    "ann_recall_at_k",
+    "bpe_merge_candidates",
+    "bpe_train_merges",
+    "corpus_stopword_candidates",
+    "customer_fuzzy_pairs",
+    "customer_rfm_segments",
+    "customer_spend_quartiles",
+    "customer_supplier_fuzzy_matches",
+    "delegation_reachable",
+    "doc_bpe_compression",
+    "doc_bpe_token_stats",
+    "doc_dup_passages",
+    "doc_lm_fluency",
+    "doc_quality_logit",
+    "doc_weighted_sample",
+    "doc_winnow_stats",
+    "embedding_distance_hist",
+    "event_hll_rollup",
+    "event_type_outliers",
+    "event_type_robust_outliers",
+    "event_type_transitions",
+    "event_type_twap",
+    "event_value_trends",
+    "events_hourly_gapfilled",
+    "events_native_session_windows",
+    "events_pivot_dow",
+    "flat_chain_count",
+    "lineitem_price_qty_corr",
+    "minhash_pairs",
+    "mission_count",
+    "mixture_resample_stats",
+    "nation_market_share",
+    "nation_trade_flows",
+    "orders_cube",
+    "orders_profile",
+    "part_type_profit",
+    "path_count_diamond",
+    "shipping_delay_histogram",
+    "simhash_pairs",
+    "source_vocab_stats",
+    "top_customers",
+    "user_activity_islands",
+    "wot_path_count",
+    "ann_topk",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]
