@@ -77,6 +77,26 @@ HEADLINE = [
 # to HEADLINE later
 ROUND4_HEADLINE = tuple(HEADLINE)
 
+# r9 (VERDICT r8 #2): make the HOST factor machine-readable.  This
+# container shares its host; byte-identical plans have measured 1.5-10×
+# slower under external load (PERF.md rounds 4 and 8), and adjudicating
+# that took a forensic cross-round diff each time.  The calibration
+# queries are code+data-frozen since round 3 — their drift IS the host
+# factor.  CALIBRATION_REF pins an idle-host measurement (min over two
+# min-of-3 sessions, warm JVM, sf0.1, local[32]; external load avg 0.5
+# at start, 2026-08-15 round-9 session; cross-checked against BENCH_r07
+# ann_topk 0.851 / min_price_supplier 1.896 / doc_token_stats 0.404);
+# host_factor = median(now / ref).  A factor ≈1 means timings are
+# comparable to the idle-host baseline; ≈2 means the host was contended
+# and absolute numbers should be read through that lens.  Only emitted
+# at sf0.1 (the refs' scale).
+CALIBRATION = ("ann_topk", "min_price_supplier", "doc_token_stats")
+CALIBRATION_REF = {
+    "ann_topk": 0.738,
+    "min_price_supplier": 1.779,
+    "doc_token_stats": 0.368,
+}
+
 # r5 (VERDICT r4 #6): the bench sweeps the FULL catalog — headline
 # entries above keep their historical order (BENCH_r{N} comparability),
 # every other registered query is appended so a regression in a
@@ -88,6 +108,7 @@ HEADLINE += [q for q in QUERIES if q not in HEADLINE]
 def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
+    load_before = [round(x, 2) for x in os.getloadavg()]
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
@@ -119,14 +140,37 @@ def main() -> None:
             drop_leftover_caches()
         timings[name] = round(best, 3)
 
+    # Calibration pass LAST (fully-warm JVM, the same state the pinned
+    # refs were measured in): min-of-3 fresh-plan runs per query.
+    calibration: dict[str, float] = {}
+    for name in CALIBRATION:
+        QUERIES[name](spark, SF_DIR).collect()
+        drop_leftover_caches()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).collect()
+            best = min(best, time.time() - t0)
+            drop_leftover_caches()
+        calibration[name] = round(best, 3)
+    host_factor = None
+    if sf == 0.1:
+        ratios = sorted(calibration[n] / CALIBRATION_REF[n] for n in CALIBRATION)
+        host_factor = round(ratios[len(ratios) // 2], 2)
+    load_after = [round(x, 2) for x in os.getloadavg()]
+
     # Full per-query timings go to a sidecar file (committed history lives
     # in PERF.md); the stdout line is capped because the driver captures
     # only the LAST 2000 characters of output and json-parses that tail —
     # round 5's full-catalog line (~4 KB) overflowed it and BENCH_r05
     # recorded "parsed": null.  The printed line keeps the historical
     # headline prefix first, then as many catalog extras as fit.
+    # SPARK_GRAFT_BENCH_OUT names the sidecar so the builder's idle-host
+    # run and the driver's per-round run stay independent artifacts
+    # (round-8 lesson: the driver run overwrote the builder's sidecar).
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_full_results.json")
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full_results.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar),
         "w",
     ) as fh:
         json.dump(
@@ -136,6 +180,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_1m_5m_15m": {"before": load_before, "after": load_after},
+                "calibration": calibration,
+                "calibration_ref": dict(CALIBRATION_REF),
+                "host_factor": host_factor,
             },
             fh,
             indent=1,
@@ -154,6 +202,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "value_headline38": headline38,
                 "unit": "sec",
+                # host-state annotation (VERDICT r8 #2): 1-min loadavg at
+                # start/end + drift of 3 code+data-frozen queries vs their
+                # pinned idle-host refs — ≈1 comparable, ≫1 contended host
+                "load1": [load_before[0], load_after[0]],
+                "host_factor": host_factor,
+                "calibration": calibration,
                 "queries": subset,
                 "n_total": len(timings),
                 "sf": sf,
