@@ -138,17 +138,209 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard")
 
 
+def _exact_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(id_a, id_b) pairs of documents with IDENTICAL raw text — the
+    guaranteed-recall subset every hash family must find (identical text
+    ⇒ identical shingle sets / word multisets ⇒ identical signatures /
+    fingerprints ⇒ same bucket in every band, and the banding schemes
+    are exact-recall).  Keyed on md5(text) so the join shuffles a 32-hex
+    key, never the full text (at 100 TB the text column stays in the
+    scan); dup groups are small, so the per-key C(c,2) expansion is
+    bounded."""
+    keyed = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), F.md5("text").alias("__k")
+    )
+    return (
+        keyed.select(F.col("id").alias("id_a"), "__k")
+        .join(keyed.select(F.col("id").alias("id_b"), "__k"), "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def _one(df: DataFrame) -> DataFrame:
+    # single-row sub-aggregate → broadcastable keyed row (join on the
+    # literal key compiles to a BroadcastHashJoin, not a nested loop)
+    return F.broadcast(df.withColumn("__k", F.lit(1)))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate near-dups (rows-only: xxhash64-banded LSH is
-    an engine-internal approximation, not SQL-reproducible)."""
+    """MinHash-LSH near-dups over the production xxhash64 family,
+    ORACLE-PAIRED via the invariant pattern (`doc_pack_greedy_stats`
+    precedent; VERDICT r8 #5).  The banded candidate step is
+    engine-internal (xxhash64 isn't SQL-reproducible — the md5 twin
+    `minhash_pairs_md5` oracle-checks the identical pipeline shape
+    end-to-end), so this entry lays SQL-exact values beside booleans the
+    oracle asserts TRUE; any kernel bug flips one and hash-mismatches
+    the driver row:
+
+    * ``n_docs`` / ``n_exact_dup_pairs`` — SQL-exact corpus facts (dup
+      pairs = identical raw text, counted over md5(text) groups);
+    * ``finds_all_exact_dups`` — identical texts have identical
+      signatures, hence collide in EVERY band: zero such pairs may be
+      missing from the output (guaranteed recall floor);
+    * ``pairs_ordered`` / ``pairs_distinct`` — id_a < id_b, no dup rows;
+    * ``above_threshold`` / ``jaccard_le_one`` — every emitted pair's
+      verified jaccard ∈ [0.3, 1];
+    * ``verified_exact_jaccard`` — each output pair's jaccard equals the
+      shingle-set jaccard recomputed from the raw text by an independent
+      join (catches candidate/verification wiring bugs).
+
+    All checks are output-sized or linear — no quadratic leg; the timed
+    plan still runs the full production pair enumeration."""
     cat = Catalog(spark, sf_dir)
-    return D.minhash_lsh_pairs(cat.documents, jaccard_threshold=0.3)
+    docs = cat.documents
+    mh = D.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    sets = D.with_shingle_hashes(
+        docs.select(F.col("doc_id").alias("id"), "text"),
+        "text",
+        3,
+        out_col="__sh",
+        keep=("id",),
+    ).select("id", F.array_distinct("__sh").alias("__sh"))
+    pairs = mh.join(
+        sets.select(F.col("id").alias("id_a"), F.col("__sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col("id").alias("id_b"), F.col("__sh").alias("sh_b")),
+        "id_b",
+    )
+    recomputed = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    ver = pairs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.struct("id_a", "id_b")).alias("__nd"),
+        F.min(F.col("id_b") - F.col("id_a")).alias("__mind"),
+        F.min("jaccard").alias("__minj"),
+        F.max("jaccard").alias("__maxj"),
+        F.max(F.abs(F.col("jaccard") - recomputed)).alias("__maxdev"),
+    )
+    probe = _exact_dup_pairs(docs).join(
+        mh.select("id_a", "id_b").withColumn("__hit", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    dstats = probe.agg(
+        F.count(F.lit(1)).alias("__ndup"),
+        F.count_if(F.col("__hit").isNull()).alias("__nmiss"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    t = F.lit(True)
+    return (
+        _one(total)
+        .join(_one(dstats), "__k")
+        .join(_one(ver), "__k")
+        .select(
+            "n_docs",
+            F.col("__ndup").cast("long").alias("n_exact_dup_pairs"),
+            (F.col("__nmiss") == 0).alias("finds_all_exact_dups"),
+            F.coalesce(F.col("__mind") > 0, t).alias("pairs_ordered"),
+            (F.col("__n") == F.col("__nd")).alias("pairs_distinct"),
+            F.coalesce(F.col("__minj") >= 0.3, t).alias("above_threshold"),
+            F.coalesce(F.col("__maxj") <= 1.0, t).alias("jaccard_le_one"),
+            F.coalesce(F.col("__maxdev") < 1e-12, t).alias(
+                "verified_exact_jaccard"
+            ),
+        )
+    )
+
+
+ORACLE_MINHASH_PAIRS = """
+WITH dup AS (
+  SELECT COUNT(*) AS c FROM documents
+  WHERE text IS NOT NULL GROUP BY md5(text)
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       CAST(COALESCE((SELECT SUM((c * (c - 1)) // 2) FROM dup), 0) AS BIGINT)
+         AS n_exact_dup_pairs,
+       TRUE AS finds_all_exact_dups,
+       TRUE AS pairs_ordered,
+       TRUE AS pairs_distinct,
+       TRUE AS above_threshold,
+       TRUE AS jaccard_le_one,
+       TRUE AS verified_exact_jaccard
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups within hamming ≤ 6 (rows-only)."""
+    """SimHash near-dups (64-bit xxhash family, hamming ≤ 6),
+    ORACLE-PAIRED via the same invariant pattern as `minhash_pairs`
+    (VERDICT r8 #5; the md5 twin `simhash_pairs_md5` oracle-checks the
+    pipeline shape).  SQL-exact corpus facts beside oracle-asserted
+    booleans:
+
+    * ``finds_all_exact_dups`` — identical texts fingerprint
+      identically (hamming 0) and the pigeonhole banding has FULL
+      recall within the radius, so zero such pairs may be missing;
+    * ``hamming_within_max`` — every emitted pair ≤ 6;
+    * ``hamming_verified`` — each pair's hamming equals
+      popcount(fp_a XOR fp_b) over fingerprints recomputed from the raw
+      text by an independent join;
+    * ``pairs_ordered`` / ``pairs_distinct`` — id_a < id_b, no dups."""
     cat = Catalog(spark, sf_dir)
-    return D.simhash_pairs(cat.documents, max_hamming=6)
+    docs = cat.documents
+    sp = D.simhash_pairs(docs, max_hamming=6)
+    fps = docs.select(
+        F.col("doc_id").alias("id"),
+        D.word_hashes_xx(F.col("text")).alias("__h"),
+    ).select("id", D.simhash_from_hashes("__h").alias("fp"))
+    pairs = sp.join(
+        fps.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")),
+        "id_a",
+    ).join(
+        fps.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b")),
+        "id_b",
+    )
+    recomputed = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    ver = pairs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.struct("id_a", "id_b")).alias("__nd"),
+        F.min(F.col("id_b") - F.col("id_a")).alias("__mind"),
+        F.max("hamming").alias("__maxh"),
+        F.max(F.abs(F.col("hamming") - recomputed)).alias("__maxdev"),
+    )
+    probe = _exact_dup_pairs(docs).join(
+        sp.select("id_a", "id_b").withColumn("__hit", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    dstats = probe.agg(
+        F.count(F.lit(1)).alias("__ndup"),
+        F.count_if(F.col("__hit").isNull()).alias("__nmiss"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    t = F.lit(True)
+    return (
+        _one(total)
+        .join(_one(dstats), "__k")
+        .join(_one(ver), "__k")
+        .select(
+            "n_docs",
+            F.col("__ndup").cast("long").alias("n_exact_dup_pairs"),
+            (F.col("__nmiss") == 0).alias("finds_all_exact_dups"),
+            F.coalesce(F.col("__mind") > 0, t).alias("pairs_ordered"),
+            (F.col("__n") == F.col("__nd")).alias("pairs_distinct"),
+            F.coalesce(F.col("__maxh") <= 6, t).alias("hamming_within_max"),
+            F.coalesce(F.col("__maxdev") == 0, t).alias("hamming_verified"),
+        )
+    )
+
+
+ORACLE_SIMHASH_PAIRS = """
+WITH dup AS (
+  SELECT COUNT(*) AS c FROM documents
+  WHERE text IS NOT NULL GROUP BY md5(text)
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       CAST(COALESCE((SELECT SUM((c * (c - 1)) // 2) FROM dup), 0) AS BIGINT)
+         AS n_exact_dup_pairs,
+       TRUE AS finds_all_exact_dups,
+       TRUE AS pairs_ordered,
+       TRUE AS pairs_distinct,
+       TRUE AS hamming_within_max,
+       TRUE AS hamming_verified
+"""
 
 
 def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,7 +1658,10 @@ LLM_ORACLES = {
     "corpus_curation_stats": ORACLE_CORPUS_CURATION_STATS,
     "doc_negative_pairs": ORACLE_DOC_NEGATIVE_PAIRS,
     "vc_verify_count": ORACLE_VC_VERIFY_COUNT,
-    # minhash_pairs / simhash_pairs stay rows-only by design: their
-    # xxhash64 family is the production fast path (not SQL-reproducible);
-    # the md5 twin above oracle-checks the identical pipeline shape
+    # r9: minhash_pairs / simhash_pairs retired from rows-only via the
+    # invariant pattern (their xxhash64 family is still the production
+    # fast path; the md5 twins oracle-check the pipeline shape, the
+    # invariant rows oracle-check the production output's contracts)
+    "minhash_pairs": ORACLE_MINHASH_PAIRS,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
 }

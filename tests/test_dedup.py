@@ -307,3 +307,48 @@ def test_wide_gram_family_identical_across_builders(spark):
             ).collect()
         }
         assert via_expr == via_staged, f"family split at n={n}"
+
+
+def test_minhash_simhash_invariant_entries_planted_corpus(spark, tmp_path):
+    """The gate corpus has ZERO exact-duplicate texts, so the driver row
+    can't exercise `finds_all_exact_dups` beyond the vacuous case — this
+    pins the invariant entries (`minhash_pairs` / `simhash_pairs`,
+    retired from rows-only in r9) on a corpus with planted exact dups,
+    near dups, and unrelated docs: every boolean TRUE, dup-pair count
+    exact, and the booleans are FALSIFIABLE (a corpus-independent check
+    that the miss-detection probe actually counts misses)."""
+    from graphdb_for_drones_spark.plans.llm_queries import (
+        _exact_dup_pairs,
+        q_minhash_pairs,
+        q_simhash_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today"
+    )
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),          # exact dup of 1
+        (3, base, "en", "s", len(base)),          # exact dup of 1, 2
+        (4, base.replace("dog", "cat"), "en", "s", len(base)),  # near dup
+        (5, "completely different text about spark query planning and shuffles here", "en", "s", 10),
+        (6, "another unrelated document mentioning parquet files and columnar storage", "en", "s", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    dups = sorted(
+        (r.id_a, r.id_b) for r in _exact_dup_pairs(docs).collect()
+    )
+    assert dups == [(1, 2), (1, 3), (2, 3)]
+
+    for q in (q_minhash_pairs, q_simhash_pairs):
+        out = q(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        row = out[0].asDict()
+        assert row["n_docs"] == 6
+        assert row["n_exact_dup_pairs"] == 3
+        bools = {k: v for k, v in row.items() if isinstance(v, bool)}
+        assert bools and all(bools.values()), bools

@@ -106,6 +106,8 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
         "customer_rfm_segments",  # one-row corpus-max-date scalar bind
         "corpus_stopword_candidates",  # one-row corpus-size scalar bind
         "lang_temperature_mixture",  # one-row ordered-fold denominator bind
+        "minhash_pairs",  # three one-row invariant sub-aggregates combined
+        "simhash_pairs",  # (1x1x1 scalar bind, the doc_tfidf_topk shape)
     }
     sf = "/root/testdata/sf0.001"
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
