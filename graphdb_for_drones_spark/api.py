@@ -29,10 +29,81 @@ from graphdb_for_drones_spark.traversal import (
 )
 
 
+class RecursionRowLimitExceeded(RuntimeError):
+    """A native ``WITH RECURSIVE`` query hit Spark's accumulated-row
+    cliff (``spark.sql.cteRecursionRowLimit``, default 1,000,000 rows
+    ACROSS ALL iterations).  Raised with the engine's remediation
+    options instead of Spark's bare message — see
+    ``run_recursive`` / ``DroneGraphEngine.run_recursive``."""
+
+
+def run_recursive(
+    spark: SparkSession,
+    query: str,
+    *,
+    recursion_row_limit: int | None = None,
+):
+    """Execute a recursive-CTE query EAGERLY with an explicit row-limit
+    policy, returning collected rows (the reference protocol is
+    execute+fetch — its recursive bench strings are COUNT aggregates,
+    common/bench_utils.py:9-34, so eager collection matches usage).
+
+    Spark 4's native UnionLoop fails any recursion whose accumulated
+    output exceeds ``spark.sql.cteRecursionRowLimit`` (1M rows by
+    default) — a cliff a user of ``get_bench_query`` hits with no
+    engine-side warning otherwise (PERF.md round-8 crossover notes).
+    The engine deliberately does NOT raise that conf globally: the
+    limit is the only backstop against a runaway recursion (a cyclic
+    edge set with no level bound) filling executor storage.  Policy:
+
+    * ``recursion_row_limit=N`` opts THIS call in: the conf is set for
+      the duration of the (eager) execution and restored after — an
+      informed, scoped escalation rather than a silent global one.
+    * without the opt-in, a limit hit re-raises as
+      ``RecursionRowLimitExceeded`` with the two remediations: pass
+      ``recursion_row_limit=``, or route wide fan-outs to the
+      iterative kernel (``DroneGraphEngine.traverse_counts`` — no
+      row-limit cliff, and 10-16× faster on deep chains; PERF.md
+      round-8 UnionLoop-vs-kernel grid)."""
+    conf_key = "spark.sql.cteRecursionRowLimit"
+    old = spark.conf.get(conf_key, None)
+    try:
+        if recursion_row_limit is not None:
+            spark.conf.set(conf_key, str(int(recursion_row_limit)))
+        return spark.sql(query).collect()
+    except Exception as exc:  # noqa: BLE001 - translate the cliff only
+        if "RECURSION_ROW_LIMIT_EXCEEDED" in str(exc):
+            limit = (
+                recursion_row_limit
+                if recursion_row_limit is not None
+                else spark.conf.get(conf_key)
+            )
+            raise RecursionRowLimitExceeded(
+                f"recursive query exceeded {limit} accumulated rows "
+                f"(spark.sql.cteRecursionRowLimit). Either re-run with "
+                f"run_recursive(..., recursion_row_limit=<larger N>) to "
+                f"opt in for this query, or use the iterative kernel "
+                f"(DroneGraphEngine.traverse / traverse_counts), which "
+                f"has no row-limit cliff and wins deep chains 10-16x "
+                f"(PERF.md round-8 UnionLoop-vs-kernel crossover)."
+            ) from exc
+        raise
+    finally:
+        if recursion_row_limit is not None:
+            if old is not None:
+                spark.conf.set(conf_key, old)
+            else:
+                # never explicitly set before: back to the default
+                spark.conf.unset(conf_key)
+
+
 def get_bench_query(hq_id: str, depth: int, table: str = "delegation") -> str:
     """The reference's recursive chain-count SQL
     (common/bench_utils.py:9-34), Spark dialect (CONCAT/CAST instead of
-    ``::TEXT``).  Runs natively via ``WITH RECURSIVE`` on Spark 4."""
+    ``::TEXT``).  Runs natively via ``WITH RECURSIVE`` on Spark 4 —
+    execute it through ``run_recursive`` to get the accumulated-row
+    limit policy (>1M-row recursions hit
+    ``spark.sql.cteRecursionRowLimit`` out of the box)."""
     return f"""
 WITH RECURSIVE chain AS (
   SELECT CAST(drone_id AS STRING) AS node, 1 AS lvl
@@ -64,8 +135,19 @@ class DroneGraphEngine:
         df.createOrReplaceTempView(name)
 
     def sql(self, query: str) -> DataFrame:
-        """Spark SQL passthrough — recursive CTEs included."""
+        """Spark SQL passthrough — recursive CTEs included (for the
+        accumulated-row-limit policy on recursive queries, see
+        ``run_recursive``)."""
         return self.spark.sql(query)
+
+    def run_recursive(
+        self, query: str, *, recursion_row_limit: int | None = None
+    ):
+        """Eager recursive-CTE execution with the row-limit opt-in —
+        see the module-level ``run_recursive`` for the policy."""
+        return run_recursive(
+            self.spark, query, recursion_row_limit=recursion_row_limit
+        )
 
     # -------------------------------------------------------------- #
     def graph(self) -> DroneGraph:

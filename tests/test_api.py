@@ -84,3 +84,45 @@ def test_package_shipping(spark):
     with zipfile.ZipFile(zips[0]) as zf:
         assert "graphdb_for_drones_spark/__init__.py" in zf.namelist()
         assert "graphdb_for_drones_spark/functions/crypto.py" in zf.namelist()
+
+
+def test_run_recursive_row_limit_policy(spark):
+    """VERDICT r8 #6: a >1M-accumulated-row native recursion must either
+    succeed via the explicit opt-in or fail with the ENGINE's actionable
+    message (naming the opt-in and the kernel route), never Spark's bare
+    RECURSION_ROW_LIMIT_EXCEEDED.  The conf must be restored after the
+    opt-in run (scoped escalation, not a silent global raise)."""
+    import pytest
+
+    from graphdb_for_drones_spark.api import (
+        DroneGraphEngine,
+        RecursionRowLimitExceeded,
+        run_recursive,
+    )
+
+    eng = DroneGraphEngine(spark)
+    # complete binary tree, depth 21: accumulated rows = 2^22 - 1 ≈ 4.2M
+    depth = 21
+    n_edges = 2 ** (depth + 1) - 2
+    spark.range(2, n_edges + 2).selectExpr(
+        "CAST(id / 2 AS BIGINT) AS src", "id AS dst"
+    ).createOrReplaceTempView("tree_edges")
+    q = """
+WITH RECURSIVE walk AS (
+  SELECT CAST(1 AS BIGINT) AS node
+  UNION ALL
+  SELECT e.dst FROM tree_edges e JOIN walk w ON e.src = w.node
+)
+SELECT COUNT(*) AS n FROM walk"""
+
+    conf_key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(conf_key)
+    # default limit (1M): engine message, not Spark's
+    with pytest.raises(RecursionRowLimitExceeded, match="recursion_row_limit"):
+        run_recursive(spark, q)
+    with pytest.raises(RecursionRowLimitExceeded, match="traverse"):
+        eng.run_recursive(q)
+    # opt-in: succeeds, exact accumulated count, conf restored after
+    rows = eng.run_recursive(q, recursion_row_limit=8_000_000)
+    assert rows[0].n == 2 ** (depth + 1) - 1
+    assert spark.conf.get(conf_key) == before
