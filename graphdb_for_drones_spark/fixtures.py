@@ -505,3 +505,108 @@ def write_scaled_sf(
     ).write.mode("overwrite").parquet(
         _os.path.join(out_dir, "embeddings.parquet")
     )
+
+
+def _next_pow10(n: int) -> int:
+    s = 1
+    while s <= n:
+        s *= 10
+    return s
+
+
+def write_scaled_sf_full(
+    spark: SparkSession,
+    base_sf_dir: str,
+    out_dir: str,
+    factor: int = 10,
+) -> None:
+    """Persist an sf×``factor`` tier for ALL ten tables — the corpus
+    tables via ``write_scaled_sf`` (copy-tag words / Walsh-Hadamard
+    sign-flip), the relational star via key-shifted copies.
+
+    Scaling scheme (TPC-H convention: dims fixed, facts scale):
+
+    * ``region``/``nation`` are copied verbatim — 5/25-row dimensions
+      stay dimensions at any scale factor.
+    * Each other table gets ``factor`` copies; copy ``c`` shifts every
+      PRIMARY and FOREIGN key by ``c × stride(key)`` where ``stride`` is
+      the next power of 10 above the base table's max key.  The same
+      stride is applied to a key wherever it appears (``o_custkey``
+      moves with ``c_custkey``, lineitem's three FKs move with their
+      parents), so referential integrity holds within every copy and no
+      cross-copy join rows exist: joins, aggregates and windows scale
+      exactly linearly in input size.
+    * Non-key attributes (names, segments, dates, amounts, props JSON)
+      are copied verbatim — group-by-attribute cardinalities stay fixed
+      while group sizes grow 10×, the realistic "more data, same
+      domain" regime a 100 TB perf sweep needs.
+    * ``events``: ``event_id`` and ``user_id`` both shift (10× users,
+      same per-user activity — session/window state per key is scale-
+      invariant, matching how a real event stream grows).
+
+    Deterministic: strides derive from the base data, copies are pure
+    column arithmetic — regenerating yields byte-equivalent content."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    write_scaled_sf(spark, base_sf_dir, out_dir, factor)
+
+    def rd(t: str) -> DataFrame:
+        return spark.read.parquet(_os.path.join(base_sf_dir, f"{t}.parquet"))
+
+    stride: dict[str, int] = {}
+    for t, key_cols in (
+        ("customer", ["c_custkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("part", ["p_partkey"]),
+        ("orders", ["o_orderkey"]),
+        ("events", ["event_id", "user_id"]),
+    ):
+        row = rd(t).agg(*[F.max(c) for c in key_cols]).first()
+        for c, v in zip(key_cols, row):
+            stride[c] = _next_pow10(int(v))
+
+    shifted_cols: dict[str, dict[str, int]] = {
+        "customer": {"c_custkey": stride["c_custkey"]},
+        "supplier": {"s_suppkey": stride["s_suppkey"]},
+        "part": {"p_partkey": stride["p_partkey"]},
+        "orders": {
+            "o_orderkey": stride["o_orderkey"],
+            "o_custkey": stride["c_custkey"],
+        },
+        "lineitem": {
+            "l_orderkey": stride["o_orderkey"],
+            "l_partkey": stride["p_partkey"],
+            "l_suppkey": stride["s_suppkey"],
+        },
+        "events": {
+            "event_id": stride["event_id"],
+            "user_id": stride["user_id"],
+        },
+    }
+
+    for t in ("region", "nation"):
+        rd(t).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"{t}.parquet")
+        )
+    for t, shifts in shifted_cols.items():
+        base = rd(t)
+        parts = []
+        for c in range(factor):
+            parts.append(
+                base.select(
+                    *[
+                        (F.col(col) + F.lit(c * shifts[col])).alias(col)
+                        if col in shifts
+                        else F.col(col)
+                        for col in base.columns
+                    ]
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.repartition(32).write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"{t}.parquet")
+        )

@@ -572,6 +572,16 @@ def ngram_jaccard_pairs(
         # still computes jaccard over the FULL sets.
         from pyspark.sql.window import Window
 
+        # THREE consumers read the shingle projection (the inverted
+        # index and both verification legs), and nothing below shares an
+        # exchange — unpinned, the corpus is scanned and re-shingled
+        # once per consumer (the simhash posting-bucket lesson, r8).
+        # Pin it once; on clusters without a checkpoint dir `pin` is an
+        # identity and the plan degrades to exactly the old shape.
+        sets = pin(sh)
+        inv = sets.select(
+            "id", F.size("hashes").alias("n"), F.explode("hashes").alias("h")
+        )
         # document frequency as a COUNT window, not groupBy+join-back:
         # the join-back branch re-scans and re-shingles the corpus
         # (pruning defeats ReuseExchange — see the max_df branch below)
@@ -591,7 +601,6 @@ def ngram_jaccard_pairs(
             .filter(F.size("ids") >= 2)
         )
         cand = posting_pairs(posting, ["h"]).dropDuplicates(["id_a", "id_b"])
-        sets = sh
         pairs = cand.join(
             sets.select(F.col("id").alias("id_a"), F.col("hashes").alias("ha")),
             "id_a",
