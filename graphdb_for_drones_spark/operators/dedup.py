@@ -600,6 +600,17 @@ def ngram_jaccard_pairs(
             .agg(F.sort_array(F.collect_list("id")).alias("ids"))
             .filter(F.size("ids") >= 2)
         )
+        # posting_pairs has THREE plan consumers of the posting table
+        # (the small-list leg + both sides of the hot-list self-join),
+        # and ReuseExchange dedups only the shuffle below the aggregate
+        # — unpinned, the two-window + collect_list pipeline executed 3×
+        # (visible as three copies in the executed plan; the simhash
+        # posting-bucket tax, r8).  Candidate-pruning filters measured
+        # as a NEGATIVE result here (PERF.md round 9): at t=0.1 the
+        # PPJoin size-ratio and suffix-count bounds prune <2% of
+        # candidates — prefix slack ceil(t·n)−1 per side already covers
+        # the required overlap at these set sizes.
+        posting = pin(posting)
         cand = posting_pairs(posting, ["h"]).dropDuplicates(["id_a", "id_b"])
         pairs = cand.join(
             sets.select(F.col("id").alias("id_a"), F.col("hashes").alias("ha")),
@@ -653,6 +664,11 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("s")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    # pinned for posting_pairs' three plan consumers (small leg + both
+    # hot self-join sides) — same re-aggregation tax as the prefix
+    # branch above, measured in the executed plan as three copies of
+    # the explode + collect_list pipeline
+    posting = pin(posting)
     common = (
         posting_pairs(posting, ["h"])
         .groupBy(

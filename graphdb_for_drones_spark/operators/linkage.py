@@ -237,6 +237,7 @@ def substitution_neighborhood_pairs(
             " cheap only for radius 1-2 (C(L,k) patterns per key); use"
             " q-gram LSH for larger radii"
         )
+    from graphdb_for_drones_spark.operators._pin import pin
     from graphdb_for_drones_spark.operators.dedup import posting_pairs
 
     keyed = df.select(
@@ -259,6 +260,10 @@ def substitution_neighborhood_pairs(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    # posting_pairs reads the bucket table from three plan consumers;
+    # unpinned, the explode + collect_list pipeline re-executes per
+    # consumer (the r8/r9 posting-bucket tax — see operators/_pin)
+    buckets = pin(buckets)
     cand = posting_pairs(buckets, ["pos_key", "pat"], keep_keys=True)
     ka, kb = F.col("id_a.key"), F.col("id_b.key")
     own, diff = _owner_and_diff(ka, kb, max_subs)
