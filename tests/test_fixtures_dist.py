@@ -108,3 +108,68 @@ def test_scaled_embeddings_sign_flip_invariants(spark, tmp_path):
     frac_over = sum(1 for x in xs if abs(x) >= 0.3) / len(xs)
     assert mean_abs < 0.15, mean_abs
     assert frac_over <= 0.15, frac_over
+
+
+def test_write_scaled_sf_full_integrity(spark, tmp_path):
+    """The full-tier scaler must scale every fact table exactly
+    ``factor``× with referential integrity intact WITHIN each copy and
+    zero cross-copy join rows — the property that makes the sf1 catalog
+    sweep's ratios interpretable as input-size scaling."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.fixtures import write_scaled_sf_full
+
+    base = "/root/testdata/sf0.001"
+    out = str(tmp_path / "sf_scaled")
+    write_scaled_sf_full(spark, base, out, factor=3)
+
+    def rd(d, t):
+        return spark.read.parquet(os.path.join(d, f"{t}.parquet"))
+
+    # dims verbatim, facts exactly 3x
+    for t in ("region", "nation"):
+        assert rd(out, t).count() == rd(base, t).count()
+    for t in (
+        "customer", "supplier", "part", "orders", "lineitem", "events",
+        "documents", "embeddings",
+    ):
+        assert rd(out, t).count() == 3 * rd(base, t).count(), t
+
+    # keys stay unique after shifting
+    for t, k in (
+        ("customer", "c_custkey"), ("orders", "o_orderkey"),
+        ("events", "event_id"), ("documents", "doc_id"),
+    ):
+        df = rd(out, t)
+        assert df.count() == df.select(k).distinct().count(), (t, k)
+
+    # FK integrity: no orphans anywhere in the scaled star
+    orders, cust = rd(out, "orders"), rd(out, "customer")
+    li = rd(out, "lineitem")
+    assert (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_anti"
+        ).count()
+        == 0
+    )
+    for fk, dim, pk in (
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ):
+        d = rd(out, dim)
+        assert (
+            li.join(d, F.col(fk) == F.col(pk), "left_anti").count() == 0
+        ), fk
+
+    # join-row linearity: orders x customer join count scales exactly 3x
+    b_orders, b_cust = rd(base, "orders"), rd(base, "customer")
+    base_join = b_orders.join(
+        b_cust, b_orders.o_custkey == b_cust.c_custkey
+    ).count()
+    scaled_join = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    assert scaled_join == 3 * base_join
