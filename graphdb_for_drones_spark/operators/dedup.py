@@ -461,6 +461,22 @@ def minhash_lsh_pairs(
     )
 
 
+# modulus of the md5-seeded universal hash family: the Mersenne prime
+# 2^31 − 1, so (a·x + b) stays under 2^62 for 31-bit x and the whole
+# derivation is exact signed-64 arithmetic in ANY SQL engine
+MD5_MINHASH_PRIME = 2147483647
+
+
+def md5_universal_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) for the md5-seeded universal hash family
+    h_j(x) = (a_j·x + b_j) mod (2^31 − 1).  Shared with the SQL oracle
+    generator so both engines derive the identical permutations."""
+    p = MD5_MINHASH_PRIME
+    a = [((j * 2654435761 + 1) % p) or 1 for j in range(num_hashes)]
+    b = [(j * 40503 * 65537 + 17) % p for j in range(num_hashes)]
+    return a, b
+
+
 def minhash_lsh_pairs_md5(
     df: DataFrame,
     text_col: str = "text",
@@ -470,60 +486,97 @@ def minhash_lsh_pairs_md5(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.3,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs over an ENGINE-NEUTRAL hash family:
-    permutation j of shingle s is ``md5(j || ':' || s)`` and the MinHash
-    is the lexicographic minimum of the hex digests — every step (md5,
-    string min, band digest, jaccard) is reproducible in any SQL engine,
-    so the WHOLE pipeline (not just the verified pairs) is oracle-
+    """MinHash-LSH near-dup pairs over an ENGINE-NEUTRAL hash family —
+    every step is reproducible in any SQL engine, so the WHOLE pipeline
+    (signatures, band buckets, candidates, verification) is oracle-
     checkable.  The xxhash64 variant (``minhash_lsh_pairs``) is the
-    production path: one 8-byte hash vs num_hashes md5s over the string.
+    production path.
+
+    Hash family (round 9 — was num_hashes md5s per SHINGLE, the
+    catalog's most expensive sf1 entry at 26 s): ONE md5 per shingle
+    seeds x = int(hex[0:15]) mod 2^31, and permutation j is the
+    universal hash (a_j·x + b_j) mod (2^31 − 1) with fixed coefficients
+    (``md5_universal_coeffs``) — integer-exact on both engines, 16×
+    less digest work, same collision math (min over a universal family
+    is a textbook MinHash).  Verification jaccard runs over the HASHED
+    shingle sets (both engines hash identically, so set equality is
+    preserved modulo identical md5 collisions): candidate pairs join
+    ``array<long>`` instead of ~50-char shingle-string arrays.
 
     Same plan shape as the fast variant: bucket posting lists → map-side
-    pair enumeration → exact-jaccard verification join."""
+    pair enumeration → exact-jaccard verification join.  The hashed-set
+    base is pinned: banding + both verification legs are three plan
+    consumers (the r9 posting-table lesson)."""
     rows_per_band = num_hashes // bands
+    p = MD5_MINHASH_PRIME
+    a_c, b_c = md5_universal_coeffs(num_hashes)
     sh_arr = F.array_distinct(shingles(F.col(text_col), shingle_n))
-    base = _spread_input(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), sh_arr.alias("sh")
+    base = pin(
+        _spread_input(df, id_col, text_col)
+        .select(F.col(id_col).alias("id"), sh_arr.alias("sh"))
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.pmod(
+                        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                            "long"
+                        ),
+                        F.lit(2**31),
+                    ),
+                )
+            ).alias("xs"),
+        )
     )
-    per_shingle = F.transform(
-        F.col("sh"),
-        lambda s: F.array(
-            *[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(num_hashes)]
-        ),
-    )
-    # 'g' sorts after every hex digest: identity for the string-min fold
-    init = F.array(*[F.lit("g") for _ in range(num_hashes)])
-    sig = F.aggregate(
-        per_shingle,
-        init,
-        lambda acc, h: F.zip_with(acc, h, lambda x, y: F.least(x, y)),
-    )
-    banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("xs"),
+                    lambda x: (F.lit(a_c[j]) * x + F.lit(b_c[j])) % F.lit(p),
+                )
             )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.band_hash")
+            for j in range(num_hashes)
+        ]
+    )
+    banded = (
+        base.select("id", sig.alias("__sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.transform(
+                                        F.slice(
+                                            F.col("__sig"),
+                                            b * rows_per_band + 1,
+                                            rows_per_band,
+                                        ),
+                                        lambda v: v.cast("string"),
+                                    ),
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", "bb.band", "bb.band_hash")
+    )
     cand = _bucket_pairs(banded, ["band", "band_hash"])
     sets = base
     pairs = cand.join(
-        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+        sets.select(F.col("id").alias("id_a"), F.col("xs").alias("xs_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("xs").alias("xs_b")), "id_b")
+    inter = F.size(F.array_intersect("xs_a", "xs_b"))
+    jac = inter / (F.size("xs_a") + F.size("xs_b") - inter)
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)

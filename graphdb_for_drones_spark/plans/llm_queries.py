@@ -415,9 +415,26 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs_md5(cat.documents, jaccard_threshold=0.3)
 
 
-# mirrors minhash_lsh_pairs_md5 step for step: shingles → per-permutation
-# md5 min → 4-permutation band digests → bucket pairs → exact jaccard
-ORACLE_MINHASH_PAIRS_MD5 = r"""
+def _minhash_md5_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    # mirrors minhash_lsh_pairs_md5 step for step: shingles → one md5
+    # per shingle → 31-bit seed → universal-hash per-permutation mins →
+    # band digests over the int signature → bucket pairs → exact
+    # jaccard over the hashed shingle sets.  Coefficients come from the
+    # SAME md5_universal_coeffs the engine uses, so both engines derive
+    # identical permutations; every step is exact integer arithmetic.
+    rows_per_band = num_hashes // bands
+    a_c, b_c = D.md5_universal_coeffs(num_hashes)
+    coeff_rows = ", ".join(
+        f"({j}, {a_c[j]}, {b_c[j]})" for j in range(num_hashes)
+    )
+    hex_to_int = (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(g), i+1, 1)) - 1 AS BIGINT)"
+        " << ((14 - i) * 4))) AS BIGINT)"
+    )
+    return rf"""
 WITH d AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
@@ -430,17 +447,23 @@ s AS (
          END AS sh
   FROM d
 ),
-ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+xs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(list_distinct(sh),
+                                      g -> {hex_to_int} % 2147483648)) AS xs
+  FROM s
+),
+coeff(j, a, b) AS (VALUES {coeff_rows}),
 sigs AS (
-  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || g)) AS mh
-  FROM (SELECT doc_id, unnest(sh) AS g FROM ds)
-  CROSS JOIN range(16) t(j)
+  SELECT doc_id, j, MIN((a * x + b) % {D.MD5_MINHASH_PRIME}) AS mh
+  FROM (SELECT doc_id, unnest(xs) AS x FROM xs)
+  CROSS JOIN coeff
   GROUP BY doc_id, j
 ),
 bands AS (
-  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
-         md5(string_agg(mh, '|' ORDER BY j)) AS band_hash
-  FROM sigs GROUP BY doc_id, j // 4
+  SELECT doc_id, CAST(j // {rows_per_band} AS INTEGER) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS band_hash
+  FROM sigs GROUP BY doc_id, j // {rows_per_band}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -449,15 +472,18 @@ cand AS (
 ),
 jc AS (
   SELECT id_a, id_b,
-         len(list_intersect(da.sh, db.sh)) * 1.0 /
-           (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+         len(list_intersect(xa.xs, xb.xs)) * 1.0 /
+           (len(xa.xs) + len(xb.xs) - len(list_intersect(xa.xs, xb.xs)))
            AS jaccard
   FROM cand
-  JOIN ds da ON da.doc_id = id_a
-  JOIN ds db ON db.doc_id = id_b
+  JOIN xs xa ON xa.doc_id = id_a
+  JOIN xs xb ON xb.doc_id = id_b
 )
-SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= 0.3
+SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= {threshold}
 """
+
+
+ORACLE_MINHASH_PAIRS_MD5 = _minhash_md5_oracle_sql()
 
 
 # --------------------------------------------------------------------- #
