@@ -124,7 +124,15 @@ def reachable(
 
 
 COLLECT_THRESHOLD = 200_000  # frontier rows the driver will coordinate
-ISIN_THRESHOLD = 10_000  # frontier size worth inlining as an isin() predicate
+# frontier size worth inlining as an isin() predicate.  The literal IN
+# list costs ~0.4 ms/element of driver-side plan build (py4j literal
+# shipping + codegen), linear in frontier size, while the broadcast-join
+# alternative is flat (~0.4 s Arrow frontier + one job) — measured
+# crossover between 512 and 1024 on the sf1 customer-edge table (isin
+# 0.33/0.55/1.83 s at 512/1024/4096 vs broadcast 0.43/0.43/0.40 s;
+# round-9 sf1 sweep caught flat_chain_count paying 2.6 s on a 5.7k
+# frontier under the old 10k threshold)
+ISIN_THRESHOLD = 512
 
 
 def _local_df(spark, rows, schema: str) -> DataFrame:
