@@ -25,6 +25,7 @@ from graphdb_for_drones_spark.functions.crypto import (
     verify_ed25519_udf,
 )
 from graphdb_for_drones_spark.operators import dedup as D
+from graphdb_for_drones_spark.operators._pin import pin
 from graphdb_for_drones_spark.operators import similarity as S
 from graphdb_for_drones_spark.operators import text as T
 
@@ -190,14 +191,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan still runs the full production pair enumeration."""
     cat = Catalog(spark, sf_dir)
     docs = cat.documents
-    mh = D.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
-    sets = D.with_shingle_hashes(
-        docs.select(F.col("doc_id").alias("id"), "text"),
-        "text",
-        3,
-        out_col="__sh",
-        keep=("id",),
-    ).select("id", F.array_distinct("__sh").alias("__sh"))
+    # the kernel output feeds BOTH the verification join and the
+    # exact-dup recall probe, and the independent shingle-set projection
+    # feeds both join legs — unpinned, the full pair enumeration and the
+    # corpus re-shingle each run twice (r9: the invariant legs doubled
+    # the entry's cost at sf1)
+    mh = pin(D.minhash_lsh_pairs(docs, jaccard_threshold=0.3))
+    sets = pin(
+        D.with_shingle_hashes(
+            docs.select(F.col("doc_id").alias("id"), "text"),
+            "text",
+            3,
+            out_col="__sh",
+            keep=("id",),
+        ).select("id", F.array_distinct("__sh").alias("__sh"))
+    )
     pairs = mh.join(
         sets.select(F.col("id").alias("id_a"), F.col("__sh").alias("sh_a")),
         "id_a",
@@ -280,11 +288,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``pairs_ordered`` / ``pairs_distinct`` — id_a < id_b, no dups."""
     cat = Catalog(spark, sf_dir)
     docs = cat.documents
-    sp = D.simhash_pairs(docs, max_hamming=6)
-    fps = docs.select(
-        F.col("doc_id").alias("id"),
-        D.word_hashes_xx(F.col("text")).alias("__h"),
-    ).select("id", D.simhash_from_hashes("__h").alias("fp"))
+    # pinned for the same two-consumer reason as q_minhash_pairs: sp
+    # feeds the verification join AND the recall probe, fps feeds both
+    # join legs — the independence of the recomputation is unchanged
+    # (fps still derives from raw text, not from the kernel)
+    sp = pin(D.simhash_pairs(docs, max_hamming=6))
+    fps = pin(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            D.word_hashes_xx(F.col("text")).alias("__h"),
+        ).select("id", D.simhash_from_hashes("__h").alias("fp"))
+    )
     pairs = sp.join(
         fps.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")),
         "id_a",
