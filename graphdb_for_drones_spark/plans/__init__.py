@@ -55,14 +55,24 @@ _GATE_FIRST = [
     "semantic_dedup_stats",
     "label_maxsim_topk",
     "media_feature_stats",
+    # CHANGED THIS ROUND (changed entries outrank stale-unchanged rows):
+    # minhash_pairs_md5's OUTPUT changed (universal hash family), the
+    # ngram family's plans were restructured (shingle + posting pins).
+    # To make room, four static r6-cohort aggregates
+    # (customer_rfm_segments, customer_spend_quartiles, orders_cube,
+    # orders_profile -- plain SQL-shape plans untouched since r6, all
+    # green r6, re-verified ALL MATCH by this round's full driver-sim)
+    # defer to round 10, which MUST lead with them.
+    "minhash_pairs_md5",
+    "ngram_jaccard",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_prefix",
     "abac_check",
     "ann_recall_at_k",
     "bpe_merge_candidates",
     "bpe_train_merges",
     "corpus_stopword_candidates",
     "customer_fuzzy_pairs",
-    "customer_rfm_segments",
-    "customer_spend_quartiles",
     "customer_supplier_fuzzy_matches",
     "delegation_reachable",
     "doc_bpe_compression",
@@ -89,8 +99,6 @@ _GATE_FIRST = [
     "mixture_resample_stats",
     "nation_market_share",
     "nation_trade_flows",
-    "orders_cube",
-    "orders_profile",
     "part_type_profit",
     "path_count_diamond",
     "shipping_delay_histogram",
