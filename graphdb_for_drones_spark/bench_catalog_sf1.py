@@ -102,6 +102,11 @@ def timed_query(
     timed = one_pass("sweep-timed")
     gc.collect()
     out["sec"] = timed["sec"]
+    # per-measurement host state: this container shares its host and
+    # external load spikes on a minutes scale (observed 0.1 → 14.5
+    # WITHIN one sweep) — a per-row load figure makes a contended
+    # window machine-attributable instead of poisoning the whole run
+    out["load"] = round(os.getloadavg()[0], 1)
     if "error" in timed:
         out["error"] = timed["error"]
     else:
@@ -151,7 +156,11 @@ def run(
             {"query": n, "ratio": r, "sf1_sec": s} for n, r, s in flagged
         ],
     }
-    with open(RESULTS_PATH, "w") as fh:
+    # partial invocations (--only / one tier) get a sidecar name so a
+    # smoke run can never clobber the committed full-sweep artifact
+    full = only is None and tiers == ("sf0.1", "sf1")
+    path = RESULTS_PATH if full else RESULTS_PATH + ".partial"
+    with open(path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps({"flagged": payload["flagged"]}), flush=True)
     return payload

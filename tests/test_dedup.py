@@ -352,3 +352,50 @@ def test_minhash_simhash_invariant_entries_planted_corpus(spark, tmp_path):
         assert row["n_exact_dup_pairs"] == 3
         bools = {k: v for k, v in row.items() if isinstance(v, bool)}
         assert bools and all(bools.values()), bools
+
+
+def test_minhash_md5_universal_family_invariants(spark):
+    """The r9 universal-hash family must keep MinHash's two load-bearing
+    properties: (a) exact-recall on identical texts (identical hashed
+    shingle sets => identical (a_j*x+b_j) mins => same digest in every
+    band), and (b) exact verification (every reported jaccard meets the
+    threshold and equals the hashed-set jaccard).  Also pins the
+    coefficient derivation: deterministic, in-range, distinct."""
+    import random
+
+    from graphdb_for_drones_spark.operators.dedup import (
+        MD5_MINHASH_PRIME,
+        md5_universal_coeffs,
+        minhash_lsh_pairs_md5,
+    )
+
+    a, b = md5_universal_coeffs(16)
+    assert (a, b) == md5_universal_coeffs(16)  # deterministic
+    assert all(1 <= x < MD5_MINHASH_PRIME for x in a)
+    assert all(0 <= x < MD5_MINHASH_PRIME for x in b)
+    assert len(set(zip(a, b))) == 16  # distinct permutations
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs, planted = [], []
+    for i in range(40):
+        text = " ".join(rng.choice(vocab) for _ in range(30))
+        docs.append((2 * i, text))
+        if i % 4 == 0:
+            docs.append((2 * i + 1, text))
+            planted.append((2 * i, 2 * i + 1))
+    df = (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .coalesce(2)
+        .localCheckpoint()
+    )
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_md5(df, jaccard_threshold=0.99).collect()
+    }
+    assert set(planted) <= found
+    vals = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs_md5(df, jaccard_threshold=0.5).collect()
+    }
+    assert all(v >= 0.5 for v in vals.values())
