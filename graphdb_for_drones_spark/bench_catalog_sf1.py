@@ -58,7 +58,10 @@ RESULTS_PATH = os.path.join(_REPO_ROOT, "bench_catalog_sf1_results.json")
 def ensure_sf1_full(spark: SparkSession, regen: bool = False) -> str:
     from graphdb_for_drones_spark.fixtures import write_scaled_sf_full
 
-    marker = os.path.join(SF1_DIR, "lineitem.parquet")
+    # events is the LAST table write_scaled_sf_full emits, so its
+    # presence certifies a complete tier — a build killed mid-way
+    # regenerates instead of serving nine tables and one crash
+    marker = os.path.join(SF1_DIR, "events.parquet")
     if regen or not os.path.isdir(marker):
         write_scaled_sf_full(spark, SF01_DIR, SF1_DIR, factor=10)
     return SF1_DIR
@@ -88,12 +91,18 @@ def timed_query(
         t0 = time.time()
         th.start()
         th.join(timeout_s)
-        res["sec"] = round(time.time() - t0, 2)
+        took = round(time.time() - t0, 2)
         if th.is_alive():
             spark.sparkContext.cancelJobGroup(tag)
             th.join(30)
-            res["error"] = "timeout"
-        return res
+            # the zombie worker still holds `res` and may mutate it
+            # later (job-group cancellation can outlast the grace join);
+            # publish a snapshot the caller owns exclusively so a late
+            # write can't race json.dumps or resurrect a timed-out entry
+            return {"sec": took, "error": "timeout"}
+        out_pass = dict(res)
+        out_pass["sec"] = took
+        return out_pass
 
     warm = one_pass("sweep-warm")
     gc.collect()
@@ -122,8 +131,18 @@ def run(
 ) -> dict:
     from graphdb_for_drones_spark.plans import QUERIES
 
-    sf1 = ensure_sf1_full(spark, regen)
-    dirs = {"sf0.1": SF01_DIR, "sf1": sf1}
+    dirs = {"sf0.1": SF01_DIR}
+    if "sf1" in tiers:
+        # only build the 10× tier when this invocation will read it —
+        # an --sf0.1-only smoke run shouldn't spend minutes writing it
+        dirs["sf1"] = ensure_sf1_full(spark, regen)
+    if only is not None:
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            raise SystemExit(
+                f"--only names not in catalog: {unknown}; "
+                f"catalog has {len(QUERIES)} entries"
+            )
     names = [n for n in QUERIES if only is None or n in only]
     results: dict[str, dict] = {n: {} for n in names}
     for sf_name in tiers:
@@ -143,8 +162,11 @@ def run(
             r["ratio"] = ratio
             if b["sec"] >= FLOOR_SEC and ratio >= FLAG_RATIO:
                 flagged.append((name, ratio, b["sec"]))
-        elif "error" in b:
-            flagged.append((name, None, b.get("sec")))
+        elif "error" in a or "error" in b:
+            # an error at EITHER tier is a finding — including sf0.1
+            # failures under an sf1 success, and single-tier runs
+            err = b if "error" in b else a
+            flagged.append((name, None, err.get("sec")))
     flagged.sort(key=lambda x: -(x[1] or 1e9))
     payload = {
         "load_1m": round(os.getloadavg()[0], 2),
@@ -174,7 +196,11 @@ def main() -> None:
     only = None
     for i, a in enumerate(sys.argv):
         if a == "--only":
+            if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+                raise SystemExit("--only requires a comma-separated name list")
             only = sys.argv[i + 1].split(",")
+    if "--sf0.1-only" in sys.argv and "--sf1-only" in sys.argv:
+        raise SystemExit("--sf0.1-only and --sf1-only are mutually exclusive")
     tiers: tuple[str, ...] = ("sf0.1", "sf1")
     if "--sf0.1-only" in sys.argv:
         tiers = ("sf0.1",)

@@ -553,6 +553,14 @@ def write_scaled_sf_full(
     write_scaled_sf(spark, base_sf_dir, out_dir, factor)
 
     def rd(t: str) -> DataFrame:
+        if t == "events":
+            # events.parquet may carry TIMESTAMP(NANOS) depending on the
+            # generator version; load_table normalizes (catalog.py:80) —
+            # a bare read would crash the whole tier build on that
+            # variant before any table is written
+            from graphdb_for_drones_spark.catalog import load_table
+
+            return load_table(spark, base_sf_dir, "events")
         return spark.read.parquet(_os.path.join(base_sf_dir, f"{t}.parquet"))
 
     stride: dict[str, int] = {}

@@ -507,6 +507,13 @@ def minhash_lsh_pairs_md5(
     pair enumeration → exact-jaccard verification join.  The hashed-set
     base is pinned: banding + both verification legs are three plan
     consumers (the r9 posting-table lesson)."""
+    if num_hashes % bands:
+        # the SQL twin bands by j // rows_per_band — a remainder would
+        # give it an extra partial band the engine silently drops,
+        # diverging the two pipelines
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     p = MD5_MINHASH_PRIME
     a_c, b_c = md5_universal_coeffs(num_hashes)
@@ -614,6 +621,16 @@ def ngram_jaccard_pairs(
         out_col="__sh",
         keep=("id",),
     ).select("id", F.array_distinct(F.col("__sh")).alias("hashes"))
+    if prefix_filter and max_df is None:
+        # THREE consumers read the shingle projection on this branch
+        # (the inverted index and both verification legs), and nothing
+        # below shares an exchange — unpinned, the corpus is scanned
+        # and re-shingled once per consumer (the simhash posting-bucket
+        # lesson, r8).  Pin it once; on clusters without a checkpoint
+        # dir `pin` is an identity and the plan degrades to exactly the
+        # old shape.  The counting path below has exactly one consumer
+        # of the projection, so it stays unpinned.
+        sh = pin(sh)
     inv = sh.select("id", F.size("hashes").alias("n"), F.explode("hashes").alias("h"))
     if prefix_filter and max_df is None:
         # PPJoin-style prefix filtering, EXACT result: under a global
@@ -625,16 +642,7 @@ def ngram_jaccard_pairs(
         # still computes jaccard over the FULL sets.
         from pyspark.sql.window import Window
 
-        # THREE consumers read the shingle projection (the inverted
-        # index and both verification legs), and nothing below shares an
-        # exchange — unpinned, the corpus is scanned and re-shingled
-        # once per consumer (the simhash posting-bucket lesson, r8).
-        # Pin it once; on clusters without a checkpoint dir `pin` is an
-        # identity and the plan degrades to exactly the old shape.
-        sets = pin(sh)
-        inv = sets.select(
-            "id", F.size("hashes").alias("n"), F.explode("hashes").alias("h")
-        )
+        sets = sh
         # document frequency as a COUNT window, not groupBy+join-back:
         # the join-back branch re-scans and re-shingles the corpus
         # (pruning defeats ReuseExchange — see the max_df branch below)

@@ -438,6 +438,12 @@ def _minhash_md5_oracle_sql(
     # jaccard over the hashed shingle sets.  Coefficients come from the
     # SAME md5_universal_coeffs the engine uses, so both engines derive
     # identical permutations; every step is exact integer arithmetic.
+    if num_hashes % bands:
+        # GROUP BY j // rows_per_band would mint an extra partial band
+        # the engine doesn't build (same guard as the engine side)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     a_c, b_c = D.md5_universal_coeffs(num_hashes)
     coeff_rows = ", ".join(
