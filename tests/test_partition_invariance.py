@@ -35,6 +35,11 @@ FLOAT_BEARING = [
     # derived width) must stay shuffle-width independent
     "lang_unimax_mixture",
     "ann_near_pairs_auto",
+    # round 9: the universal-hash md5 MinHash twin (jaccard = integer
+    # intersection / integer union, but the PAIR SET derives from band
+    # mins over per-partition-computed hashes — per-row determinism is
+    # what keeps it width-independent, so pin it)
+    "minhash_pairs_md5",
 ]
 
 
