@@ -767,6 +767,125 @@ def cooccurrence_similarity(
     )
 
 
+def cooccurrence_similarity_sampled(
+    edges: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 20,
+    gamma: float = 32.0,
+    tag: str = "dimsum",
+    broadcast_degrees: bool = True,
+) -> DataFrame:
+    """DIMSUM-style SAMPLED co-occurrence (Zadeh & Goel 2013,
+    "Dimension Independent Matrix Square using MapReduce") — the scale
+    path `cooccurrence_similarity` lacks when the item dimension is too
+    large for the dense branch AND the exact pair stream (Σ_g C(d_g,2)
+    shuffled rows) is the bottleneck: each pair occurrence survives
+    with probability p_ab = min(1, γ/√(deg_a·deg_b)) and the count is
+    inverse-probability-weighted, so ``est_common`` is unbiased with
+    relative variance ~1/(γ·jaccard-ish) independent of the matrix
+    dimension (the paper's point).  The C(d,2) enumeration stays
+    map-side exactly as in the exact op — what sampling removes is the
+    pair-stream SHUFFLE and aggregation state, which is the term that
+    grows quadratically per hot group at 100 TB.
+
+    The sampling coin is DETERMINISTIC and cheap where it matters: one
+    md5 per (group, item) ROW seeds 31-bit integers gx/x (O(|edges|)
+    digests — a per-OCCURRENCE md5 measured 4× the whole exact entry's
+    cost at sf0.1: 12.5M digests for the coin alone), and each pair
+    occurrence mixes them with a Horner chain + two squaring rounds mod
+    the Mersenne prime 2^31−1 (a few integer ops; every intermediate
+    < 2^62, exact signed-64 in any engine).  u = h/(2^31−1) and
+    p_ab = min(1, γ/√(deg_a·deg_b)) are each ONE correctly-rounded IEEE
+    op on bit-identical inputs, so the SAMPLED estimate is
+    oracle-EXACT, not tolerance-checked: DuckDB reproduces the same
+    kept set and the same est_common to the last bit (the
+    ann_near_pairs_auto pattern applied to sampling).  The polynomial
+    coin is a sampling coin, not a crypto hash — the squaring rounds
+    break the affine structure that would stripe consecutive ids, and
+    the md5 seeds decorrelate it from key arithmetic.  γ ≥ √(max deg
+    product) degrades to exact counting (p=1 everywhere).
+
+    ``broadcast_degrees`` mirrors the exact op's contract: the degree
+    table is item-dimension-sized; pass False beyond ~10M items.
+
+    Input contract matches the exact op: DISTINCT (group, item) rows.
+    Returns top-``k`` by (est_common DESC, item_a, item_b):
+    (item_a, item_b, deg_a, deg_b, est_common)."""
+    from graphdb_for_drones_spark.operators._pin import pin
+    from graphdb_for_drones_spark.operators.dedup import posting_pairs
+
+    P = 2147483647  # Mersenne prime 2^31 - 1
+    C1, C2 = 1103515245, 1203793907  # odd multipliers < 2^31
+
+    def seed31(col):
+        # md5-60-bit → 31-bit integer seed (the proven conv decode)
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(tag + ":"), col)), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1 << 31),
+        )
+
+    e = edges.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).filter(F.col("__i").isNotNull())
+    deg = e.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ed = e.join(
+        F.broadcast(deg) if broadcast_degrees else deg, "__i"
+    ).select(
+        "__g",
+        seed31(F.col("__g").cast("string")).alias("__gx"),
+        F.struct(
+            F.col("__i").alias("i"),
+            F.col("deg"),
+            seed31(F.col("__i").cast("string")).alias("x"),
+        ).alias("s"),
+    )
+    posting = (
+        ed.groupBy("__g", "__gx")
+        .agg(F.sort_array(F.collect_list("s")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # pinned for posting_pairs' three plan consumers (the r9 lesson)
+    posting = pin(posting)
+    occ = posting_pairs(posting, ["__g", "__gx"], keep_keys=True)
+    a_i, b_i = F.col("id_a.i"), F.col("id_b.i")
+    dd = F.col("id_a.deg").cast("double") * F.col("id_b.deg").cast("double")
+    p = F.least(F.lit(1.0), F.lit(float(gamma)) / F.sqrt(dd))
+    # Horner chain over (gx, ax, bx) + two squaring rounds, all mod P:
+    # h*C < 2^62, h*h < 2^62, +x < 2^62 + 2^31 — no signed-64 overflow
+    h = F.col("__gx")
+    h = (h * F.lit(C1) + F.col("id_a.x")) % F.lit(P)
+    h = (h * F.lit(C2) + F.col("id_b.x")) % F.lit(P)
+    h = (h * h + F.lit(1)) % F.lit(P)
+    h = (h * h + F.lit(3)) % F.lit(P)
+    u = h.cast("double") / F.lit(float(P))
+    kept = occ.filter(u < p)
+    inv_p = F.greatest(
+        F.lit(1.0),
+        F.sqrt(F.col("deg_a").cast("double") * F.col("deg_b").cast("double"))
+        / F.lit(float(gamma)),
+    )
+    est = (
+        kept.groupBy(
+            a_i.alias("item_a"),
+            F.col("id_a.deg").alias("deg_a"),
+            b_i.alias("item_b"),
+            F.col("id_b.deg").alias("deg_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("est_common", F.round(F.col("__c") * inv_p, 9))
+    )
+    return (
+        est.orderBy(F.desc("est_common"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+        .select("item_a", "item_b", "deg_a", "deg_b", "est_common")
+    )
+
+
 def weighted_sssp(
     edges: DataFrame,
     source: str,

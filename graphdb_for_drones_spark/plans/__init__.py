@@ -67,6 +67,10 @@ _GATE_FIRST = [
     "ngram_jaccard",
     "ngram_jaccard_capped",
     "ngram_jaccard_prefix",
+    # NEW this round (never-gated entries lead, the lang_unimax lesson):
+    # DIMSUM-sampled co-occurrence with a bit-exact md5-coin oracle.
+    # part_type_profit joins the r10 deferral list to make room.
+    "supplier_shared_customers_sampled",
     "abac_check",
     "ann_recall_at_k",
     "bpe_merge_candidates",
@@ -99,7 +103,6 @@ _GATE_FIRST = [
     "mixture_resample_stats",
     "nation_market_share",
     "nation_trade_flows",
-    "part_type_profit",
     "path_count_diamond",
     "shipping_delay_histogram",
     "simhash_pairs",

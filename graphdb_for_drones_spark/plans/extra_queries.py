@@ -388,6 +388,109 @@ ORDER BY n_common DESC, supp_a ASC, supp_b ASC LIMIT 20
 """
 
 
+_DIMSUM_GAMMA = 32.0
+
+
+def q_supplier_shared_customers_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIMSUM-sampled twin of `supplier_shared_customers`
+    (operators/graph_algorithms.cooccurrence_similarity_sampled): each
+    shared-customer occurrence survives a DETERMINISTIC md5 coin with
+    probability min(1, γ/√(deg_a·deg_b)) and the count is inverse-
+    probability weighted — the scale path when the item dimension is
+    too large for the dense branch and the exact pair-stream shuffle is
+    the bottleneck.  The coin and the weights are bit-reproducible in
+    plain SQL (52-bit md5 uniform vs one correctly-rounded IEEE
+    sqrt/divide), so the oracle checks the SAMPLED estimates exactly —
+    sampling without giving up the hash-exact driver gate."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        cooccurrence_similarity_sampled,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    e = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    return cooccurrence_similarity_sampled(
+        e,
+        group_col="o_custkey",
+        item_col="l_suppkey",
+        k=20,
+        gamma=_DIMSUM_GAMMA,
+    ).select(
+        F.col("item_a").alias("supp_a"),
+        F.col("item_b").alias("supp_b"),
+        "deg_a",
+        "deg_b",
+        "est_common",
+    )
+
+
+def _dimsum_oracle_sql(gamma: float = _DIMSUM_GAMMA) -> str:
+    # mirrors cooccurrence_similarity_sampled step for step: one md5
+    # seed per group/item (the proven hex→int decode) and the SAME
+    # Horner + two-squaring coin mod 2^31−1 — every intermediate
+    # < 2^62, exact BIGINT arithmetic, so WHERE keeps the identical
+    # occurrence set and est_common matches to the last bit.
+    def seed31(expr: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(15), i -> "
+            f"CAST(strpos('0123456789abcdef', substr(md5('dimsum:' || {expr}), i+1, 1)) - 1 AS BIGINT)"
+            " << ((14 - i) * 4))) AS BIGINT) % 2147483648"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+d AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+seeds AS (
+  SELECT c, s, deg,
+         {seed31("CAST(c AS VARCHAR)")} AS gx,
+         {seed31("CAST(s AS VARCHAR)")} AS x
+  FROM e JOIN d USING (s)
+),
+p AS (
+  SELECT a.c AS g, a.s AS s_a, b.s AS s_b, a.deg AS da, b.deg AS db,
+         ((((a.gx * 1103515245 + a.x) % 2147483647)
+             * 1203793907 + b.x) % 2147483647) AS h0
+  FROM seeds a JOIN seeds b ON a.c = b.c AND a.s < b.s
+),
+coin AS (
+  SELECT *, ((((h0 * h0 + 1) % 2147483647) * ((h0 * h0 + 1) % 2147483647)
+              + 3) % 2147483647) AS h
+  FROM p
+),
+kept AS (
+  SELECT * FROM coin
+  WHERE h / 2147483647.0
+        < LEAST(1.0, {gamma!r} / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)))
+),
+est AS (
+  SELECT s_a, s_b, da, db,
+         ROUND(COUNT(*) * GREATEST(1.0,
+           sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)) / {gamma!r}), 9)
+           AS est_common
+  FROM kept GROUP BY s_a, s_b, da, db
+)
+SELECT s_a AS supp_a, s_b AS supp_b,
+       CAST(da AS BIGINT) AS deg_a, CAST(db AS BIGINT) AS deg_b,
+       est_common
+FROM est ORDER BY est_common DESC, supp_a ASC, supp_b ASC LIMIT 20
+"""
+
+
+ORACLE_SUPPLIER_SHARED_CUSTOMERS_SAMPLED = _dimsum_oracle_sql()
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profile of ``orders``
     (operators/profiling.profile_table): per-column rows/nulls/exact-
@@ -3099,6 +3202,7 @@ EXTRA_QUERIES = {
     "nation_market_share": q_nation_market_share,
     "part_type_profit": q_part_type_profit,
     "supplier_shared_customers": q_supplier_shared_customers,
+    "supplier_shared_customers_sampled": q_supplier_shared_customers_sampled,
     "orders_profile": q_orders_profile,
     "event_type_outliers": q_event_type_outliers,
     "events_hourly_gapfilled": q_events_hourly_gapfilled,
@@ -3160,6 +3264,7 @@ EXTRA_ORACLES = {
     "nation_market_share": ORACLE_NATION_MARKET_SHARE,
     "part_type_profit": ORACLE_PART_TYPE_PROFIT,
     "supplier_shared_customers": ORACLE_SUPPLIER_SHARED_CUSTOMERS,
+    "supplier_shared_customers_sampled": ORACLE_SUPPLIER_SHARED_CUSTOMERS_SAMPLED,
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "event_type_outliers": ORACLE_EVENT_TYPE_OUTLIERS,
     "events_hourly_gapfilled": ORACLE_EVENTS_HOURLY_GAPFILLED,

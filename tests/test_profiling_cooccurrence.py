@@ -149,3 +149,79 @@ def test_pearson_corr_exact_cases(spark):
     out = {r.k: r.r for r in pearson_corr(df, ["k"], "x", "y").collect()}
     assert out["pos"] == 1.0 and out["neg"] == -1.0
     assert out["flat"] is None  # zero y variance -> NULL, not NaN
+
+
+def test_cooccurrence_sampled_gamma_inf_equals_exact(spark):
+    """γ ≥ √(max deg product) makes every coin pass (p = 1), so the
+    sampled op must reproduce the exact counts bit-for-bit — the
+    correctness anchor under which sampling is pure mechanism."""
+    import random
+
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        cooccurrence_similarity_sampled,
+    )
+
+    rng = random.Random(11)
+    rows = list(
+        {
+            (f"g{rng.randrange(30)}", f"i{rng.randrange(12)}")
+            for _ in range(300)
+        }
+    )
+    e = spark.createDataFrame(rows, "g string, i string").localCheckpoint()
+    exact = {
+        (r.id_a, r.id_b): r.n_common
+        for r in cooccurrence_similarity(e, "g", "i", k=100).collect()
+    }
+    sampled = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_similarity_sampled(
+            e, "g", "i", k=100, gamma=1e9
+        ).collect()
+    }
+    assert set(sampled) == set(exact)
+    for pair, r in sampled.items():
+        assert r.est_common == exact[pair]  # integer-exact at p=1
+
+
+def test_cooccurrence_sampled_deterministic_and_active(spark):
+    """With a small γ the coin must actually drop occurrences (the op
+    samples, it doesn't just reweight) while two runs stay identical
+    (md5 coin, no RNG state)."""
+    import random
+
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        cooccurrence_similarity_sampled,
+    )
+
+    rng = random.Random(13)
+    rows = list(
+        {
+            (f"g{rng.randrange(40)}", f"i{rng.randrange(8)}")
+            for _ in range(280)
+        }
+    )
+    e = spark.createDataFrame(rows, "g string, i string").localCheckpoint()
+    a = sorted(
+        tuple(r)
+        for r in cooccurrence_similarity_sampled(
+            e, "g", "i", k=100, gamma=2.0
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in cooccurrence_similarity_sampled(
+            e, "g", "i", k=100, gamma=2.0
+        ).collect()
+    )
+    assert a == b  # deterministic across runs
+    exact_total = sum(
+        r.n_common
+        for r in cooccurrence_similarity(e, "g", "i", k=1000).collect()
+    )
+    # raw kept occurrences = est / (1/p) summed; with γ=2 on deg ~30+
+    # items p « 1, so the kept multiset must be strictly smaller than
+    # the exact pair stream (sampling active), yet estimates stay in a
+    # sane band around the truth (unbiasedness sanity, generous)
+    est_total = sum(r[4] for r in a)
+    assert 0 < est_total < 4 * exact_total
