@@ -40,6 +40,10 @@ FLOAT_BEARING = [
     # mins over per-partition-computed hashes — per-row determinism is
     # what keeps it width-independent, so pin it)
     "minhash_pairs_md5",
+    # round 9: DIMSUM sampled co-occurrence — the kept set derives from
+    # a deterministic per-occurrence coin and the estimate from one
+    # IEEE sqrt/divide; neither may move with shuffle width
+    "supplier_shared_customers_sampled",
 ]
 
 
