@@ -814,24 +814,34 @@ def cooccurrence_similarity_sampled(
     (item_a, item_b, deg_a, deg_b, est_common)."""
     from graphdb_for_drones_spark.operators._pin import pin
     from graphdb_for_drones_spark.operators.dedup import posting_pairs
+    from graphdb_for_drones_spark.operators.split import _md5_60bit
 
     P = 2147483647  # Mersenne prime 2^31 - 1
     C1, C2 = 1103515245, 1203793907  # odd multipliers < 2^31
 
     def seed31(col):
-        # md5-60-bit → 31-bit integer seed (the proven conv decode)
+        # md5-60-bit (the split/sampling family's shared decode) → 31-bit
+        # seed.  NULL-safe via a single-space sentinel: the exact op's
+        # groupBy keeps a NULL group as a real group, so the coin must
+        # too — a NULL-propagating concat made the filter silently drop
+        # every NULL-group occurrence and broke the γ→∞ == exact anchor
+        # (round-9 review finding, reproduced).  Coin collision with a
+        # literal " " key is the accepted trade (keys here are
+        # stringified ids; a collision only correlates two coins, it
+        # cannot corrupt counts).
+        safe = F.coalesce(col, F.lit(" "))
         return F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(tag + ":"), col)), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1 << 31),
+            _md5_60bit(F.concat(F.lit(tag + ":"), safe)), F.lit(1 << 31)
         )
 
-    e = edges.select(
-        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
-    ).filter(F.col("__i").isNotNull())
+    # one scan of the (possibly expensive, e.g. join+distinct) edge
+    # input: deg and the carry join below are two consumers (the exact
+    # op pins for the same reason)
+    e = pin(
+        edges.select(
+            F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+        ).filter(F.col("__i").isNotNull())
+    )
     deg = e.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ed = e.join(
         F.broadcast(deg) if broadcast_degrees else deg, "__i"

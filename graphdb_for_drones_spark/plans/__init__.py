@@ -5,17 +5,21 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-9 rotation (the VERDICT r8 staleness contract, verbatim): the
-window LEADS with `lang_unimax_mixture` (new in r8, never
-driver-gated) plus the four rows deferred since r5 (`pq_adc_topk`,
-`semantic_dedup_stats`, `label_maxsim_topk`, `media_feature_stats`) —
-all five were judge-verified MATCH in the r8 session; the driver row
-is the contract.  The remaining 45 slots take the entire r6 cohort
-(44 rows, including `minhash_pairs`/`simhash_pairs`, which this round
-gain invariant-paired oracles) and the stalest r7 row (`ann_topk`,
-also a bench-calibration query).  After round 9 every live row is
-≤ 2 rounds old — the steady-state target.  Rotated-out entries stay
-covered by the local oracle replica
+Round-9 rotation (the VERDICT r8 staleness contract, plus in-round
+amendments): the window LEADS with `lang_unimax_mixture` (new in r8,
+never driver-gated) plus the four rows deferred since r5
+(`pq_adc_topk`, `semantic_dedup_stats`, `label_maxsim_topk`,
+`media_feature_stats`) — all five judge-verified MATCH in the r8
+session; the driver row is the contract.  Next come the entries whose
+OUTPUT or PLAN changed during round 9 (changed entries outrank
+stale-unchanged rows): `minhash_pairs_md5` (new universal hash
+family), the three `ngram_jaccard*` plans (pin restructure), and the
+brand-new `supplier_shared_customers_sampled`.  The remaining slots
+take the r6 cohort MINUS five static aggregates bumped to make room
+(`customer_rfm_segments`, `customer_spend_quartiles`, `orders_cube`,
+`orders_profile`, `part_type_profit` — ROUND 10 MUST LEAD WITH THESE)
+plus the stalest r7 row (`ann_topk`, also a bench-calibration query).
+Rotated-out entries stay covered by the local oracle replica
 (``tests/test_queries_oracle.py`` runs every oracle-paired query).
 """
 

@@ -440,9 +440,11 @@ def _dimsum_oracle_sql(gamma: float = _DIMSUM_GAMMA) -> str:
     # < 2^62, exact BIGINT arithmetic, so WHERE keeps the identical
     # occurrence set and est_common matches to the last bit.
     def seed31(expr: str) -> str:
+        # COALESCE mirrors the engine's NULL-group space sentinel
         return (
             "CAST(list_sum(list_transform(range(15), i -> "
-            f"CAST(strpos('0123456789abcdef', substr(md5('dimsum:' || {expr}), i+1, 1)) - 1 AS BIGINT)"
+            "CAST(strpos('0123456789abcdef', substr(md5('dimsum:' || "
+            f"COALESCE({expr}, ' ')), i+1, 1)) - 1 AS BIGINT)"
             " << ((14 - i) * 4))) AS BIGINT) % 2147483648"
         )
 

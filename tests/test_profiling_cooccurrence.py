@@ -225,3 +225,30 @@ def test_cooccurrence_sampled_deterministic_and_active(spark):
     # sane band around the truth (unbiasedness sanity, generous)
     est_total = sum(r[4] for r in a)
     assert 0 < est_total < 4 * exact_total
+
+
+def test_cooccurrence_sampled_null_group_matches_exact(spark):
+    """The exact op's groupBy keeps a NULL group as a real group; the
+    sampled coin must too (a NULL-propagating concat silently dropped
+    every NULL-group occurrence — round-9 review reproduction)."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        cooccurrence_similarity_sampled,
+    )
+
+    e = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), (None, "a"), (None, "b"),
+         ("g2", "a"), ("g2", "b")],
+        "g string, i string",
+    ).localCheckpoint()
+    exact = {
+        (r.id_a, r.id_b): r.n_common
+        for r in cooccurrence_similarity(e, "g", "i", k=10).collect()
+    }
+    sampled = {
+        (r.item_a, r.item_b): r.est_common
+        for r in cooccurrence_similarity_sampled(
+            e, "g", "i", k=10, gamma=1e9
+        ).collect()
+    }
+    assert exact[("a", "b")] == 3
+    assert sampled[("a", "b")] == 3  # NULL group counted, not dropped
