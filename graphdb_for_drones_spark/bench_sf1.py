@@ -95,14 +95,16 @@ def _ann_families(spark: SparkSession, sf_dir: str) -> dict:
         # pairs pass and the output itself is Θ(n²) — no enumeration
         # strategy can make a quadratic RESULT linear; that's a property
         # of the threshold, not the kernel.
-        "ann_near_pairs": lambda: S.ann_near_pairs(
-            emb, dim=64, threshold=0.5
+        # pinned 16-plane geometry: the measured "before" of the
+        # auto-width default — at sf1 (20k vectors) the 4-bit band
+        # buckets saturate and the candidate stream goes quadratic
+        "ann_near_pairs_fixed16": lambda: S.ann_near_pairs(
+            emb, dim=64, threshold=0.5, n_planes=16
         ),
-        # the corpus-sized default (n_planes=None -> auto_band_width):
+        # the corpus-sized DEFAULT (n_planes=None -> auto_band_width):
         # measured HERE so the knee-avoidance claim carries numbers —
-        # at sf1 (20k vectors) auto picks 8-bit bands where the fixed
-        # 16-plane geometry saturates
-        "ann_near_pairs_auto": lambda: S.ann_near_pairs(
+        # at sf1 auto picks 8-bit bands where fixed16 saturates
+        "ann_near_pairs": lambda: S.ann_near_pairs(
             emb, dim=64, threshold=0.5, n_planes=None
         ),
         "brute_topk": lambda: S.cosine_topk(emb, list(q), k=10),

@@ -355,11 +355,20 @@ def posting_pairs(
         *key_cols, F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p")
     ).select(*key_cols, "p.id_a", "p.id_b").select(*out_cols)
     ex = hot.select(*key_cols, F.explode("ids").alias("v"))
-    left = ex.select(*key_cols, F.col("v").alias("id_a"))
-    right = ex.select(*key_cols, F.col("v").alias("id_b"))
+    left = ex.select(*key_cols, F.col("v").alias("id_a")).alias("l")
+    right = ex.select(*key_cols, F.col("v").alias("id_b")).alias("r")
+    # null-SAFE key equality (<=> plans as a sort-merge equi-join key
+    # same as =): the small path's groupBy keeps NULL-keyed groups, so
+    # a NULL group that crosses HOT_POSTING_SIZE must keep its pairs
+    # too rather than silently losing them to null-unsafe `=`
+    cond = None
+    for k in key_cols:
+        c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        cond = c if cond is None else (cond & c)
     hot_pairs = (
-        left.join(right, list(key_cols))
+        left.join(right, cond)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select(*[F.col(f"l.{k}") for k in key_cols], "id_a", "id_b")
         .select(*out_cols)
     )
     return small_pairs.unionByName(hot_pairs)

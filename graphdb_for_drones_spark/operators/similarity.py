@@ -228,7 +228,7 @@ def ann_near_pairs(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.3,
-    n_planes: int | None = 16,
+    n_planes: int | None = None,
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -260,11 +260,14 @@ def ann_near_pairs(
     hoisted per ROW (sqrt(Σx²) folded once per vector, not per pair) —
     pair scores stay bit-identical to the join formulation.
 
-    ``n_planes=None`` = AUTO: one column-pruned count sizes the band
-    width to the corpus (``auto_band_width``), so the bucket space
-    grows with data instead of saturating — the sf1 knee fixed by
-    default.  Cataloged oracle-paired entries pass explicit params
-    (the oracle inlines the planes, so the geometry must be pinned)."""
+    ``n_planes=None`` = AUTO (the DEFAULT since round 10): one
+    column-pruned count sizes the band width to the corpus
+    (``auto_band_width``), so the bucket space grows with data instead
+    of saturating — the sf1 knee fixed by default.  On corpora up to
+    ~8k vectors auto resolves to the old fixed geometry (width 4 ×
+    4 bands = 16 planes), so small-data behavior is unchanged.  Pass an
+    explicit ``n_planes`` to pin the geometry (the fixed16 oracle twin
+    inlines the planes, so its geometry must be pinned)."""
     from graphdb_for_drones_spark.operators.dedup import posting_pairs
 
     if n_planes is None:

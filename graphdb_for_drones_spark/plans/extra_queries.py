@@ -464,7 +464,11 @@ p AS (
   SELECT a.c AS g, a.s AS s_a, b.s AS s_b, a.deg AS da, b.deg AS db,
          ((((a.gx * 1103515245 + a.x) % 2147483647)
              * 1203793907 + b.x) % 2147483647) AS h0
-  FROM seeds a JOIN seeds b ON a.c = b.c AND a.s < b.s
+  -- IS NOT DISTINCT FROM: the engine's groupBy + posting_pairs keeps
+  -- NULL groups (round-9 NULL-coin sentinel), so the oracle's pair
+  -- join must be null-safe too — `=` would silently drop them
+  FROM seeds a JOIN seeds b
+    ON a.c IS NOT DISTINCT FROM b.c AND a.s < b.s
 ),
 coin AS (
   SELECT *, ((((h0 * h0 + 1) % 2147483647) * ((h0 * h0 + 1) % 2147483647)

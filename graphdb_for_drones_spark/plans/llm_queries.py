@@ -1015,12 +1015,15 @@ SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 10
 ORACLE_ANN_TOPK = _ann_topk_oracle_sql()
 
 
-def q_ann_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide embedding near-dup pairs via the banded LSH index
-    (bucket posting lists → map-side pair enumeration → exact cosine
-    verify) — the scale path beside the label-blocked exact variant."""
+def q_ann_near_pairs_fixed16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINNED-geometry twin of `ann_near_pairs` (n_planes=16, the
+    sf0.1-tuned setting): kept as the measured "before" of the
+    auto-width fix — at sf1 the 4-bit band buckets saturate and the
+    candidate stream goes quadratic (22-30×, PERF.md round 7-9).  The
+    default-looking unsuffixed name serves the scale-safe auto plan;
+    reach for this one only to reproduce the knee measurement."""
     cat = Catalog(spark, sf_dir)
-    return S.ann_near_pairs(cat.embeddings, dim=64, threshold=0.3)
+    return S.ann_near_pairs(cat.embeddings, dim=64, threshold=0.3, n_planes=16)
 
 
 def _ann_near_pairs_oracle_sql(
@@ -1070,11 +1073,12 @@ WHERE {cos} >= {threshold}
 """
 
 
-ORACLE_ANN_NEAR_PAIRS = _ann_near_pairs_oracle_sql()
+ORACLE_ANN_NEAR_PAIRS_FIXED16 = _ann_near_pairs_oracle_sql()
 
 
-def q_ann_near_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`ann_near_pairs` with AUTO band width (``n_planes=None``): one
+def q_ann_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-dup pairs via the banded LSH index
+    with AUTO band width (``n_planes=None``, the DEFAULT plan): one
     column-pruned count sizes the band width to the corpus
     (``similarity.auto_band_width`` — integer-exact
     ceil(log2(n/128)), floored at 4), so the bucket space grows with
@@ -1153,11 +1157,16 @@ WHERE {cos} >= {threshold}
 """
 
 
-ORACLE_ANN_NEAR_PAIRS_AUTO = _ann_near_pairs_auto_oracle_sql()
+ORACLE_ANN_NEAR_PAIRS = _ann_near_pairs_auto_oracle_sql()
 
 
-def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Density-based clustering (core-point DBSCAN, Ester et al. 1996)
+def q_embedding_dbscan_cores_fixed16(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PINNED-geometry twin of `embedding_dbscan_cores` (n_planes=16 —
+    the measured sf1 saturation knee, kept only as the "before" of the
+    auto-width fix; the unsuffixed name serves the auto plan).
+    Density-based clustering (core-point DBSCAN, Ester et al. 1996)
     over the LSH eps-neighbor graph: eps-neighbors = `ann_near_pairs`
     edges (cosine >= 0.3 through the banded-LSH candidate path), core
     points = nodes with >= 3 neighbors, clusters = connected components
@@ -1178,10 +1187,13 @@ def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     path = S.near_pairs_path_for(
-        _os.path.join(sf_dir, "embeddings.parquet"), dim=64, threshold=0.3
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        dim=64,
+        threshold=0.3,
+        n_planes=16,
     )
     pairs = S.near_pairs_open(
-        spark, cat.embeddings, path, dim=64, threshold=0.3
+        spark, cat.embeddings, path, dim=64, threshold=0.3, n_planes=16
     ).select("id_a", "id_b")
     return _dbscan_over_pairs(pairs)
 
@@ -1217,8 +1229,8 @@ def _dbscan_over_pairs(pairs: DataFrame, min_pts: int = 3) -> DataFrame:
     )
 
 
-def q_embedding_dbscan_cores_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`embedding_dbscan_cores` over the AUTO-geometry persisted
+def q_embedding_dbscan_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point clustering over the AUTO-geometry persisted
     eps-graph: the corpus-sized band width (`auto_band_width`, the sf1
     knee fix) resolved at the ENTRY, encoded in the graph's
     fingerprint path, and composed through `near_pairs_open` into the
@@ -1275,8 +1287,8 @@ FROM comp GROUP BY cluster_id
 """
 
 
-ORACLE_EMBEDDING_DBSCAN_CORES = _dbscan_oracle_sql()
-ORACLE_EMBEDDING_DBSCAN_CORES_AUTO = _dbscan_oracle_sql(
+ORACLE_EMBEDDING_DBSCAN_CORES_FIXED16 = _dbscan_oracle_sql()
+ORACLE_EMBEDDING_DBSCAN_CORES = _dbscan_oracle_sql(
     inner=_ann_near_pairs_auto_oracle_sql()
 )
 
@@ -1663,9 +1675,9 @@ LLM_QUERIES = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
-    "ann_near_pairs_auto": q_ann_near_pairs_auto,
-    "embedding_dbscan_cores_auto": q_embedding_dbscan_cores_auto,
+    "ann_near_pairs_fixed16": q_ann_near_pairs_fixed16,
     "embedding_dbscan_cores": q_embedding_dbscan_cores,
+    "embedding_dbscan_cores_fixed16": q_embedding_dbscan_cores_fixed16,
     "embedding_distance_hist": q_embedding_distance_hist,
     "doc_split_counts": q_doc_split_counts,
     "doc_sample_per_source": q_doc_sample_per_source,
@@ -1695,9 +1707,9 @@ LLM_ORACLES = {
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_near_pairs": ORACLE_ANN_NEAR_PAIRS,
-    "ann_near_pairs_auto": ORACLE_ANN_NEAR_PAIRS_AUTO,
-    "embedding_dbscan_cores_auto": ORACLE_EMBEDDING_DBSCAN_CORES_AUTO,
+    "ann_near_pairs_fixed16": ORACLE_ANN_NEAR_PAIRS_FIXED16,
     "embedding_dbscan_cores": ORACLE_EMBEDDING_DBSCAN_CORES,
+    "embedding_dbscan_cores_fixed16": ORACLE_EMBEDDING_DBSCAN_CORES_FIXED16,
     "embedding_distance_hist": ORACLE_EMBEDDING_DISTANCE_HIST,
     "doc_split_counts": ORACLE_DOC_SPLIT_COUNTS,
     "doc_sample_per_source": ORACLE_DOC_SAMPLE_PER_SOURCE,

@@ -271,6 +271,35 @@ def test_posting_pairs_mixed_paths(spark, monkeypatch):
     assert got == expect
 
 
+def test_posting_pairs_hot_null_key_group(spark, monkeypatch):
+    """A NULL posting key whose list crosses HOT_POSTING_SIZE (round-9
+    ADVICE): the hot branch's self-join must be null-SAFE, else the
+    NULL group silently loses every pair while the map-side small path
+    keeps it — the two paths must agree on NULL keys at any size."""
+    from graphdb_for_drones_spark.operators import dedup as D
+
+    posting = spark.createDataFrame(
+        [(None, [1, 2, 3, 4]), ("k", [7, 8])],
+        "h string, ids array<int>",
+    ).localCheckpoint()
+    def snap():
+        return sorted(
+            (
+                (r.h, r.id_a, r.id_b)
+                for r in D.posting_pairs(
+                    posting, ["h"], keep_keys=True
+                ).collect()
+            ),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1], t[2]),
+        )
+
+    small = snap()
+    monkeypatch.setattr(D, "HOT_POSTING_SIZE", 3)  # NULL group goes hot
+    mixed = snap()
+    assert small == mixed
+    assert (None, 1, 2) in mixed  # hot NULL group kept its pairs
+
+
 def test_wide_gram_family_identical_across_builders(spark):
     """The n>8 shingle-hash family is a function of n alone
     (ADVICE r7): ``shingle_hash_array`` and ``with_shingle_hashes``

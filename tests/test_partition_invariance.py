@@ -34,7 +34,8 @@ FLOAT_BEARING = [
     # auto-geometry LSH pairs (rounded cosine after a corpus-count-
     # derived width) must stay shuffle-width independent
     "lang_unimax_mixture",
-    "ann_near_pairs_auto",
+    # (renamed round 10: auto geometry now owns the unsuffixed name)
+    "ann_near_pairs",
     # round 9: the universal-hash md5 MinHash twin (jaccard = integer
     # intersection / integer union, but the PAIR SET derives from band
     # mins over per-partition-computed hashes — per-row determinism is
