@@ -56,13 +56,17 @@ RESULTS_PATH = os.path.join(_REPO_ROOT, "bench_catalog_sf1_results.json")
 
 
 def ensure_sf1_full(spark: SparkSession, regen: bool = False) -> str:
-    from graphdb_for_drones_spark.fixtures import write_scaled_sf_full
+    from graphdb_for_drones_spark.fixtures import (
+        scaled_tier_current,
+        write_scaled_sf_full,
+    )
 
-    # events is the LAST table write_scaled_sf_full emits, so its
-    # presence certifies a complete tier — a build killed mid-way
-    # regenerates instead of serving nine tables and one crash
-    marker = os.path.join(SF1_DIR, "events.parquet")
-    if regen or not os.path.isdir(marker):
+    # events is the LAST shifted table write_scaled_sf_full emits and
+    # the version file is written after it, so a current version +
+    # events dir certifies a complete tier built by the CURRENT scheme
+    # — a build killed mid-way, or a tier from an older scaler,
+    # regenerates instead of serving stale/partial data
+    if regen or not scaled_tier_current(SF1_DIR, "events"):
         write_scaled_sf_full(spark, SF01_DIR, SF1_DIR, factor=10)
     return SF1_DIR
 

@@ -49,10 +49,12 @@ SF1_DIR = os.environ.get(
 
 
 def ensure_sf1(spark: SparkSession, regen: bool = False) -> str:
-    from graphdb_for_drones_spark.fixtures import write_scaled_sf
+    from graphdb_for_drones_spark.fixtures import (
+        scaled_tier_current,
+        write_scaled_sf,
+    )
 
-    marker = os.path.join(SF1_DIR, "documents.parquet")
-    if regen or not os.path.isdir(marker):
+    if regen or not scaled_tier_current(SF1_DIR, "documents"):
         write_scaled_sf(spark, SF01_DIR, SF1_DIR, factor=10)
     return SF1_DIR
 

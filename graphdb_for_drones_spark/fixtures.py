@@ -451,6 +451,16 @@ def scaled_embeddings_dist(
 
     base = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
     dim = len(base.select("embedding").first()[0])
+    # per-copy label space (round 10): verbatim labels made every
+    # label BLOCK span all copies — blocked-cosine entries
+    # (embedding_dup_clusters) saw 10x blocks plus rare Walsh
+    # cross-copy matches merging copies into mega-clusters, a fixture
+    # artifact that re-flagged every sweep.  Shifting labels by a
+    # next-pow10 stride per copy keeps within-copy structure exact and
+    # makes cross-copy blocked pairs impossible: counts scale exactly
+    # `factor`x.
+    max_label = base.agg(F.max("label")).first()[0]
+    label_stride = _next_pow10(int(max_label if max_label is not None else 0))
     parts = []
     for c in range(factor):
         if c == 0:
@@ -469,7 +479,9 @@ def scaled_embeddings_dist(
             base.select(
                 (F.col("vec_id") + F.lit(c * copy_stride)).alias("vec_id"),
                 vec.alias("embedding"),
-                "label",
+                (F.col("label") + F.lit(c * label_stride))
+                .cast("int")
+                .alias("label"),
             )
         )
     df = parts[0]
@@ -505,6 +517,7 @@ def write_scaled_sf(
     ).write.mode("overwrite").parquet(
         _os.path.join(out_dir, "embeddings.parquet")
     )
+    _write_scaler_version(out_dir)
 
 
 def _next_pow10(n: int) -> int:
@@ -512,6 +525,58 @@ def _next_pow10(n: int) -> int:
     while s <= n:
         s *= 10
     return s
+
+
+# Bumped whenever write_scaled_sf/_full CONTENT changes (v2 = round-10
+# per-copy name-suffix + embedding-label perturbation): cached tiers in
+# spark-warehouse/ were previously invalidated only by deleting the
+# directory, so a scheme change silently benchmarked stale data.
+SCALER_VERSION = 2
+
+
+def _write_scaler_version(out_dir: str) -> None:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, "scaler_version.json"), "w") as f:
+        _json.dump({"version": SCALER_VERSION}, f)
+
+
+def scaled_tier_current(out_dir: str, marker_table: str) -> bool:
+    """True iff ``out_dir`` holds ``marker_table`` AND was generated by
+    the current scaling scheme — the regen gate for cached tiers."""
+    import json as _json
+    import os as _os
+
+    if not _os.path.isdir(_os.path.join(out_dir, f"{marker_table}.parquet")):
+        return False
+    try:
+        with open(_os.path.join(out_dir, "scaler_version.json")) as f:
+            return _json.load(f).get("version") == SCALER_VERSION
+    except (OSError, ValueError):
+        return False
+
+
+def _copy_name_mult(c: int) -> int:
+    """Per-copy multiplier for NAME-suffix deltas, encoding each base-10
+    digit ``d`` of the copy index into TWO decimal digits ``(d, 3d%10)``
+    (3 is coprime to 10, so both coordinates are injective in ``d``).
+    Any two distinct copies therefore differ in >= 2 digit positions of
+    the shifted suffix — a hamming-1 / one-substitution fuzzy blocker
+    can never pair rows ACROSS copies, while digits below the stride
+    stay untouched so within-copy pair structure is byte-identical to
+    the base.  A plain ``c x stride`` shift (the key scheme) differs in
+    only ONE digit across copies, which let every base name fuzzy-match
+    its ``factor-1`` twins — the round-9 sweep's 100x-bucket fixture
+    artifact."""
+    m, p = 0, 1
+    while True:
+        d = c % 10
+        m += d * p + ((3 * d) % 10) * p * 10
+        c //= 10
+        p *= 100
+        if c == 0:
+            return m
 
 
 def write_scaled_sf_full(
@@ -594,6 +659,25 @@ def write_scaled_sf_full(
         },
     }
 
+    # NAME perturbation (round 10): c_name/s_name copied verbatim made
+    # every fuzzy-linkage bucket span all copies (100x pair blowup, a
+    # fixture artifact re-flagged every sweep).  Copy c adds
+    # _copy_name_mult(c) x name_stride to the 9-digit name suffix: the
+    # delta digits sit ABOVE both tables' base suffix digits (shared
+    # stride), so within-copy and within-copy CROSS-TABLE hamming
+    # structure is preserved exactly while any cross-copy pair differs
+    # in >= 2 digits — one-substitution blockers yield exactly
+    # factor x the base pair count.
+    name_stride = max(stride["c_custkey"], stride["s_suppkey"])
+    name_cols = {"customer": "c_name", "supplier": "s_name"}
+
+    def shift_name(col: str, delta: int):
+        num = F.substring(F.col(col), -9, 9).cast("bigint") + F.lit(delta)
+        prefix = F.col(col).substr(
+            F.lit(1), F.length(F.col(col)) - F.lit(9)
+        )
+        return F.concat(prefix, F.format_string("%09d", num)).alias(col)
+
     for t in ("region", "nation"):
         rd(t).write.mode("overwrite").parquet(
             _os.path.join(out_dir, f"{t}.parquet")
@@ -602,11 +686,14 @@ def write_scaled_sf_full(
         base = rd(t)
         parts = []
         for c in range(factor):
+            name_delta = _copy_name_mult(c) * name_stride
             parts.append(
                 base.select(
                     *[
                         (F.col(col) + F.lit(c * shifts[col])).alias(col)
                         if col in shifts
+                        else shift_name(col, name_delta)
+                        if col == name_cols.get(t)
                         else F.col(col)
                         for col in base.columns
                     ]
@@ -618,3 +705,4 @@ def write_scaled_sf_full(
         df.repartition(32).write.mode("overwrite").parquet(
             _os.path.join(out_dir, f"{t}.parquet")
         )
+    _write_scaler_version(out_dir)

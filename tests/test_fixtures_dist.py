@@ -108,6 +108,13 @@ def test_scaled_embeddings_sign_flip_invariants(spark, tmp_path):
     frac_over = sum(1 for x in xs if abs(x) >= 0.3) / len(xs)
     assert mean_abs < 0.15, mean_abs
     assert frac_over <= 0.15, frac_over
+    # (3) per-copy label space (round 10): copy c's labels shift by
+    # c x next_pow10(max) so label BLOCKS never span copies — the
+    # blocked-cosine fixture artifact (mega-clusters) cannot form
+    labels = {r.vec_id: r.label for r in scaled}
+    for c in range(4):
+        for i in range(20):
+            assert labels[c * stride + i] == (i % 3) + c * 10, (c, i)
 
 
 def test_write_scaled_sf_full_integrity(spark, tmp_path):
@@ -173,3 +180,38 @@ def test_write_scaled_sf_full_integrity(spark, tmp_path):
         cust, orders.o_custkey == cust.c_custkey
     ).count()
     assert scaled_join == 3 * base_join
+
+    # name perturbation (round 10): copy c adds _copy_name_mult(c) x
+    # shared-stride to the 9-digit suffix — copy 0 byte-verbatim, low
+    # digits (within-copy structure) untouched, and every cross-copy
+    # pair >= 2 substitutions apart so one-substitution fuzzy blockers
+    # scale pair counts exactly factor x
+    from graphdb_for_drones_spark.fixtures import (
+        _copy_name_mult,
+        _next_pow10,
+    )
+
+    mc = rd(base, "customer").agg(F.max("c_custkey")).first()[0]
+    ms = rd(base, "supplier").agg(F.max("s_suppkey")).first()[0]
+    nstride = max(_next_pow10(int(mc)), _next_pow10(int(ms)))
+    base_suffix = sorted(
+        int(r[0][-9:]) for r in rd(base, "customer").select("c_name").collect()
+    )
+    expect = sorted(
+        s + _copy_name_mult(c) * nstride
+        for c in range(3)
+        for s in base_suffix
+    )
+    got = sorted(int(r[0][-9:]) for r in cust.select("c_name").collect())
+    assert got == expect  # exact scheme: verbatim copy 0, unique, low digits kept
+    # empirical cross-copy distance spot-check on the string forms
+    per_copy = [
+        ["%09d" % (s + _copy_name_mult(c) * nstride) for s in base_suffix[:40]]
+        for c in range(3)
+    ]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            for a in per_copy[i]:
+                for b in per_copy[j]:
+                    d = sum(1 for x, y in zip(a, b) if x != y)
+                    assert d >= 2, (a, b)
