@@ -91,3 +91,98 @@ def pearson_corr(
     return m.select(
         *key_cols, "n", F.when(ok, F.round(r, round_to)).alias("r")
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_group: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Histogram DRIFT of an integer feature per corpus slice against a
+    REFERENCE slice — the dataset-monitoring report (PSI-family) a
+    pipeline reads before admitting a new crawl/source into the
+    mixture: equal-width bins over the reference range, per-slice bin
+    proportions, and three drift statistics per slice:
+
+    * ``tvd`` — total-variation distance, ``0.5 · Σ|p_i − q_i|``;
+    * ``chi2`` — Pearson chi-square vs the Laplace-smoothed reference
+      ``q'_i = (c_i + 1) / (n + B)`` (smoothing keeps empty reference
+      bins finite, the standard PSI dodge);
+    * ``max_gap`` — the worst single-bin proportion gap.
+
+    All three are deliberately TRANSCENDENTAL-FREE (no log, unlike
+    PSI/KL): binning is exact integer arithmetic (``(x − lo)·B div
+    (hi − lo + 1)``, clamped), proportions are single IEEE divisions of
+    exact counts, and the per-bin terms fold in BIN ORDER via an
+    ordered ``F.aggregate`` — bit-identical to the SQL twin's
+    ``list_reduce`` fold, so the driver can hash-check every double.
+
+    Plan shape at 100 TB: one (group, bin) count shuffle with map-side
+    combine (B·|groups| rows out), a two-scalar reference min/max
+    bound as a broadcast, and a |groups|-row final projection — no row
+    ever carries an array wider than B."""
+    mm = df.filter(F.col(group_col) == ref_group).agg(
+        F.min(value_col).cast("long").alias("__lo"),
+        F.max(value_col).cast("long").alias("__hi"),
+    )
+    raw = F.expr(
+        f"(CAST({value_col} AS BIGINT) - __lo) * {n_bins} div (__hi - __lo + 1)"
+    )
+    binned = (
+        df.select(group_col, value_col)
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col(group_col).alias("g"),
+            F.least(
+                F.lit(n_bins - 1), F.greatest(F.lit(0), raw)
+            ).alias("b"),
+        )
+    )
+    counts = binned.groupBy("g", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dense = (
+        counts.groupBy("g")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "c"))
+            ).alias("m"),
+            F.sum("c").alias("n_rows"),
+        )
+        .select(
+            "g",
+            "n_rows",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                # try_element_at: ANSI element_at THROWS on a missing
+                # map key, and sparse slices legitimately have empty bins
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("m"), i.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("cs"),
+        )
+    )
+    ref = dense.filter(F.col("g") == ref_group).select(
+        F.col("cs").alias("rcs"), F.col("n_rows").alias("rn")
+    )
+    joined = dense.crossJoin(F.broadcast(ref))
+    p = F.transform(F.col("cs"), lambda c: c / F.col("n_rows"))
+    q = F.transform(F.col("rcs"), lambda c: c / F.col("rn"))
+    qs = F.transform(
+        F.col("rcs"), lambda c: (c + F.lit(1)) / (F.col("rn") + F.lit(n_bins))
+    )
+    gaps = F.zip_with(p, q, lambda a, b: F.abs(a - b))
+    chi_terms = F.zip_with(p, qs, lambda a, b: (a - b) * (a - b) / b)
+    fold = lambda arr: F.aggregate(  # noqa: E731 - ordered left fold
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return joined.select(
+        F.col("g").alias(group_col),
+        F.col("n_rows"),
+        F.round(F.lit(0.5) * fold(gaps), 9).alias("tvd"),
+        F.round(fold(chi_terms), 9).alias("chi2"),
+        F.round(F.array_max(gaps), 9).alias("max_gap"),
+    )

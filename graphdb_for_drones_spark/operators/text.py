@@ -315,6 +315,76 @@ def vocab_stats(
     )
 
 
+def vocab_overlap(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise VOCABULARY overlap between corpus slices — the
+    dataset-similarity report a mixture planner reads before merging
+    sources (near-identical vocabularies ⇒ redundant slices; disjoint
+    ⇒ complementary coverage): for every unordered slice pair, the
+    shared type count, union type count, jaccard, and containment
+    (shared / smaller vocabulary).
+
+    Plan shape at 100 TB: ONE (group, term)-distinct shuffle builds the
+    term → groups posting lists; each list is bounded by the GROUP
+    cardinality (sources, not rows), so pair enumeration is always the
+    map-side ``pairs_from_sorted_ids`` array path — no self-join, no
+    quadratic candidate stream — and the rollup is a (|groups|²)-sized
+    aggregate.  Per-slice type counts broadcast onto the pair rows.
+    Jaccard/containment are single IEEE divisions of exact integers —
+    bit-identical across engines."""
+    from graphdb_for_drones_spark.operators.dedup import (
+        pairs_from_sorted_ids,
+    )
+
+    terms = df.select(
+        F.col(group_col).alias("g"), F.explode(_words(text_col)).alias("t")
+    ).distinct()
+    sizes = terms.groupBy("g").agg(F.count(F.lit(1)).alias("n_types"))
+    posting = (
+        terms.groupBy("t")
+        .agg(F.sort_array(F.collect_set("g")).alias("gs"))
+        .filter(F.size("gs") >= 2)
+    )
+    inter = (
+        posting.select(
+            F.explode(pairs_from_sorted_ids(F.col("gs"))).alias("p")
+        )
+        .groupBy(
+            F.col("p.id_a").alias("source_a"),
+            F.col("p.id_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_types"))
+    )
+    a = sizes.select(
+        F.col("g").alias("source_a"), F.col("n_types").alias("__ta")
+    )
+    b = sizes.select(
+        F.col("g").alias("source_b"), F.col("n_types").alias("__tb")
+    )
+    union = (F.col("__ta") + F.col("__tb") - F.col("inter_types")).cast(
+        "long"
+    )
+    return (
+        inter.join(F.broadcast(a), "source_a")
+        .join(F.broadcast(b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter_types",
+            union.alias("union_types"),
+            F.round(
+                F.col("inter_types") / union.cast("double"), 9
+            ).alias("jaccard"),
+            F.round(
+                F.col("inter_types")
+                / F.least("__ta", "__tb").cast("double"),
+                9,
+            ).alias("containment"),
+        )
+    )
+
+
 def _words(text_col) -> Column:
     """Normalized non-empty whitespace words — the tokenization shared
     by the df-table and classifier operators, mirroring the DuckDB

@@ -1540,6 +1540,104 @@ FROM per GROUP BY source
 """
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap (operators/text.vocab_overlap)
+    — the dataset-similarity matrix a mixture planner reads before
+    merging sources: shared/union type counts, jaccard, containment per
+    unordered source pair.  One (source, term)-distinct shuffle; the
+    term → sources posting lists are bounded by SOURCE cardinality, so
+    pair enumeration is always the map-side array path (never a
+    self-join) and the rollup is |sources|²-sized."""
+    from graphdb_for_drones_spark.operators.text import vocab_overlap
+
+    cat = Catalog(spark, sf_dir)
+    return vocab_overlap(cat.documents, group_col="source")
+
+
+ORACLE_SOURCE_VOCAB_OVERLAP = rf"""
+WITH w AS (
+  SELECT source AS g, unnest(list_filter({_WORDS}, x -> x <> '')) AS term
+  FROM documents
+),
+t AS (SELECT DISTINCT g, term FROM w),
+sz AS (SELECT g, COUNT(*) AS n_types FROM t GROUP BY g),
+i AS (
+  SELECT a.g AS sa, b.g AS sb, COUNT(*) AS inter_types
+  FROM t a JOIN t b ON a.term = b.term AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(inter_types AS BIGINT) AS inter_types,
+       CAST(x.n_types + y.n_types - inter_types AS BIGINT) AS union_types,
+       ROUND(inter_types / CAST(x.n_types + y.n_types - inter_types AS DOUBLE),
+             9) AS jaccard,
+       ROUND(inter_types / CAST(LEAST(x.n_types, y.n_types) AS DOUBLE),
+             9) AS containment
+FROM i JOIN sz x ON x.g = i.sa JOIN sz y ON y.g = i.sb
+"""
+
+
+def q_source_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution DRIFT of document length against the
+    reference slice src0 (operators/stats.distribution_drift): 10
+    equal-width bins over the reference n_chars range, total-variation
+    distance, Laplace-smoothed Pearson chi-square, and the worst
+    single-bin gap — the PSI-family admission report for a new
+    source, kept transcendental-free so every double is
+    driver-hash-exact (ordered folds, integer binning).  Plan: one
+    (source, bin) count shuffle + two broadcast scalars."""
+    from graphdb_for_drones_spark.operators.stats import distribution_drift
+
+    cat = Catalog(spark, sf_dir)
+    return distribution_drift(
+        cat.documents, "source", "n_chars", ref_group="src0", n_bins=10
+    )
+
+
+ORACLE_SOURCE_DRIFT_STATS = r"""
+WITH mm AS (
+  SELECT CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi
+  FROM documents WHERE source = 'src0'
+),
+b AS (
+  SELECT source AS g,
+         LEAST(9, GREATEST(0,
+           (CAST(n_chars AS BIGINT) - lo) * 10 // (hi - lo + 1))) AS bin
+  FROM documents, mm
+),
+counts AS (SELECT g, bin, COUNT(*) AS c FROM b GROUP BY g, bin),
+dense AS (
+  SELECT gs.g, r.rb AS bin, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT g FROM b) gs
+  CROSS JOIN range(10) r(rb)
+  LEFT JOIN counts c ON c.g = gs.g AND c.bin = r.rb
+),
+vec AS (
+  SELECT g, list(c ORDER BY bin) AS cs, CAST(SUM(c) AS BIGINT) AS n
+  FROM dense GROUP BY g
+),
+ref AS (SELECT cs AS rcs, n AS rn FROM vec WHERE g = 'src0'),
+terms AS (
+  SELECT g, n,
+    list_transform(range(10), i ->
+      ABS(cs[i+1] / CAST(n AS DOUBLE) - rcs[i+1] / CAST(rn AS DOUBLE)))
+      AS gaps,
+    list_transform(range(10), i ->
+      (cs[i+1] / CAST(n AS DOUBLE) - (rcs[i+1] + 1) / CAST(rn + 10 AS DOUBLE))
+      * (cs[i+1] / CAST(n AS DOUBLE) - (rcs[i+1] + 1) / CAST(rn + 10 AS DOUBLE))
+      / ((rcs[i+1] + 1) / CAST(rn + 10 AS DOUBLE))) AS chi_terms
+  FROM vec, ref
+)
+SELECT g AS source, n AS n_rows,
+  ROUND(0.5 * list_reduce(list_prepend(0.0, gaps), (a, x) -> a + x), 9)
+    AS tvd,
+  ROUND(list_reduce(list_prepend(0.0, chi_terms), (a, x) -> a + x), 9)
+    AS chi2,
+  ROUND(list_max(gaps), 9) AS max_gap
+FROM terms
+"""
+
+
 def q_mixture_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture reshaping END-TO-END: `mixture_weights` (uniform token
     target) normalized by the max weight into per-source keep
@@ -1867,6 +1965,8 @@ CURATION_QUERIES = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "source_vocab_stats": q_source_vocab_stats,
+    "source_vocab_overlap": q_source_vocab_overlap,
+    "source_drift_stats": q_source_drift_stats,
     "mixture_resample_stats": q_mixture_resample_stats,
 }
 
@@ -1904,5 +2004,7 @@ CURATION_ORACLES = {
     "doc_weighted_sample": ORACLE_DOC_WEIGHTED_SAMPLE,
     "bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "source_vocab_stats": ORACLE_SOURCE_VOCAB_STATS,
+    "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,
+    "source_drift_stats": ORACLE_SOURCE_DRIFT_STATS,
     "mixture_resample_stats": ORACLE_MIXTURE_RESAMPLE_STATS,
 }

@@ -41,6 +41,10 @@ FLOAT_BEARING = [
     # mins over per-partition-computed hashes — per-row determinism is
     # what keeps it width-independent, so pin it)
     "minhash_pairs_md5",
+    # round 10: histogram-drift stats fold per-bin doubles in BIN order
+    # (ordered F.aggregate) — the fold order, not shuffle layout, must
+    # determine every value
+    "source_drift_stats",
     # round 9: DIMSUM sampled co-occurrence — the kept set derives from
     # a deterministic per-occurrence coin and the estimate from one
     # IEEE sqrt/divide; neither may move with shuffle width

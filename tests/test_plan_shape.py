@@ -108,6 +108,8 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
         "lang_temperature_mixture",  # one-row ordered-fold denominator bind
         "minhash_pairs",  # three one-row invariant sub-aggregates combined
         "simhash_pairs",  # (1x1x1 scalar bind, the doc_tfidf_topk shape)
+        # one-row reference min/max + one-row reference histogram binds
+        "source_drift_stats",
     }
     sf = "/root/testdata/sf0.001"
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
