@@ -122,11 +122,46 @@ def distribution_drift(
     Plan shape at 100 TB: one (group, bin) count shuffle with map-side
     combine (B·|groups| rows out), a two-scalar reference min/max
     bound as a broadcast, and a |groups|-row final projection — no row
-    ever carries an array wider than B."""
-    mm = df.filter(F.col(group_col) == ref_group).agg(
-        F.min(value_col).cast("long").alias("__lo"),
-        F.max(value_col).cast("long").alias("__hi"),
-    )
+    ever carries an array wider than B.
+
+    Precondition: the reference slice must be NON-EMPTY (drift against
+    nothing is undefined; an empty reference surfaces as a NULL-bin
+    map-key error rather than silently zeroed statistics)."""
+    counts = bin_counts(df, group_col, value_col, ref_group, n_bins)
+    return drift_from_bin_counts(counts, group_col, ref_group, n_bins)
+
+
+def bin_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_group: str | None = None,
+    n_bins: int = 10,
+    bounds: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(g, b, c) histogram counts over reference-range equal-width bins
+    — the binning half of ``distribution_drift``, exposed separately so
+    the STREAMING drift monitor can accumulate per-micro-batch counts
+    (counts are mergeable by plain SUM; the drift math runs on the
+    running totals via ``drift_from_bin_counts``).
+
+    Bounds come from the in-frame ``ref_group`` slice (the batch
+    entry's shape) or, for micro-batches that never see the reference,
+    from an explicit ``bounds=(lo, hi)`` pair — SAME clamped integer
+    expression either way, so stream and batch bin identically."""
+    if bounds is not None:
+        lo, hi = int(bounds[0]), int(bounds[1])
+        mm = df.sparkSession.range(1).select(
+            F.lit(lo).cast("long").alias("__lo"),
+            F.lit(hi).cast("long").alias("__hi"),
+        )
+    else:
+        if ref_group is None:
+            raise ValueError("bin_counts needs ref_group or bounds")
+        mm = df.filter(F.col(group_col) == ref_group).agg(
+            F.min(value_col).cast("long").alias("__lo"),
+            F.max(value_col).cast("long").alias("__hi"),
+        )
     raw = F.expr(
         f"(CAST({value_col} AS BIGINT) - __lo) * {n_bins} div (__hi - __lo + 1)"
     )
@@ -140,9 +175,23 @@ def distribution_drift(
             ).alias("b"),
         )
     )
-    counts = binned.groupBy("g", "b").agg(
+    return binned.groupBy("g", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+
+
+def drift_from_bin_counts(
+    counts: DataFrame,
+    group_col: str,
+    ref_group: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Drift statistics from (g, b, c) bin counts — the math half of
+    ``distribution_drift`` (identical ordered folds), shared with the
+    streaming monitor so stream==batch equivalence holds by
+    construction.  Accepts pre-SUMmed or raw mergeable counts (it
+    re-aggregates per (g, b))."""
+    counts = counts.groupBy("g", "b").agg(F.sum("c").alias("c"))
     dense = (
         counts.groupBy("g")
         .agg(
