@@ -122,6 +122,16 @@ def main() -> None:
             rdd.unpersist()
         sc._jvm.System.gc()
 
+    # JVM warm-up preamble: in a fresh JVM the FIRST measured query
+    # reads 2-4x slow even after its own warm-up pass (JIT tier-up,
+    # codegen caches — mission_count measured 4.2 s in-bench vs 1.55 s
+    # isolated-warm, round 10).  Run the calibration trio untimed first
+    # so the headline loop starts on a warm runtime; their own
+    # measurement still happens LAST per the pinned-ref protocol.
+    for name in CALIBRATION:
+        QUERIES[name](spark, SF_DIR).collect()
+    drop_leftover_caches()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # reference protocol (common/bench_utils.py): one untimed warm-up

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphdb_for_drones_spark.catalog import Catalog
 from graphdb_for_drones_spark.functions.crypto import (
@@ -683,6 +684,67 @@ pred AS (
   FROM hits
 )
 SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION: confusion matrix of the marker-word
+    classifier against the corpus's labeled ``lang`` column — per
+    (true, predicted) doc counts and the within-true-language share
+    (row-normalized recall).  The eval loop a lang-ID gate needs before
+    trusting the classifier on an unlabeled crawl.  Plan: one scan
+    computing the prediction map-side, one (lang, pred) count shuffle,
+    share via an unbounded window over the true language (reuses the
+    count exchange — the count-per-key window rule)."""
+    cat = Catalog(spark, sf_dir)
+    pred = cat.documents.select(
+        "lang", T.tokens(F.lower(F.col("text"))).alias("__tl")
+    ).select("lang", T.lang_id_from_tokens(F.col("__tl")).alias("pred_lang"))
+    counts = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return counts.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / tot, 9).alias("share"),
+    )
+
+
+ORACLE_LANG_ID_CONFUSION = r"""
+WITH toks AS (
+  SELECT lang,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+hits AS (
+  SELECT lang,
+    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS de,
+    len(list_filter(w, t -> t IN ('the','and','of','is','with'))) AS en,
+    len(list_filter(w, t -> t IN ('el','la','los','y','es'))) AS es,
+    len(list_filter(w, t -> t IN ('le','la','les','et','est'))) AS fr,
+    len(list_filter(w, t -> t IN ('的','是','了','在','我'))) AS zh
+  FROM toks
+),
+pred AS (
+  SELECT lang, CASE
+    WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 AND zh = 0 THEN 'und'
+    WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+    WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+    WHEN es >= fr AND es >= zh THEN 'es'
+    WHEN fr >= zh THEN 'fr'
+    ELSE 'zh' END AS pred_lang
+  FROM hits
+),
+c AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n_docs,
+       ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE),
+             9) AS share
+FROM c
 """
 
 
@@ -1669,6 +1731,7 @@ LLM_QUERIES = {
     "doc_lang_summary": q_doc_lang_summary,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_lang_id": q_doc_lang_id,
+    "lang_id_confusion": q_lang_id_confusion,
     "embedding_topk": q_embedding_topk,
     "label_maxsim_topk": q_label_maxsim_topk,
     "pq_adc_topk": q_pq_adc_topk,
@@ -1699,6 +1762,7 @@ LLM_ORACLES = {
     "doc_lang_summary": ORACLE_DOC_LANG_SUMMARY,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
+    "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "label_maxsim_topk": ORACLE_LABEL_MAXSIM_TOPK,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
