@@ -223,3 +223,132 @@ def test_substitution_pairs_match_bruteforce(spark, keys, k):
             if len(diff) <= k:
                 want[(ia, ib)] = (len(diff), diff)
     assert got == want
+
+
+drift_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["ref", "a", "b"]),
+        st.integers(min_value=-50, max_value=500),
+    ),
+    min_size=1,
+    max_size=40,
+).filter(lambda rows: any(g == "ref" for g, _ in rows))
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=drift_strategy)
+def test_distribution_drift_matches_bruteforce(spark, rows):
+    """Engine drift vs a pure-Python reference computing the SAME
+    integer binning, ordered folds and smoothing on random slices —
+    incl. out-of-range clamps and empty bins."""
+    from graphdb_for_drones_spark.operators.stats import distribution_drift
+
+    df = spark.createDataFrame(
+        rows, "g string, v long"
+    ).localCheckpoint()
+    got = {
+        r.g: (r.n_rows, r.tvd, r.chi2, r.max_gap)
+        for r in distribution_drift(df, "g", "v", "ref", n_bins=10).collect()
+    }
+
+    ref_vals = [v for g, v in rows if g == "ref"]
+    lo, hi = min(ref_vals), max(ref_vals)
+    width = hi - lo + 1
+
+    def bins(vals):
+        cs = [0] * 10
+        for v in vals:
+            # Spark `div` truncates toward zero; clamping makes the
+            # negative-side difference from floor division irrelevant
+            raw = (v - lo) * 10 // width if (v - lo) >= 0 else -1
+            cs[max(0, min(9, raw))] += 1
+        return cs
+
+    by_g = defaultdict(list)
+    for g, v in rows:
+        by_g[g].append(v)
+    rcs = bins(by_g["ref"])
+    rn = len(by_g["ref"])
+    for g, vals in by_g.items():
+        cs = bins(vals)
+        n = len(vals)
+        p = [c / n for c in cs]
+        q = [c / rn for c in rcs]
+        qs = [(c + 1) / (rn + 10) for c in rcs]
+        gaps = [abs(a - b) for a, b in zip(p, q)]
+        tvd = 0.0
+        for x in gaps:
+            tvd += x
+        chi = 0.0
+        for a, b in zip(p, qs):
+            chi += (a - b) * (a - b) / b
+        assert got[g][0] == n
+        assert got[g][1] == round(0.5 * tvd, 9)
+        assert got[g][2] == round(chi, 9)
+        assert got[g][3] == round(max(gaps), 9)
+        assert 0.0 <= got[g][1] <= 1.0 and got[g][2] >= 0.0
+
+
+corpus_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.lists(
+            st.sampled_from(["red", "green", "blue", "cyan", "dot"]),
+            min_size=0,
+            max_size=6,
+        ),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpus_strategy)
+def test_vocab_overlap_matches_bruteforce(spark, docs):
+    from graphdb_for_drones_spark.operators.text import vocab_overlap
+
+    rows = [(g, " ".join(ws)) for g, ws in docs]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "source string, text string"
+    ).localCheckpoint()
+    got = {
+        (r.source_a, r.source_b): (
+            r.inter_types,
+            r.union_types,
+            r.jaccard,
+            r.containment,
+        )
+        for r in vocab_overlap(df).collect()
+    }
+    vocab = defaultdict(set)
+    for g, ws in docs:
+        vocab[g] |= set(ws)
+    keys = sorted(vocab)
+    want = {}
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, b = keys[i], keys[j]
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                continue  # sparse-output contract: no shared term, no row
+            union = len(vocab[a] | vocab[b])
+            want[(a, b)] = (
+                inter,
+                union,
+                round(inter / union, 9),
+                round(inter / min(len(vocab[a]), len(vocab[b])), 9),
+            )
+    assert got == want
