@@ -235,3 +235,53 @@ def drift_from_bin_counts(
         F.round(fold(chi_terms), 9).alias("chi2"),
         F.round(F.array_max(gaps), 9).alias("max_gap"),
     )
+
+
+def categorical_drift(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    ref_group: str,
+) -> DataFrame:
+    """Categorical sibling of ``distribution_drift``: drift of a
+    CATEGORY mix (language, format, license...) per slice against the
+    reference slice.  Bins are the reference's distinct categories in
+    ALPHABETICAL order (0-based), plus one trailing "unseen" bin
+    catching categories the reference never exhibited — so a slice
+    introducing a new language shows up as mass in a bin where the
+    smoothed reference has only the Laplace floor, exactly the signal
+    an admission gate wants.  TVD / smoothed chi-square / max-gap come
+    from the SHARED math half (``drift_from_bin_counts``) — same
+    ordered folds, same oracle-exactness.
+
+    One setup-time action sizes the bin space (|ref categories| — the
+    auto_band_width precedent: corpus-derived parameters are fine as
+    long as both engines derive them from the same data); the category
+    → bin mapping is category-cardinality-sized and broadcasts.  Scale
+    shape: one (group, bin) count shuffle, everything else is
+    dimension-sized."""
+    from pyspark.sql.window import Window as _W
+
+    ref_cats = (
+        df.filter(F.col(group_col) == ref_group)
+        .select(F.col(cat_col).alias("__cat"))
+        .distinct()
+        .select(
+            "__cat",
+            (F.row_number().over(_W.orderBy("__cat")) - 1).alias("__idx"),
+        )
+    )
+    n_cats = ref_cats.count()
+    if n_cats == 0:
+        raise ValueError("reference slice is empty — drift is undefined")
+    counts = (
+        df.select(group_col, F.col(cat_col).alias("__cat"))
+        .join(F.broadcast(ref_cats), "__cat", "left")
+        .select(
+            F.col(group_col).alias("g"),
+            F.coalesce(F.col("__idx"), F.lit(n_cats)).alias("b"),
+        )
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return drift_from_bin_counts(counts, group_col, ref_group, n_cats + 1)

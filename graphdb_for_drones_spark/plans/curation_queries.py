@@ -1638,6 +1638,65 @@ FROM terms
 """
 
 
+def q_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift of the LANGUAGE mix per source vs src0
+    (operators/stats.categorical_drift): bins are src0's distinct
+    languages in alphabetical order plus one trailing unseen-language
+    bin, statistics from the shared ordered-fold math half — the
+    admission gate's "did this crawl change the language balance"
+    report beside the numeric-length drift."""
+    from graphdb_for_drones_spark.operators.stats import categorical_drift
+
+    cat = Catalog(spark, sf_dir)
+    return categorical_drift(cat.documents, "source", "lang", "src0")
+
+
+ORACLE_SOURCE_LANG_DRIFT = r"""
+WITH ref_cats AS (
+  SELECT cat, ROW_NUMBER() OVER (ORDER BY cat) - 1 AS idx
+  FROM (SELECT DISTINCT lang AS cat FROM documents WHERE source = 'src0')
+),
+ncats AS (SELECT COUNT(*) AS b FROM ref_cats),
+binned AS (
+  SELECT d.source AS g, COALESCE(rc.idx, (SELECT b FROM ncats)) AS bin
+  FROM documents d LEFT JOIN ref_cats rc ON rc.cat = d.lang
+),
+counts AS (SELECT g, bin, COUNT(*) AS c FROM binned GROUP BY g, bin),
+bins AS (SELECT idx AS bin FROM ref_cats UNION ALL SELECT b FROM ncats),
+dense AS (
+  SELECT gs.g, bins.bin, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT g FROM binned) gs
+  CROSS JOIN bins
+  LEFT JOIN counts c ON c.g = gs.g AND c.bin = bins.bin
+),
+vec AS (
+  SELECT g, list(c ORDER BY bin) AS cs, CAST(SUM(c) AS BIGINT) AS n
+  FROM dense GROUP BY g
+),
+ref AS (SELECT cs AS rcs, n AS rn FROM vec WHERE g = 'src0'),
+terms AS (
+  SELECT g, n,
+    list_transform(range(len(cs)), i ->
+      ABS(cs[i+1] / CAST(n AS DOUBLE) - rcs[i+1] / CAST(rn AS DOUBLE)))
+      AS gaps,
+    list_transform(range(len(cs)), i ->
+      (cs[i+1] / CAST(n AS DOUBLE)
+         - (rcs[i+1] + 1) / CAST(rn + len(cs) AS DOUBLE))
+      * (cs[i+1] / CAST(n AS DOUBLE)
+         - (rcs[i+1] + 1) / CAST(rn + len(cs) AS DOUBLE))
+      / ((rcs[i+1] + 1) / CAST(rn + len(cs) AS DOUBLE))) AS chi_terms
+  FROM vec, ref
+)
+SELECT g AS source, n AS n_rows,
+  ROUND(0.5 * list_reduce(list_prepend(0.0, gaps), (a, x) -> a + x), 9)
+    AS tvd,
+  ROUND(list_reduce(list_prepend(0.0, chi_terms), (a, x) -> a + x), 9)
+    AS chi2,
+  ROUND(list_max(gaps), 9) AS max_gap
+FROM terms
+"""
+
+
 def q_mixture_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture reshaping END-TO-END: `mixture_weights` (uniform token
     target) normalized by the max weight into per-source keep
@@ -1967,6 +2026,7 @@ CURATION_QUERIES = {
     "source_vocab_stats": q_source_vocab_stats,
     "source_vocab_overlap": q_source_vocab_overlap,
     "source_drift_stats": q_source_drift_stats,
+    "source_lang_drift": q_source_lang_drift,
     "mixture_resample_stats": q_mixture_resample_stats,
 }
 
@@ -2006,5 +2066,6 @@ CURATION_ORACLES = {
     "source_vocab_stats": ORACLE_SOURCE_VOCAB_STATS,
     "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,
     "source_drift_stats": ORACLE_SOURCE_DRIFT_STATS,
+    "source_lang_drift": ORACLE_SOURCE_LANG_DRIFT,
     "mixture_resample_stats": ORACLE_MIXTURE_RESAMPLE_STATS,
 }

@@ -59,6 +59,31 @@ def test_drift_disjoint_slice_maxes_tvd(spark):
     assert got["far"].max_gap == pytest.approx(0.9, abs=1e-9)
 
 
+def test_categorical_drift_unseen_category_bin(spark):
+    """Categories the reference never exhibited land in the trailing
+    unseen bin, where the smoothed reference has only the Laplace
+    floor — the new-language admission signal."""
+    from graphdb_for_drones_spark.operators.stats import categorical_drift
+
+    df = spark.createDataFrame(
+        [("ref", "en")] * 5
+        + [("ref", "de")] * 5
+        + [("same", "en"), ("same", "de")]
+        + [("new", "zz")] * 4,  # a category ref never saw
+        "g string, lang string",
+    ).localCheckpoint()
+    got = {
+        r.g: (r.n_rows, r.tvd, r.chi2, r.max_gap)
+        for r in categorical_drift(df, "g", "lang", "ref").collect()
+    }
+    assert got["ref"][1] == 0.0
+    # bins: (de, en, unseen); 'same' is 1/2-1/2 like ref -> tvd 0
+    assert got["same"][1] == 0.0
+    # 'new' has ALL mass in the unseen bin: tvd = 0.5*(0.5+0.5+1) = 1
+    assert got["new"][1] == 1.0 and got["new"][3] == 1.0
+    assert got["new"][2] > got["same"][2]  # chi2 ranks the newcomer worst
+
+
 def test_vocab_overlap_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [

@@ -110,6 +110,7 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
         "simhash_pairs",  # (1x1x1 scalar bind, the doc_tfidf_topk shape)
         # one-row reference min/max + one-row reference histogram binds
         "source_drift_stats",
+        "source_lang_drift",  # one-row reference category-mix bind
     }
     sf = "/root/testdata/sf0.001"
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
