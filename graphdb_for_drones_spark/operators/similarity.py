@@ -104,6 +104,93 @@ def cosine_topk(
     )
 
 
+def sq8_bounds(
+    embeddings: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, hi) corpus bounds for scalar quantization —
+    ONE scan-reduce (128 per-dim min/max aggregates emitted as a single
+    parsed SQL string: the py4j plan-build-tax rule), collected
+    driver-side like k-means centroids / the auto band width: corpus-
+    derived parameters are fine as long as the SQL twin derives the
+    SAME values from the same data (min/max are order-free exact)."""
+    lo_sql = ",".join(
+        f"min(CAST(get({vec_col}, {i}) AS DOUBLE))" for i in range(dim)
+    )
+    hi_sql = ",".join(
+        f"max(CAST(get({vec_col}, {i}) AS DOUBLE))" for i in range(dim)
+    )
+    row = embeddings.select(
+        F.expr(f"array({lo_sql})").alias("lo"),
+        F.expr(f"array({hi_sql})").alias("hi"),
+    ).first()
+    return [float(x) for x in row.lo], [float(x) for x in row.hi]
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Scalar-quantization (SQ8) approximate top-k — the simplest rung
+    of the quantization ladder beside IVF-flat / IVFPQ / PQ-ADC: each
+    dimension is affinely coded to an 8-bit level over its corpus
+    (lo, hi) range, vectors are scored by the cosine of the DECODED
+    (reconstructed) vector against the raw query (the asymmetric /
+    ADC convention — the query is never quantized).
+
+    Deterministic and rational end to end (code = round((x−lo)·255 /
+    span), decode = lo + code·span/255 — one documented op order the
+    SQL twin mirrors literally; constant dimensions decode to lo), so
+    the approximate scores themselves are oracle-checkable.  Plan
+    shape: the bounds pass is one scan-reduce; the search is one
+    map-side zip_with projection + top-k — no shuffle beyond the
+    bounded sort, 25% of the float32 read/compute footprint at scale
+    when codes are materialized."""
+    dim = len(query_vec)
+    if bounds is None:
+        lo, hi = sq8_bounds(embeddings, dim, vec_col)
+    else:
+        lo, hi = bounds
+    span = [h - l for l, h in zip(lo, hi)]
+    lo_arr = "array(" + ",".join(f"{v!r}D" for v in lo) + ")"
+    sp_arr = "array(" + ",".join(f"{v!r}D" for v in span) + ")"
+    # staged zip_withs behind named columns (the lambda-CSE rule):
+    # diff  = x − lo            (per dim)
+    # dec   = code·span/255     (0 for constant dims)
+    # xhat  = lo + dec          (the reconstructed vector)
+    scored = (
+        embeddings.select(
+            F.col(id_col),
+            F.expr(
+                f"zip_with(CAST({vec_col} AS array<double>), {lo_arr}, "
+                "(x, l) -> x - l)"
+            ).alias("__diff"),
+        )
+        .select(
+            id_col,
+            F.expr(
+                f"zip_with(__diff, {sp_arr}, (d, s) -> CASE WHEN s = 0.0D "
+                "THEN 0.0D ELSE (round((d * 255.0D) / s) * s) / 255.0D END)"
+            ).alias("__dec"),
+        )
+        .select(
+            id_col,
+            F.expr(f"zip_with(__dec, {lo_arr}, (xh, l) -> xh + l)").alias(
+                "__xhat"
+            ),
+        )
+    )
+    score = F.round(cosine(F.col("__xhat"), _vec_lit(query_vec)), 6)
+    return (
+        scored.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 32, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes for signed-projection LSH."""
     rng = np.random.RandomState(seed)

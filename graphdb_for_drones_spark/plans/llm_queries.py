@@ -830,6 +830,60 @@ FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) approximate top-10 for the vec_id=0
+    query — the simplest quantization rung beside ivf/ivfpq/pq_adc:
+    per-dim 8-bit affine codes over corpus (lo, hi) bounds, scored by
+    reconstructed-vector cosine against the RAW query (asymmetric).
+    Bounds derive from the corpus on BOTH engines (min/max are
+    order-free exact), so the approximation itself is hash-checked."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return S.sq8_topk(
+        emb.filter(F.col("vec_id") != 0),
+        q,
+        k=10,
+        bounds=S.sq8_bounds(emb, dim=len(q)),
+    )
+
+
+ORACLE_SQ8_TOPK = """
+WITH b AS (
+  SELECT i, MIN(v) AS lo, MAX(v) AS hi FROM (
+    SELECT generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+  ) GROUP BY i
+),
+q AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+enc AS (
+  SELECT e.vec_id, e.i,
+    CASE WHEN b.hi - b.lo = 0 THEN b.lo
+         ELSE b.lo + (ROUND(((e.v - b.lo) * 255.0) / (b.hi - b.lo))
+                      * (b.hi - b.lo)) / 255.0
+    END AS xhat
+  FROM e JOIN b USING (i)
+),
+s AS (
+  SELECT enc.vec_id, SUM(enc.xhat * q.v) AS dot,
+         SUM(enc.xhat * enc.xhat) AS ne, SUM(q.v * q.v) AS nq
+  FROM enc JOIN q USING (i) GROUP BY enc.vec_id
+)
+SELECT vec_id, ROUND(dot / (sqrt(ne) * sqrt(nq)), 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_label_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-level (multi-vector) retrieval: treat each label's vectors
     as one multi-vector document and score it by MaxSim — the MAX cosine
@@ -1735,6 +1789,7 @@ LLM_QUERIES = {
     "embedding_topk": q_embedding_topk,
     "label_maxsim_topk": q_label_maxsim_topk,
     "pq_adc_topk": q_pq_adc_topk,
+    "sq8_topk": q_sq8_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_topk": q_ann_topk,
     "ann_near_pairs": q_ann_near_pairs,
@@ -1766,6 +1821,7 @@ LLM_ORACLES = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "label_maxsim_topk": ORACLE_LABEL_MAXSIM_TOPK,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
+    "sq8_topk": ORACLE_SQ8_TOPK,
     "embedding_near_pairs": ORACLE_EMBEDDING_NEAR_PAIRS,
     "minhash_pairs_md5": ORACLE_MINHASH_PAIRS_MD5,
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,

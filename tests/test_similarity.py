@@ -807,3 +807,38 @@ def test_ann_near_pairs_auto_widens_and_verifies_on_bigger_corpus(spark):
         ).collect()
     )
     assert auto == explicit and len(auto) > 0
+
+
+def test_sq8_topk_reconstruction_and_constant_dim(spark):
+    """SQ8: an exact duplicate of the query must score (near) 1.0 and
+    rank first; a CONSTANT dimension (span 0) decodes to lo instead of
+    dividing by zero; 8-bit reconstruction keeps the approximate
+    ranking close to exact brute force on well-separated vectors."""
+    import random
+
+    from graphdb_for_drones_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(7)] + [3.0]  # dim 7 const
+    rows = [(0, base)]
+    rows += [
+        (i, [rng.uniform(-1, 1) for _ in range(7)] + [3.0])
+        for i in range(1, 40)
+    ]
+    rows.append((99, list(base)))  # exact duplicate of the query
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint()
+    q = [float(x) for x in base]
+    got = sim.sq8_topk(
+        emb.filter("vec_id <> 0"), q, k=5,
+        bounds=sim.sq8_bounds(emb, dim=8),
+    ).collect()
+    assert got[0].vec_id == 99
+    assert got[0].cosine >= 0.9999  # 8-bit decode of itself
+    exact_top = [
+        r.vec_id
+        for r in sim.cosine_topk(emb.filter("vec_id <> 0"), q, k=5).collect()
+    ]
+    approx_top = [r.vec_id for r in got]
+    assert len(set(exact_top) & set(approx_top)) >= 4  # recall@5 >= 0.8
