@@ -2332,6 +2332,59 @@ FROM h
 ORACLE_ANN_RECALL_AT_K = _ann_recall_oracle_sql()
 
 
+def q_sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantizer EVALUATION: recall@10 of the reconstructed-vector
+    scoring against brute-force float32 cosine for the vec_id=0 query —
+    the accuracy number a deployment weighs against SQ8's 4× smaller
+    read footprint (the `ann_recall_at_k` template applied to the
+    quantization ladder's newest rung).  One integer intersection and
+    one division — hash-exact."""
+    from graphdb_for_drones_spark.operators.similarity import (
+        cosine_topk,
+        sq8_bounds,
+        sq8_topk,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    approx = sq8_topk(
+        emb.filter(F.col("vec_id") != 0),
+        q,
+        k=10,
+        bounds=sq8_bounds(emb, dim=len(q)),
+    ).select("vec_id")
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=10
+    ).select("vec_id")
+    hits = approx.join(exact, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).alias("k"),
+        "n_hits",
+        (F.col("n_hits") / F.lit(10.0)).alias("recall"),
+    )
+
+
+def _sq8_recall_oracle_sql() -> str:
+    from graphdb_for_drones_spark.plans.llm_queries import (
+        ORACLE_EMBEDDING_TOPK,
+        ORACLE_SQ8_TOPK,
+    )
+
+    return f"""
+WITH sq AS (SELECT vec_id FROM ({ORACLE_SQ8_TOPK}) t1),
+ex AS (SELECT vec_id FROM ({ORACLE_EMBEDDING_TOPK}) t2),
+h AS (SELECT COUNT(*) AS n_hits FROM sq JOIN ex USING (vec_id))
+SELECT 10 AS k, CAST(n_hits AS BIGINT) AS n_hits, n_hits / 10.0 AS recall
+FROM h
+"""
+
+
+ORACLE_SQ8_RECALL_AT_K = _sq8_recall_oracle_sql()
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering for corpus curation (diversity sampling /
     topic buckets): the seeded deterministic k-means from the IVF path,
@@ -3246,6 +3299,7 @@ EXTRA_QUERIES = {
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "ann_recall_at_k": q_ann_recall_at_k,
+    "sq8_recall_at_k": q_sq8_recall_at_k,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
     "event_hll_vs_exact": q_event_hll_vs_exact,
@@ -3308,6 +3362,7 @@ EXTRA_ORACLES = {
     "ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "ivfpq_residual_topk": ORACLE_IVFPQ_RESIDUAL_TOPK,
     "ann_recall_at_k": ORACLE_ANN_RECALL_AT_K,
+    "sq8_recall_at_k": ORACLE_SQ8_RECALL_AT_K,
     "user_event_hash_chain": ORACLE_USER_EVENT_HASH_CHAIN,
     "event_value_hist_quantiles": ORACLE_EVENT_VALUE_HIST_QUANTILES,
     "event_user_cm_counts": ORACLE_EVENT_USER_CM_COUNTS,
