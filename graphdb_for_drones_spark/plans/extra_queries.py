@@ -1224,6 +1224,71 @@ GROUP BY d.event_type
 """
 
 
+def q_event_type_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed mean per event type — the third rung of the robust-stats
+    family beside the 3σ z-score and MAD gates: drop the lowest and
+    highest ceil(5%) of rows by a DETERMINISTIC rank ((value, event_id)
+    — the event_id tiebreak makes the kept SET identical across
+    engines even on tied values) and report the mean of the rest with
+    exact decimal sums.  Trim width is pure integer arithmetic
+    (ceil(n/20) = (n+19) div 20), so the whole statistic is
+    hash-exact.  One key-partitioned exchange: rank and count ride the
+    same window, the rollup reuses its partitioning."""
+    cat = Catalog(spark, sf_dir)
+    kw = Window.partitionBy("event_type")
+    rn = F.row_number().over(
+        kw.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    )
+    n = F.count(F.lit(1)).over(kw)
+    staged = cat.events.select(
+        "event_type",
+        "value",
+        rn.alias("__rn"),
+        n.alias("__n"),
+        F.expr("(count(1) OVER (PARTITION BY event_type) + 19) div 20").alias(
+            "__t"
+        ),
+    )
+    kept = staged.filter(
+        (F.col("__rn") > F.col("__t"))
+        & (F.col("__rn") <= F.col("__n") - F.col("__t"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("__n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("trimmed_mean"),
+        F.round(F.min("value"), 9).alias("kept_min"),
+        F.round(F.max("value"), 9).alias("kept_max"),
+    )
+
+
+ORACLE_EVENT_TYPE_TRIMMED_STATS = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+k AS (
+  SELECT event_type, value, n FROM r
+  WHERE rn > (n + 19) // 20 AND rn <= n - (n + 19) // 20
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*),
+             9) AS trimmed_mean,
+       ROUND(MIN(value), 9) AS kept_min,
+       ROUND(MAX(value), 9) AS kept_max
+FROM k GROUP BY event_type
+"""
+
+
 def q_event_type_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score anomaly detection per event type: events beyond 3σ of
     their type's mean — the streaming-alert / data-quality gate shape,
@@ -3270,6 +3335,7 @@ EXTRA_QUERIES = {
     "dedup_cluster_keepers": q_dedup_cluster_keepers,
     "event_value_trends": q_event_value_trends,
     "event_type_robust_outliers": q_event_type_robust_outliers,
+    "event_type_trimmed_stats": q_event_type_trimmed_stats,
     "event_type_transitions": q_event_type_transitions,
     "event_type_twap": q_event_type_twap,
     "shipping_delay_histogram": q_shipping_delay_histogram,
@@ -3333,6 +3399,7 @@ EXTRA_ORACLES = {
     "dedup_cluster_keepers": ORACLE_DEDUP_CLUSTER_KEEPERS,
     "event_value_trends": ORACLE_EVENT_VALUE_TRENDS,
     "event_type_robust_outliers": ORACLE_EVENT_TYPE_ROBUST_OUTLIERS,
+    "event_type_trimmed_stats": ORACLE_EVENT_TYPE_TRIMMED_STATS,
     "event_type_transitions": ORACLE_EVENT_TYPE_TRANSITIONS,
     "event_type_twap": ORACLE_EVENT_TYPE_TWAP,
     "shipping_delay_histogram": ORACLE_SHIPPING_DELAY_HISTOGRAM,

@@ -36,6 +36,10 @@ FLOAT_BEARING = [
     "lang_unimax_mixture",
     # (renamed round 10: auto geometry now owns the unsuffixed name)
     "ann_near_pairs",
+    # round 10: trimmed mean — the kept SET comes from a deterministic
+    # (value, event_id) rank and the mean from a decimal sum; neither
+    # may move with shuffle width
+    "event_type_trimmed_stats",
     # round 9: the universal-hash md5 MinHash twin (jaccard = integer
     # intersection / integer union, but the PAIR SET derives from band
     # mins over per-partition-computed hashes — per-row determinism is
