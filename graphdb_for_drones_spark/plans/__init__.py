@@ -5,20 +5,25 @@ dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
 so insertion order here is the gate order).  The catalog is larger than 50,
 so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
 
-Round-9 rotation (the VERDICT r8 staleness contract, plus in-round
-amendments): the window LEADS with `lang_unimax_mixture` (new in r8,
-never driver-gated) plus the four rows deferred since r5
-(`pq_adc_topk`, `semantic_dedup_stats`, `label_maxsim_topk`,
-`media_feature_stats`) — all five judge-verified MATCH in the r8
-session; the driver row is the contract.  Next come the entries whose
-OUTPUT or PLAN changed during round 9 (changed entries outrank
-stale-unchanged rows): `minhash_pairs_md5` (new universal hash
-family), the three `ngram_jaccard*` plans (pin restructure), and the
-brand-new `supplier_shared_customers_sampled`.  The remaining slots
-take the r6 cohort MINUS five static aggregates bumped to make room
-(`customer_rfm_segments`, `customer_spend_quartiles`, `orders_cube`,
-`orders_profile`, `part_type_profit` — ROUND 10 MUST LEAD WITH THESE)
-plus the stalest r7 row (`ann_topk`, also a bench-calibration query).
+Round-11 rotation (the VERDICT r10 task #1 contract): the window LEADS
+with every entry the driver has NEVER attested — the seven r10
+additions (`event_type_trimmed_stats`, `lang_id_confusion`,
+`source_drift_stats`, `source_lang_drift`, `source_vocab_overlap`,
+`sq8_topk`, `sq8_recall_at_k`), the two saturation-knee twins
+(`ann_near_pairs_fixed16`, `embedding_dbscan_cores_fixed16`), and any
+entry NEW this round — plus the five aggregates whose latest driver
+row dates to round 6 (`customer_rfm_segments`,
+`customer_spend_quartiles`, `orders_cube`, `orders_profile`,
+`part_type_profit`) and the two defaults whose PLANS changed in r10
+(`ann_near_pairs`, `embedding_dbscan_cores` now execute the auto
+geometry; changed entries outrank stale-unchanged rows).  The
+remaining slots take the stalest cohort (latest driver row = round 7);
+the handful of r7 rows that do not fit defer to round 12, where
+``tests/test_gate_rotation.py`` makes their inclusion MANDATORY: the
+test parses the committed ``CORRECTNESS_r*.json`` history and fails
+the suite if any never-gated entry, or any entry whose latest driver
+row is more than 3 rounds old, sits outside the current first-50.
+Staleness is now enforced by pytest, not by this docstring.
 Rotated-out entries stay covered by the local oracle replica
 (``tests/test_queries_oracle.py`` runs every oracle-paired query).
 """
@@ -51,70 +56,66 @@ _MERGED_ORACLES = {
 # Queries promoted to the head of the gate window this round.  Order within
 # the first 50 does not matter; membership does.
 _GATE_FIRST = [
-    # ---- Round-9 rotation ----------------------------------------------
-    # Contract leads (VERDICT r8 task #1): never-gated + the four r5 rows
-    # deferred in r8 -- all judge-verified MATCH, now getting driver rows:
-    "lang_unimax_mixture",
-    "pq_adc_topk",
-    "semantic_dedup_stats",
-    "label_maxsim_topk",
-    "media_feature_stats",
-    # CHANGED THIS ROUND (changed entries outrank stale-unchanged rows):
-    # minhash_pairs_md5's OUTPUT changed (universal hash family), the
-    # ngram family's plans were restructured (shingle + posting pins).
-    # To make room, four static r6-cohort aggregates
-    # (customer_rfm_segments, customer_spend_quartiles, orders_cube,
-    # orders_profile -- plain SQL-shape plans untouched since r6, all
-    # green r6, re-verified ALL MATCH by this round's full driver-sim)
-    # defer to round 10, which MUST lead with them.
-    "minhash_pairs_md5",
-    "ngram_jaccard",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_prefix",
-    # NEW this round (never-gated entries lead, the lang_unimax lesson):
-    # DIMSUM-sampled co-occurrence with a bit-exact md5-coin oracle.
-    # part_type_profit joins the r10 deferral list to make room.
-    "supplier_shared_customers_sampled",
-    "abac_check",
-    "ann_recall_at_k",
-    "bpe_merge_candidates",
-    "bpe_train_merges",
-    "corpus_stopword_candidates",
-    "customer_fuzzy_pairs",
-    "customer_supplier_fuzzy_matches",
-    "delegation_reachable",
-    "doc_bpe_compression",
-    "doc_bpe_token_stats",
-    "doc_dup_passages",
-    "doc_lm_fluency",
-    "doc_quality_logit",
-    "doc_weighted_sample",
-    "doc_winnow_stats",
-    "embedding_distance_hist",
-    "event_hll_rollup",
-    "event_type_outliers",
-    "event_type_robust_outliers",
-    "event_type_transitions",
-    "event_type_twap",
-    "event_value_trends",
-    "events_hourly_gapfilled",
-    "events_native_session_windows",
-    "events_pivot_dow",
-    "flat_chain_count",
-    "lineitem_price_qty_corr",
-    "minhash_pairs",
-    "mission_count",
-    "mixture_resample_stats",
-    "nation_market_share",
-    "nation_trade_flows",
-    "path_count_diamond",
-    "shipping_delay_histogram",
-    "simhash_pairs",
-    "source_vocab_stats",
-    "top_customers",
-    "user_activity_islands",
-    "wot_path_count",
-    "ann_topk",
+    # ---- Round-11 rotation ---------------------------------------------
+    # Never driver-gated (r10 additions + the two knee twins):
+    "event_type_trimmed_stats",
+    "lang_id_confusion",
+    "source_drift_stats",
+    "source_lang_drift",
+    "source_vocab_overlap",
+    "sq8_topk",
+    "sq8_recall_at_k",
+    "ann_near_pairs_fixed16",
+    "embedding_dbscan_cores_fixed16",
+    # Latest driver row = round 6 (the five r6-deferred aggregates):
+    "customer_rfm_segments",
+    "customer_spend_quartiles",
+    "orders_cube",
+    "orders_profile",
+    "part_type_profit",
+    # Plans changed in r10 (renamed to the auto-geometry defaults):
+    "ann_near_pairs",
+    "embedding_dbscan_cores",
+    # ---- Stalest cohort fill (latest driver row = round 7) -------------
+    # Eight r7 rows defer to round 12 to make room (distinct_segments,
+    # entity_counts, events_filter, priority_histogram,
+    # event_props_extract, event_type_stats, event_user_distinct,
+    # latest_event_per_user) -- test_gate_rotation makes that deferral
+    # binding, not optional.
+    "asof_signup_before_purchase",
+    "cdc_apply_events",
+    "contamination_check",
+    "contamination_containment",
+    "corpus_curation_stats",
+    "dedup_cluster_keepers",
+    "dedup_clusters",
+    "delegation_count_by_level",
+    "doc_dedup_stats",
+    "doc_repetition",
+    "embedding_clusters",
+    "embedding_dup_clusters",
+    "event_hll_vs_exact",
+    "event_props_extract",
+    "event_type_stats",
+    "event_user_distinct",
+    "event_value_hist_quantiles",
+    "event_value_percentiles",
+    "events_in_windows",
+    "events_tumbling_hourly",
+    "flat_chain_count_recursive_sql",
+    "ivf_topk",
+    "ivfpq_residual_topk",
+    "ivfpq_topk",
+    "lang_temperature_mixture",
+    "latest_event_per_user",
+    "min_price_supplier",
+    "nation_triangles",
+    "order_price_percentiles",
+    "pricing_summary",
+    "supplier_shared_customers",
+    "user_event_hash_chain",
+    "vc_count_per_region",
+    "wot_path_count_short",
 ]
 
 _missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]
