@@ -615,8 +615,6 @@ def write_scaled_sf_full(
 
     from pyspark.sql import functions as F
 
-    write_scaled_sf(spark, base_sf_dir, out_dir, factor)
-
     def rd(t: str) -> DataFrame:
         if t == "events":
             # events.parquet may carry TIMESTAMP(NANOS) depending on the
@@ -670,6 +668,26 @@ def write_scaled_sf_full(
     # factor x the base pair count.
     name_stride = max(stride["c_custkey"], stride["s_suppkey"])
     name_cols = {"customer": "c_name", "supplier": "s_name"}
+
+    # Validate EVERY copy's name delta before any table is written:
+    # %09d WIDENS past 9 digits instead of truncating, so a suffix
+    # >= 1e9 would change name LENGTH for that copy and silently break
+    # the documented equal-length >=2-substitution cross-copy hamming
+    # property.  Base suffix digits sit below name_stride, so
+    # delta + stride bounds the shifted suffix.  (_copy_name_mult is
+    # not monotone in c — d=7 encodes smaller than d=4 — hence the
+    # full sweep, O(factor) ints.)
+    for c in range(factor):
+        name_delta = _copy_name_mult(c) * name_stride
+        if name_delta + name_stride > 10**9:
+            raise ValueError(
+                f"scale factor {factor} overflows the 9-digit name "
+                f"suffix (copy {c}: delta {name_delta} + stride "
+                f"{name_stride} > 1e9); the cross-copy hamming "
+                "guarantee would degrade — use a smaller factor"
+            )
+
+    write_scaled_sf(spark, base_sf_dir, out_dir, factor)
 
     def shift_name(col: str, delta: int):
         num = F.substring(F.col(col), -9, 9).cast("bigint") + F.lit(delta)

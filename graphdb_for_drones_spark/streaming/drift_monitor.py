@@ -25,6 +25,8 @@ availableNow re-drains of the same source layout.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,46 @@ from graphdb_for_drones_spark.operators.stats import (
     bin_counts,
     drift_from_bin_counts,
 )
+
+META_FILE = "_drift_meta.json"  # "_"-prefixed: invisible to parquet scans
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _write_meta(spark: SparkSession, out_dir: str, meta: dict) -> None:
+    fs, jpath = _hadoop_fs(spark, out_dir.rstrip("/") + "/" + META_FILE)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def read_meta(spark: SparkSession, out_dir: str) -> dict | None:
+    """The monitor's persisted geometry (n_bins, bounds, columns), or
+    None for a pre-sidecar directory."""
+    fs, jpath = _hadoop_fs(spark, out_dir.rstrip("/") + "/" + META_FILE)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # byte-at-a-time: py4j COPIES a bytearray argument, so the
+        # Java-side mutate-in-place read never reaches Python.  The
+        # sidecar is <200 bytes; a py4j call per byte is fine.
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return json.loads(bytes(data).decode("utf-8"))
+    finally:
+        stream.close()
 
 
 def reference_geometry(
@@ -97,15 +139,38 @@ def start_drift_monitor(
 ):
     """Accumulate per-batch bin counts for ``stream_df`` against
     ``ref_df``'s frozen bin geometry.  Read the report any time with
-    ``drift_report`` — it reflects every committed batch."""
+    ``drift_report`` — it reflects every committed batch.
+
+    ``out_dir`` and ``checkpoint_dir`` are paired for a monitor's
+    lifetime: batch ids are checkpoint-relative, so re-using an out_dir
+    with a FRESH checkpoint would restart ids at 0 and dynamic
+    overwrite would leave a prior run's higher-numbered partitions
+    inflating the totals.  A fresh checkpoint therefore TRUNCATES
+    out_dir (plain-overwrite reference write) instead of appending;
+    restarting with the existing checkpoint keeps accumulated batches
+    (the reference partition alone is dynamically replaced)."""
+    spark = stream_df.sparkSession
     bounds, ref_counts = reference_geometry(ref_df, value_col, n_bins)
+    ckpt_fs, ckpt_path = _hadoop_fs(spark, checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
     # persist the reference counts beside the stream counts so the
     # report is self-contained (readable without re-deriving geometry)
-    ref_counts.withColumn("batch_id", F.lit(-1)).write.mode(
+    ref_writer = ref_counts.withColumn("batch_id", F.lit(-1)).write.mode(
         "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "batch_id"
-    ).parquet(out_dir)
+    )
+    if not fresh_checkpoint:
+        ref_writer = ref_writer.option("partitionOverwriteMode", "dynamic")
+    ref_writer.partitionBy("batch_id").parquet(out_dir)
+    _write_meta(
+        spark,
+        out_dir,
+        {
+            "n_bins": int(n_bins),
+            "bounds": [int(bounds[0]), int(bounds[1])],
+            "group_col": group_col,
+            "value_col": value_col,
+        },
+    )
     apply_batch = make_apply_batch(
         bounds, out_dir, group_col, value_col, n_bins
     )
@@ -118,11 +183,40 @@ def start_drift_monitor(
 
 
 def drift_report(
-    spark: SparkSession, out_dir: str, n_bins: int = 10
+    spark: SparkSession, out_dir: str, n_bins: int | None = None
 ) -> DataFrame:
     """Drift statistics over every committed batch: SUM the accumulated
     (g, b) counts (including the ``batch_id=-1`` reference partition)
     and run the SHARED math half — bit-identical to
-    ``distribution_drift`` on the union of all drained rows."""
+    ``distribution_drift`` on the union of all drained rows.
+
+    ``n_bins`` defaults to the geometry the monitor persisted beside
+    the counts (``_drift_meta.json``), so a monitor-vs-report mismatch
+    cannot silently truncate the dense vectors; passing an explicit
+    value that disagrees with the sidecar raises."""
+    meta = read_meta(spark, out_dir)
+    if meta is not None:
+        if n_bins is not None and int(n_bins) != int(meta["n_bins"]):
+            raise ValueError(
+                f"drift_report n_bins={n_bins} disagrees with the "
+                f"monitor's persisted geometry n_bins={meta['n_bins']} "
+                f"in {out_dir}"
+            )
+        n_bins = int(meta["n_bins"])
+    elif n_bins is None:
+        raise ValueError(
+            f"{out_dir} has no {META_FILE} sidecar (pre-round-11 "
+            "monitor output?) — pass n_bins explicitly"
+        )
     counts = spark.read.parquet(out_dir).select("g", "b", "c")
+    if meta is None:
+        # legacy dir without a sidecar: validate the caller's n_bins
+        # against the data instead of silently truncating (tiny table:
+        # |groups| x n_bins rows)
+        max_b = counts.agg(F.max("b")).first()[0]
+        if max_b is not None and int(max_b) >= int(n_bins):
+            raise ValueError(
+                f"accumulated counts carry bin ids up to {max_b} but "
+                f"drift_report was called with n_bins={n_bins}"
+            )
     return drift_from_bin_counts(counts, "g", "__ref__", n_bins)

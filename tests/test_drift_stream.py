@@ -132,3 +132,79 @@ def test_state_is_bounded_by_groups_and_bins(spark, tmp_path):
         counts.groupBy("g", "b").count().filter(F.col("count") > 3).count()
         == 0
     )
+
+
+def test_fresh_checkpoint_truncates_stale_out_dir(spark, tmp_path):
+    """out_dir and checkpoint_dir are paired for a monitor's lifetime:
+    starting a NEW monitor (fresh checkpoint) on an existing out_dir
+    must truncate the prior run's batch partitions — otherwise batch
+    ids restart at 0 and dynamic overwrite leaves higher-numbered
+    leftovers silently inflating the report totals (ADVICE r10)."""
+    out = str(tmp_path / "counts")
+    _drain(spark, tmp_path, out, str(tmp_path / "ckpt1"))
+    total_run1 = (
+        spark.read.parquet(out)
+        .filter(F.col("g") != "__ref__")
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    assert total_run1 == 5  # both batches drained
+    # second monitor lifetime: same out_dir, FRESH checkpoint, a source
+    # containing only batch 0 -- ids restart at 0
+    ref = spark.createDataFrame(REF_ROWS, "g string, n_chars long")
+    sdir2 = tmp_path / "in2"
+    sdir2.mkdir()
+    (sdir2 / "b0.json").write_text(
+        "\n".join(json.dumps(r) for r in BATCHES[0])
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(sdir2))
+    q = start_drift_monitor(
+        stream,
+        ref,
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        group_col="source",
+        value_col="n_chars",
+    )
+    q.awaitTermination(120)
+    total_run2 = (
+        spark.read.parquet(out)
+        .filter(F.col("g") != "__ref__")
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    assert total_run2 == 3  # run 1's batch-1 partition is gone
+    report = {r.g: r.n_rows for r in drift_report(spark, out).collect()}
+    assert report == {"__ref__": 10, "a": 2, "b": 1}
+
+
+def test_report_reads_n_bins_from_sidecar(spark, tmp_path):
+    """A monitor started at a non-default n_bins must be reportable
+    with NO n_bins argument (geometry persisted beside the counts), and
+    an explicit mismatching n_bins must raise instead of silently
+    truncating the dense vectors (ADVICE r10)."""
+    import pytest
+
+    out, ckpt = str(tmp_path / "counts"), str(tmp_path / "ckpt")
+    sdir = _write_batches(tmp_path)
+    ref = spark.createDataFrame(REF_ROWS, "g string, n_chars long")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(sdir))
+    )
+    q = start_drift_monitor(
+        stream,
+        ref,
+        out_dir=out,
+        checkpoint_dir=ckpt,
+        group_col="source",
+        value_col="n_chars",
+        n_bins=20,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).agg(F.max("b")).first()[0] > 9
+    got = {r.g: r.n_rows for r in drift_report(spark, out).collect()}
+    assert got == {"__ref__": 10, "a": 3, "b": 2}
+    with pytest.raises(ValueError, match="disagrees"):
+        drift_report(spark, out, n_bins=10)

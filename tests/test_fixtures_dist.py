@@ -215,3 +215,23 @@ def test_write_scaled_sf_full_integrity(spark, tmp_path):
                 for b in per_copy[j]:
                     d = sum(1 for x, y in zip(a, b) if x != y)
                     assert d >= 2, (a, b)
+
+
+def test_scaled_name_suffix_overflow_fails_loudly(spark, tmp_path):
+    """%09d WIDENS past 9 digits, so an out-of-range factor would
+    change name length for high copies and silently degrade the
+    equal-length cross-copy hamming guarantee — the scaler must refuse
+    BEFORE writing any table (ADVICE r10)."""
+    import os
+
+    import pytest
+
+    from graphdb_for_drones_spark.fixtures import write_scaled_sf_full
+
+    out = str(tmp_path / "sf_overflow")
+    # copy 1000 is the first 4-digit index: its digit-pair encoding
+    # jumps to 3.1e7 x stride, far past the 9-digit budget (copy 999
+    # still fits at 797979 x stride)
+    with pytest.raises(ValueError, match="9-digit name suffix"):
+        write_scaled_sf_full(spark, "/root/testdata/sf0.001", out, factor=1001)
+    assert not os.path.isdir(out)  # validation precedes every write
