@@ -653,6 +653,15 @@ def _cooccurrence_dense(
     )
 
 
+#: Exact pair-stream budget: Σ_g C(d_g, 2) rows above this raises
+#: instead of silently running a super-linear shuffle.  Sized so the
+#: sf1 sweep's measured stream (~12.5M pairs, 15.3 s) passes with
+#: ~100× headroom while a 100 TB-scale hot-degree explosion (billions
+#: of pair rows per executor wave) fails loudly with the escape routes
+#: named.  Pass ``max_pairs=None`` to run the exact plan regardless.
+EXACT_PAIRS_BUDGET = 2_000_000_000
+
+
 def cooccurrence_similarity(
     edges: DataFrame,
     group_col: str,
@@ -661,6 +670,7 @@ def cooccurrence_similarity(
     broadcast_degrees: bool = True,
     dense_items_threshold: int = 2048,
     n_items_hint: int | None = None,
+    max_pairs: int | None = EXACT_PAIRS_BUDGET,
 ) -> DataFrame:
     """Item-item similarity by group co-occurrence — the bipartite
     node-similarity primitive (co-purchase / co-citation analysis):
@@ -689,7 +699,24 @@ def cooccurrence_similarity(
     5.2 → 1.5 s on the trade entry, where the posting path counts
     12.5M pairs).  The hint is verified (a lying hint falls back), the
     posting path stays the default and the unbounded-cardinality
-    strategy."""
+    strategy.
+
+    SCALE POLICY (round 11, the one default plan with super-linear
+    growth): the posting path's pair stream is Σ_g C(d_g, 2) shuffled
+    rows — inherent to EXACT co-occurrence, 5.9× at the sf1 sweep and
+    unbounded at 100 TB.  Before enumerating, one cheap aggregate over
+    the (already pinned) posting table computes that sum exactly; if it
+    exceeds ``max_pairs`` (default ``EXACT_PAIRS_BUDGET``) the op
+    RAISES, naming the three escape routes: (a) the dense branch when
+    the item dimension is small (``n_items_hint``), (b) the
+    same-shape SAMPLED twin ``cooccurrence_similarity_sampled``
+    (unbiased estimates, auto-γ), (c) ``max_pairs=None`` to run the
+    exact quadratic plan deliberately.  Auto-switching is deliberately
+    NOT done — (b) changes semantics (estimates, not counts), and a
+    silent semantics change is worse than a loud budget error
+    (mirrors the traversal kernel's threshold-strategy pattern,
+    traversal.py:135, except thresholds there pick among
+    SAME-semantics strategies)."""
     from graphdb_for_drones_spark.operators.dedup import posting_pairs
 
     e = edges.select(
@@ -725,6 +752,23 @@ def cooccurrence_similarity(
         .agg(F.sort_array(F.collect_list("__i")).alias("ids"))
         .localCheckpoint()
     )
+    if max_pairs is not None:
+        # exact Σ_g C(d_g, 2) in one scan of the pinned posting table —
+        # the size of the stream we are about to shuffle
+        est_pairs = posting_all.select(
+            F.sum(
+                (F.size("ids").cast("long") * (F.size("ids") - 1)) / 2
+            ).cast("long")
+        ).first()[0]
+        if est_pairs is not None and est_pairs > max_pairs:
+            raise ValueError(
+                f"exact co-occurrence would shuffle {est_pairs:,} pair "
+                f"rows (> max_pairs={max_pairs:,}); at this scale use "
+                "cooccurrence_similarity_sampled (unbiased auto-γ "
+                "estimates), pass n_items_hint if the item dimension "
+                "is small (dense branch), or pass max_pairs=None to "
+                "run the exact quadratic plan deliberately"
+            )
     posting = posting_all.filter(F.size("ids") >= 2)
     common = (
         posting_pairs(posting, ["__g"])
@@ -767,12 +811,32 @@ def cooccurrence_similarity(
     )
 
 
+def auto_dimsum_gamma(n_items: int) -> float:
+    """Oversampling parameter sized to the ITEM dimension:
+    γ = 4·max(8, ⌈log₂ n_items⌉), i.e. floored at 32 (the sf0.1-tuned
+    accuracy anchor — corpora ≤ 256 items resolve to the old fixed
+    constant, so small-data behavior is unchanged).  The log₂ growth is
+    the DIMSUM paper's Ω(log n) oversampling factor: a pair's estimate
+    has relative variance ≤ 1/(γ·p·c)-ish, and holding a union bound
+    over the C(n,2) candidate estimates needs γ ∝ log n — a CONSTANT γ
+    knees exactly like the fixed 16-plane LSH geometry did (the
+    documented ann_near_pairs_fixed16 lesson, 34× at sf1).
+
+    Computed in INTEGER arithmetic — ⌈log₂ n⌉ = smallest w with
+    2^w ≥ n = ``(n-1).bit_length()`` — so the SQL oracle twin
+    reproduces γ from COUNT(*) exactly (the ``auto_band_width``
+    pattern, similarity.py:291)."""
+    if n_items <= 1:
+        return 32.0
+    return 4.0 * max(8, (n_items - 1).bit_length())
+
+
 def cooccurrence_similarity_sampled(
     edges: DataFrame,
     group_col: str,
     item_col: str,
     k: int = 20,
-    gamma: float = 32.0,
+    gamma: float | None = None,
     tag: str = "dimsum",
     broadcast_degrees: bool = True,
 ) -> DataFrame:
@@ -805,6 +869,13 @@ def cooccurrence_similarity_sampled(
     break the affine structure that would stripe consecutive ids, and
     the md5 seeds decorrelate it from key arithmetic.  γ ≥ √(max deg
     product) degrades to exact counting (p=1 everywhere).
+
+    ``gamma=None`` = AUTO (the default since round 11): one
+    column-pruned count of the ITEM dimension sizes γ via
+    ``auto_dimsum_gamma`` (4·max(8, ⌈log₂ n_items⌉)), so the
+    variance budget tracks the candidate-pair union bound instead of
+    kneeing on a constant; pass an explicit γ to pin it (the fixed32
+    oracle twin).
 
     ``broadcast_degrees`` mirrors the exact op's contract: the degree
     table is item-dimension-sized; pass False beyond ~10M items.
@@ -843,6 +914,10 @@ def cooccurrence_similarity_sampled(
         ).filter(F.col("__i").isNotNull())
     )
     deg = e.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    if gamma is None:
+        # one column-pruned count over the (pinned) distinct-item table;
+        # the oracle twin derives the SAME γ from COUNT(*) in SQL
+        gamma = auto_dimsum_gamma(deg.count())
     ed = e.join(
         F.broadcast(deg) if broadcast_degrees else deg, "__i"
     ).select(

@@ -76,12 +76,18 @@ _GATE_FIRST = [
     # Plans changed in r10 (renamed to the auto-geometry defaults):
     "ann_near_pairs",
     "embedding_dbscan_cores",
+    # Changed/new THIS round (r11): the DIMSUM default now derives
+    # auto-γ from the item-dimension count (plan change), with the
+    # pinned γ=32 A/B twin new beside it.
+    "supplier_shared_customers_sampled",
+    "supplier_shared_customers_sampled_fixed32",
     # ---- Stalest cohort fill (latest driver row = round 7) -------------
-    # Eight r7 rows defer to round 12 to make room (distinct_segments,
+    # Ten r7 rows defer to round 12 to make room (distinct_segments,
     # entity_counts, events_filter, priority_histogram,
     # event_props_extract, event_type_stats, event_user_distinct,
-    # latest_event_per_user) -- test_gate_rotation makes that deferral
-    # binding, not optional.
+    # latest_event_per_user, plus any swapped below for round-11-new
+    # entries) -- test_gate_rotation makes that deferral binding, not
+    # optional.
     "asof_signup_before_purchase",
     "cdc_apply_events",
     "contamination_check",
@@ -95,8 +101,6 @@ _GATE_FIRST = [
     "embedding_clusters",
     "embedding_dup_clusters",
     "event_hll_vs_exact",
-    "event_props_extract",
-    "event_type_stats",
     "event_user_distinct",
     "event_value_hist_quantiles",
     "event_value_percentiles",

@@ -337,7 +337,14 @@ def q_supplier_shared_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier pairs by shared-customer count with neighborhood jaccard —
     the co-purchase similarity primitive.  Pair enumeration rides the
     skew-adaptive posting-list path (map-side C(d,2) per customer,
-    streamed self-join for degenerate hot customers)."""
+    streamed self-join for degenerate hot customers).
+
+    Scale policy (round 11): below ``dense_items_threshold`` items the
+    hint routes through the dense branch (no pair stream); past it the
+    posting path's Σ C(d,2) stream is budget-guarded
+    (``EXACT_PAIRS_BUDGET`` — exceeding it raises and names the
+    same-shape sampled twin `supplier_shared_customers_sampled`), so
+    the exact plan can never silently go quadratic at 100 TB."""
     from graphdb_for_drones_spark.operators.graph_algorithms import (
         cooccurrence_similarity,
     )
@@ -388,7 +395,39 @@ ORDER BY n_common DESC, supp_a ASC, supp_b ASC LIMIT 20
 """
 
 
-_DIMSUM_GAMMA = 32.0
+_DIMSUM_GAMMA_FIXED = 32.0
+
+
+def _dimsum_edges(cat: Catalog) -> DataFrame:
+    return (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+
+
+def _q_dimsum(spark: SparkSession, sf_dir: str, gamma: float | None) -> DataFrame:
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        cooccurrence_similarity_sampled,
+    )
+
+    return cooccurrence_similarity_sampled(
+        _dimsum_edges(Catalog(spark, sf_dir)),
+        group_col="o_custkey",
+        item_col="l_suppkey",
+        k=20,
+        gamma=gamma,
+    ).select(
+        F.col("item_a").alias("supp_a"),
+        F.col("item_b").alias("supp_b"),
+        "deg_a",
+        "deg_b",
+        "est_common",
+    )
 
 
 def q_supplier_shared_customers_sampled(
@@ -403,37 +442,30 @@ def q_supplier_shared_customers_sampled(
     the bottleneck.  The coin and the weights are bit-reproducible in
     plain SQL (52-bit md5 uniform vs one correctly-rounded IEEE
     sqrt/divide), so the oracle checks the SAMPLED estimates exactly —
-    sampling without giving up the hash-exact driver gate."""
-    from graphdb_for_drones_spark.operators.graph_algorithms import (
-        cooccurrence_similarity_sampled,
-    )
+    sampling without giving up the hash-exact driver gate.
 
-    cat = Catalog(spark, sf_dir)
-    e = (
-        cat.orders.select("o_orderkey", "o_custkey")
-        .join(
-            cat.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    return cooccurrence_similarity_sampled(
-        e,
-        group_col="o_custkey",
-        item_col="l_suppkey",
-        k=20,
-        gamma=_DIMSUM_GAMMA,
-    ).select(
-        F.col("item_a").alias("supp_a"),
-        F.col("item_b").alias("supp_b"),
-        "deg_a",
-        "deg_b",
-        "est_common",
-    )
+    AUTO-γ (the default since round 11, VERDICT r10 task #3): γ =
+    4·max(8, ⌈log₂ n_items⌉) derived from one column-pruned count of
+    the supplier dimension (``auto_dimsum_gamma`` — integer bit_length,
+    the auto_band_width pattern), reproduced from COUNT(*) in the SQL
+    twin, so the gate row certifies the count → γ → coin → estimate
+    derivation end-to-end.  A constant γ knees like the fixed 16-plane
+    LSH geometry did; the pinned γ=32 plan lives on as the
+    ``_fixed32`` A/B twin."""
+    return _q_dimsum(spark, sf_dir, gamma=None)
 
 
-def _dimsum_oracle_sql(gamma: float = _DIMSUM_GAMMA) -> str:
+def q_supplier_shared_customers_sampled_fixed32(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pinned-γ twin of `supplier_shared_customers_sampled` (γ=32, the
+    r9-measured sf0.1 accuracy anchor) — kept as the A/B "before"
+    evidence for the auto-γ default, exactly like
+    `ann_near_pairs_fixed16` documents the LSH geometry knee."""
+    return _q_dimsum(spark, sf_dir, gamma=_DIMSUM_GAMMA_FIXED)
+
+
+def _dimsum_oracle_sql(gamma: float | None = None) -> str:
     # mirrors cooccurrence_similarity_sampled step for step: one md5
     # seed per group/item (the proven hex→int decode) and the SAME
     # Horner + two-squaring coin mod 2^31−1 — every intermediate
@@ -448,12 +480,24 @@ def _dimsum_oracle_sql(gamma: float = _DIMSUM_GAMMA) -> str:
             " << ((14 - i) * 4))) AS BIGINT) % 2147483648"
         )
 
+    # gamma=None -> derive γ from the item-dimension COUNT in SQL (the
+    # g CTE below), matching the engine's auto_dimsum_gamma exactly;
+    # a float pins it (the _fixed32 twin)
+    gamma_expr = "(SELECT gamma FROM g)" if gamma is None else repr(gamma)
     return f"""
 WITH e AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 d AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+g AS (
+  -- auto-γ = 4·max(8, ⌈log₂ n_items⌉): smallest w with 2^w >= COUNT(d)
+  -- in integer arithmetic (bit-for-bit auto_dimsum_gamma); for a
+  -- pinned γ this CTE is unused dead weight the planner drops
+  SELECT CAST(4 * GREATEST(8, MIN(CAST(w AS INT))) AS DOUBLE) AS gamma
+  FROM range(1, 40) t(w)
+  WHERE (CAST(1 AS BIGINT) << CAST(w AS INT)) >= (SELECT COUNT(*) FROM d)
+),
 seeds AS (
   SELECT c, s, deg,
          {seed31("CAST(c AS VARCHAR)")} AS gx,
@@ -478,12 +522,12 @@ coin AS (
 kept AS (
   SELECT * FROM coin
   WHERE h / 2147483647.0
-        < LEAST(1.0, {gamma!r} / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)))
+        < LEAST(1.0, {gamma_expr} / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)))
 ),
 est AS (
   SELECT s_a, s_b, da, db,
          ROUND(COUNT(*) * GREATEST(1.0,
-           sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)) / {gamma!r}), 9)
+           sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)) / {gamma_expr}), 9)
            AS est_common
   FROM kept GROUP BY s_a, s_b, da, db
 )
@@ -495,6 +539,9 @@ FROM est ORDER BY est_common DESC, supp_a ASC, supp_b ASC LIMIT 20
 
 
 ORACLE_SUPPLIER_SHARED_CUSTOMERS_SAMPLED = _dimsum_oracle_sql()
+ORACLE_SUPPLIER_SHARED_CUSTOMERS_SAMPLED_FIXED32 = _dimsum_oracle_sql(
+    _DIMSUM_GAMMA_FIXED
+)
 
 
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3327,6 +3374,7 @@ EXTRA_QUERIES = {
     "part_type_profit": q_part_type_profit,
     "supplier_shared_customers": q_supplier_shared_customers,
     "supplier_shared_customers_sampled": q_supplier_shared_customers_sampled,
+    "supplier_shared_customers_sampled_fixed32": q_supplier_shared_customers_sampled_fixed32,
     "orders_profile": q_orders_profile,
     "event_type_outliers": q_event_type_outliers,
     "events_hourly_gapfilled": q_events_hourly_gapfilled,
@@ -3391,6 +3439,7 @@ EXTRA_ORACLES = {
     "part_type_profit": ORACLE_PART_TYPE_PROFIT,
     "supplier_shared_customers": ORACLE_SUPPLIER_SHARED_CUSTOMERS,
     "supplier_shared_customers_sampled": ORACLE_SUPPLIER_SHARED_CUSTOMERS_SAMPLED,
+    "supplier_shared_customers_sampled_fixed32": ORACLE_SUPPLIER_SHARED_CUSTOMERS_SAMPLED_FIXED32,
     "orders_profile": ORACLE_ORDERS_PROFILE,
     "event_type_outliers": ORACLE_EVENT_TYPE_OUTLIERS,
     "events_hourly_gapfilled": ORACLE_EVENTS_HOURLY_GAPFILLED,

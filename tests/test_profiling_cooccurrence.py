@@ -252,3 +252,82 @@ def test_cooccurrence_sampled_null_group_matches_exact(spark):
     }
     assert exact[("a", "b")] == 3
     assert sampled[("a", "b")] == 3  # NULL group counted, not dropped
+
+
+def test_auto_dimsum_gamma_values():
+    """γ = 4·max(8, ⌈log₂ n⌉) in integer arithmetic — floored at 32
+    (the sf0.1 anchor: corpora <= 256 items keep the old constant) and
+    growing with the item-dimension union bound (VERDICT r10 task #3)."""
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        auto_dimsum_gamma,
+    )
+
+    assert auto_dimsum_gamma(0) == 32.0
+    assert auto_dimsum_gamma(1) == 32.0
+    assert auto_dimsum_gamma(100) == 32.0
+    assert auto_dimsum_gamma(256) == 32.0  # 2^8 exactly: still the floor
+    assert auto_dimsum_gamma(257) == 36.0  # first corpus past the floor
+    assert auto_dimsum_gamma(1000) == 40.0
+    assert auto_dimsum_gamma(10_000) == 56.0
+
+
+def test_cooccurrence_sampled_auto_gamma_matches_derived(spark):
+    """gamma=None must execute exactly the plan of the explicitly
+    derived γ — the auto path is a count + the same pipeline."""
+    import random
+
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        auto_dimsum_gamma,
+        cooccurrence_similarity_sampled,
+    )
+
+    rng = random.Random(17)
+    rows = list(
+        {
+            (f"g{rng.randrange(40)}", f"i{rng.randrange(9)}")
+            for _ in range(260)
+        }
+    )
+    e = spark.createDataFrame(rows, "g string, i string").localCheckpoint()
+    n_items = e.select("i").distinct().count()
+    auto = sorted(
+        tuple(r)
+        for r in cooccurrence_similarity_sampled(e, "g", "i", k=100).collect()
+    )
+    pinned = sorted(
+        tuple(r)
+        for r in cooccurrence_similarity_sampled(
+            e, "g", "i", k=100, gamma=auto_dimsum_gamma(n_items)
+        ).collect()
+    )
+    assert auto == pinned
+
+
+def test_exact_pairs_budget_guard(spark):
+    """The exact posting path must refuse a pair stream past
+    ``max_pairs`` with the escape routes named, keep working under the
+    budget, and run unguarded with max_pairs=None (VERDICT r10 #4)."""
+    import random
+
+    import pytest
+
+    from graphdb_for_drones_spark.operators.graph_algorithms import (
+        cooccurrence_similarity,
+    )
+
+    rng = random.Random(19)
+    rows = list(
+        {
+            (f"g{rng.randrange(6)}", f"i{rng.randrange(60)}")
+            for _ in range(300)
+        }
+    )
+    e = spark.createDataFrame(rows, "g string, i string").localCheckpoint()
+    with pytest.raises(ValueError, match="sampled"):
+        cooccurrence_similarity(e, "g", "i", k=10, max_pairs=100)
+    under = cooccurrence_similarity(e, "g", "i", k=10).collect()
+    forced = cooccurrence_similarity(
+        e, "g", "i", k=10, max_pairs=None
+    ).collect()
+    assert [tuple(r) for r in under] == [tuple(r) for r in forced]
+    assert len(under) == 10
