@@ -81,6 +81,10 @@ _GATE_FIRST = [
     # pinned γ=32 A/B twin new beside it.
     "supplier_shared_customers_sampled",
     "supplier_shared_customers_sampled_fixed32",
+    # New in r11: the streaming drift monitor's report path, gated
+    # against the batch entry's oracle SQL verbatim (stream==batch as
+    # a driver-checked fact).
+    "source_drift_stats_streamed",
     # ---- Stalest cohort fill (latest driver row = round 7) -------------
     # Ten r7 rows defer to round 12 to make room (distinct_segments,
     # entity_counts, events_filter, priority_histogram,
@@ -101,7 +105,6 @@ _GATE_FIRST = [
     "embedding_clusters",
     "embedding_dup_clusters",
     "event_hll_vs_exact",
-    "event_user_distinct",
     "event_value_hist_quantiles",
     "event_value_percentiles",
     "events_in_windows",

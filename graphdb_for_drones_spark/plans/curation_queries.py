@@ -1651,6 +1651,70 @@ def q_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_drift(cat.documents, "source", "lang", "src0")
 
 
+def q_source_drift_stats_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream==batch as an ORACLE-checked fact (VERDICT r10 task #7):
+    drains the documents table through the STREAMING drift monitor
+    (streaming/drift_monitor.start_drift_monitor — per-micro-batch
+    (source, bin) counts landing idempotently per batch_id, state
+    bounded at |sources| × 10 regardless of ingest volume) and returns
+    ``drift_report`` over the accumulated counts, which recomputes
+    TVD / smoothed chi-square / max-gap through the SAME math half as
+    the batch operator (``drift_from_bin_counts``).  Gated against the
+    IDENTICAL SQL oracle as the batch entry `source_drift_stats`, so
+    the monitor's counts-are-the-only-state construction is
+    driver-attested rather than pytest-only.
+
+    Mechanics: documents.parquet is staged behind a symlink dir
+    (FileStreamSource requires a directory), drained availableNow into
+    FRESH temp out/checkpoint dirs (the monitor truncates on a fresh
+    checkpoint — its lifecycle contract); the '__ref__' geometry row
+    is dropped from the report (the src0 stream row carries the same
+    counts by construction)."""
+    import os
+    import tempfile
+
+    from graphdb_for_drones_spark.streaming.drift_monitor import (
+        drift_report,
+        start_drift_monitor,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ref = cat.documents.filter(F.col("source") == "src0")
+    stage = tempfile.mkdtemp(prefix="drift_stream_src_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        os.path.join(stage, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(stage).schema
+        )
+        .parquet(stage)
+        .select("source", "n_chars")
+    )
+    work = tempfile.mkdtemp(prefix="drift_stream_mon_")
+    counts_dir = os.path.join(work, "counts")
+    query = start_drift_monitor(
+        stream,
+        ref,
+        out_dir=counts_dir,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        group_col="source",
+        value_col="n_chars",
+        n_bins=10,
+    )
+    query.awaitTermination()  # availableNow: terminates after the drain
+    return (
+        drift_report(spark, counts_dir)
+        .filter(F.col("g") != "__ref__")
+        .select(
+            F.col("g").alias("source"), "n_rows", "tvd", "chi2", "max_gap"
+        )
+    )
+
+
 ORACLE_SOURCE_LANG_DRIFT = r"""
 WITH ref_cats AS (
   SELECT cat, ROW_NUMBER() OVER (ORDER BY cat) - 1 AS idx
@@ -2026,6 +2090,7 @@ CURATION_QUERIES = {
     "source_vocab_stats": q_source_vocab_stats,
     "source_vocab_overlap": q_source_vocab_overlap,
     "source_drift_stats": q_source_drift_stats,
+    "source_drift_stats_streamed": q_source_drift_stats_streamed,
     "source_lang_drift": q_source_lang_drift,
     "mixture_resample_stats": q_mixture_resample_stats,
 }
@@ -2066,6 +2131,9 @@ CURATION_ORACLES = {
     "source_vocab_stats": ORACLE_SOURCE_VOCAB_STATS,
     "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,
     "source_drift_stats": ORACLE_SOURCE_DRIFT_STATS,
+    # the streamed twin shares the batch oracle VERBATIM: stream==batch
+    # is the checked contract, not a tolerance
+    "source_drift_stats_streamed": ORACLE_SOURCE_DRIFT_STATS,
     "source_lang_drift": ORACLE_SOURCE_LANG_DRIFT,
     "mixture_resample_stats": ORACLE_MIXTURE_RESAMPLE_STATS,
 }
