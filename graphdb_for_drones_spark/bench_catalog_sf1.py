@@ -183,9 +183,20 @@ def run(
         ],
     }
     # partial invocations (--only / one tier) get a sidecar name so a
-    # smoke run can never clobber the committed full-sweep artifact
+    # smoke run can never clobber the committed full-sweep artifact.
+    # Full sweeps land in a PER-ROUND file when SPARK_GRAFT_ROUND is
+    # set (bench_catalog_sf1_r{N}.json) so cross-round sweep history
+    # lives beside, not over, the previous round's artifact
+    # (VERDICT r10 #6); without the env var the legacy fixed name is
+    # kept for ad-hoc runs.
     full = only is None and tiers == ("sf0.1", "sf1")
-    path = RESULTS_PATH if full else RESULTS_PATH + ".partial"
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND")
+    if full and round_tag:
+        path = os.path.join(
+            _REPO_ROOT, f"bench_catalog_sf1_r{round_tag}.json"
+        )
+    else:
+        path = RESULTS_PATH if full else RESULTS_PATH + ".partial"
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps({"flagged": payload["flagged"]}), flush=True)
