@@ -285,3 +285,148 @@ def categorical_drift(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     return drift_from_bin_counts(counts, group_col, ref_group, n_cats + 1)
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_group: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic per slice against a
+    REFERENCE slice — the rank-based companion to the binned
+    ``distribution_drift``: D_g = sup_x |F_g(x) − F_ref(x)| with NO
+    binning loss, the classic "did the whole shape move" admission
+    test.  The sup over step functions is attained at a jump point of
+    either function, so evaluating both empirical CDFs at the union of
+    observed values is exact, not an approximation.
+
+    Deterministic/oracle-exact by construction: cumulative counts are
+    integers; each CDF value is ONE correctly-rounded IEEE division of
+    exact longs; |a − b| and max are exact — so DuckDB reproduces D to
+    the last bit (per-side division also never overflows, unlike the
+    cross-multiplied integer form whose n_g·n_ref product blows past
+    int64 at ~1e10 rows per side).
+
+    Plan shape at 100 TB: one (group, value) count shuffle with
+    map-side combine, the reference jump points replicated per group
+    via a BROADCAST of the |groups|-row dimension (group cardinality is
+    bounded, the drift-family contract; the big side stays
+    distributed), one full-outer join on (group, value), and one
+    group-partitioned window — state is (|groups| × |distinct values|)
+    rows, never row-count-sized.  Heavier than the (group × bins)
+    drift report, lighter than a sort of the raw rows.
+
+    Returns one row per group INCLUDING ``ref_group`` (its D is 0.0 —
+    the self-consistency row the drift family always carries):
+    (group_col, n_rows, ks)."""
+    from graphdb_for_drones_spark.operators._pin import pin
+
+    v = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    # one exchange: per-(group, value) counts feed the ref slice, the
+    # group dimension, and the join's left side (pin: 3 consumers)
+    gc = pin(
+        v.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    )
+    ref = gc.filter(F.col("g") == ref_group).select(
+        "x", F.col("cg").alias("cr")
+    )
+    groups = gc.select("g").distinct()
+    # |groups|-row broadcast against the distributed ref points: the
+    # grid every group's CDF must be evaluated on
+    ref_grid = ref.crossJoin(F.broadcast(groups)).select("g", "x", "cr")
+    allp = (
+        gc.join(ref_grid, ["g", "x"], "full_outer")
+        .select(
+            "g",
+            "x",
+            F.coalesce("cg", F.lit(0)).alias("cg"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    wcum = Window.partitionBy("g").orderBy("x")
+    wall = Window.partitionBy("g")
+    cum = allp.select(
+        "g",
+        F.sum("cg").over(wcum).alias("Cg"),
+        F.sum("cr").over(wcum).alias("Cr"),
+        F.sum("cg").over(wall).alias("n_g"),
+        F.sum("cr").over(wall).alias("n_r"),
+    )
+    # n_g >= 1 for every emitted group; n_r = 0 only when ref_group is
+    # absent — NULL the statistic instead of an ANSI division failure
+    d = F.when(
+        F.col("n_r") > 0,
+        F.abs(
+            F.col("Cg").cast("double") / F.col("n_g").cast("double")
+            - F.col("Cr").cast("double") / F.col("n_r").cast("double")
+        ),
+    )
+    return (
+        cum.select("g", "n_g", d.alias("d"))
+        .groupBy("g")
+        .agg(
+            F.max("n_g").cast("long").alias("n_rows"),
+            F.round(F.max("d"), 9).alias("ks"),
+        )
+        .select(F.col("g").alias(group_col), "n_rows", "ks")
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of a nonnegative integer feature per slice —
+    the corpus-concentration report ("is 1% of documents carrying 50%
+    of the bytes?") read next to the drift family before reweighting a
+    mixture.  Uses the rank form G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)
+    over ascending values: tie-safe (equal values make the coefficient
+    block-invariant under any tie order, so the row_number tiebreak
+    cannot change the sum) and transcendental-free.
+
+    Exactness: numerator/denominator accumulate as DECIMAL(38,0)
+    (order-independent integer sums; DuckDB's HUGEINT matches), the
+    ratio is one division after one cast each, rounded to 9dp — the
+    drift family's cross-engine contract.
+
+    Plan shape: one group-partitioned sort window (rank + the two
+    running totals ride the same exchange) and a |groups|-row final
+    aggregate.  Empty/zero-total slices return NULL instead of an ANSI
+    division failure.  Returns (group_col, n_rows, total, gini)."""
+    w = Window.partitionBy("g").orderBy("x", "rn_seed")
+    v = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+        F.monotonically_increasing_id().alias("rn_seed"),
+    ).filter(F.col("x").isNotNull())
+    ranked = v.select(
+        "g", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(
+            (
+                (F.lit(2) * F.col("i")).cast("decimal(38,0)")
+                * F.col("x").cast("decimal(38,0)")
+            )
+        ).alias("__sxi2"),
+    )
+    n = F.col("n_rows").cast("decimal(38,0)")
+    num = F.col("__sxi2") - (n + F.lit(1).cast("decimal(38,0)")) * F.col("__sx")
+    den = n * F.col("__sx")
+    gini = F.when(
+        F.col("__sx") > 0,
+        F.round(num.cast("double") / den.cast("double"), 9),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        F.col("__sx").cast("long").alias("total"),
+        gini.alias("gini"),
+    )

@@ -265,3 +265,62 @@ def resample_counts(
             F.coalesce(F.col("total"), F.lit(0.0)).alias("total")
         )
     return grid.join(counts, ["grp", "bucket_start"], "left").select(*out_cols)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    are cohorted by the period of their FIRST activity, and each
+    (cohort, offset) cell counts how many of them were active exactly
+    ``offset`` periods later, with ``retention`` = cell / cohort size.
+
+    Period ids are integer epoch-millis division (``unix_millis div
+    period_ms`` — exact, engine-neutral, the ``epoch_ms // N`` oracle
+    shape), so cohort boundaries are bit-identical across engines; the
+    one ratio is a single IEEE division of exact longs.
+
+    Plan shape at 100 TB: distinct (user, period) — one user-keyed
+    exchange; the per-user MIN cohort rides the SAME key (AQE reuses
+    the exchange); the join back is user-keyed (co-partitioned, no
+    extra shuffle class); the final (cohort, offset) aggregate is
+    cohort-cardinality-bounded.  The (user, period) distinct rows are
+    already unique per user — plain COUNT, never a COUNT DISTINCT
+    Expand.  Returns (cohort_period, period_offset, n_users,
+    cohort_size, retention)."""
+    period_ms = period_days * 86_400_000
+    uw = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.expr(
+                f"unix_millis(cast({ts_col} as timestamp)) div {period_ms}"
+            ).alias("w"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("w").isNotNull())
+        .distinct()
+    )
+    cohort = uw.groupBy("u").agg(F.min("w").alias("cw"))
+    cells = (
+        uw.join(cohort, "u")
+        .groupBy(
+            F.col("cw").alias("cohort_period"),
+            (F.col("w") - F.col("cw")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    w0 = Window.partitionBy("cohort_period")
+    size = F.max(
+        F.when(F.col("period_offset") == 0, F.col("n_users"))
+    ).over(w0)
+    return cells.select(
+        "cohort_period",
+        "period_offset",
+        "n_users",
+        size.alias("cohort_size"),
+        F.round(
+            F.col("n_users").cast("double") / size.cast("double"), 9
+        ).alias("retention"),
+    )

@@ -85,13 +85,18 @@ _GATE_FIRST = [
     # against the batch entry's oracle SQL verbatim (stream==batch as
     # a driver-checked fact).
     "source_drift_stats_streamed",
+    # New in r11: exact two-sample KS drift, weekly retention cohorts,
+    # Gini length concentration — never-gated entries lead.
+    "source_drift_ks",
+    "user_retention_cohorts",
+    "doc_length_gini",
     # ---- Stalest cohort fill (latest driver row = round 7) -------------
-    # Ten r7 rows defer to round 12 to make room (distinct_segments,
-    # entity_counts, events_filter, priority_histogram,
-    # event_props_extract, event_type_stats, event_user_distinct,
-    # latest_event_per_user, plus any swapped below for round-11-new
-    # entries) -- test_gate_rotation makes that deferral binding, not
-    # optional.
+    # Eleven r7 rows defer to round 12 to make room for the round-11
+    # additions (distinct_segments, entity_counts, events_filter,
+    # priority_histogram, event_props_extract, event_type_stats,
+    # event_user_distinct, latest_event_per_user, event_hll_vs_exact,
+    # doc_repetition + this comment's count is checked the hard way:
+    # test_gate_rotation makes the deferral binding, not optional).
     "asof_signup_before_purchase",
     "cdc_apply_events",
     "contamination_check",
@@ -101,10 +106,8 @@ _GATE_FIRST = [
     "dedup_clusters",
     "delegation_count_by_level",
     "doc_dedup_stats",
-    "doc_repetition",
     "embedding_clusters",
     "embedding_dup_clusters",
-    "event_hll_vs_exact",
     "event_value_hist_quantiles",
     "event_value_percentiles",
     "events_in_windows",
@@ -114,7 +117,6 @@ _GATE_FIRST = [
     "ivfpq_residual_topk",
     "ivfpq_topk",
     "lang_temperature_mixture",
-    "latest_event_per_user",
     "min_price_supplier",
     "nation_triangles",
     "order_price_percentiles",

@@ -1715,6 +1715,84 @@ def q_source_drift_stats_streamed(
     )
 
 
+def q_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov drift of document length per
+    source vs src0 (operators/stats.ks_drift) — the rank-based
+    companion to the binned `source_drift_stats`: sup-norm CDF distance
+    with no binning loss, every CDF value one IEEE division of exact
+    cumulative counts so the statistic is driver-hash-exact.  Plan: one
+    (source, n_chars) count shuffle, a |sources|-row broadcast grid,
+    one group-partitioned window."""
+    from graphdb_for_drones_spark.operators.stats import ks_drift
+
+    cat = Catalog(spark, sf_dir)
+    return ks_drift(cat.documents, "source", "n_chars", ref_group="src0")
+
+
+ORACLE_SOURCE_DRIFT_KS = r"""
+WITH v AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+  FROM documents WHERE n_chars IS NOT NULL
+),
+gc AS (SELECT g, x, COUNT(*) AS cg FROM v GROUP BY g, x),
+rc AS (SELECT x, cg AS cr FROM gc WHERE g = 'src0'),
+gs AS (SELECT DISTINCT g FROM gc),
+rp AS (SELECT gs.g, rc.x, rc.cr FROM gs CROSS JOIN rc),
+allp AS (
+  SELECT COALESCE(l.g, r.g) AS g, COALESCE(l.x, r.x) AS x,
+         COALESCE(l.cg, 0) AS cg, COALESCE(r.cr, 0) AS cr
+  FROM gc l FULL OUTER JOIN rp r ON l.g = r.g AND l.x = r.x
+),
+cum AS (
+  SELECT g,
+         SUM(cg) OVER (PARTITION BY g ORDER BY x) AS Cg,
+         SUM(cr) OVER (PARTITION BY g ORDER BY x) AS Cr,
+         SUM(cg) OVER (PARTITION BY g) AS n_g,
+         SUM(cr) OVER (PARTITION BY g) AS n_r
+  FROM allp
+)
+SELECT g AS source, CAST(MAX(n_g) AS BIGINT) AS n_rows,
+       ROUND(MAX(CASE WHEN n_r > 0 THEN
+         ABS(CAST(Cg AS DOUBLE) / CAST(n_g AS DOUBLE)
+             - CAST(Cr AS DOUBLE) / CAST(n_r AS DOUBLE)) END), 9) AS ks
+FROM cum GROUP BY g
+"""
+
+
+def q_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of document length per source
+    (operators/stats.gini_concentration): rank-form coefficient over
+    ascending n_chars — "is a sliver of documents carrying most of the
+    bytes" — with DECIMAL(38,0)-exact integer sums (tie-invariant
+    rank fold) and one final IEEE division rounded to 9dp.  One
+    group-partitioned sort window + a |sources|-row aggregate."""
+    from graphdb_for_drones_spark.operators.stats import gini_concentration
+
+    cat = Catalog(spark, sf_dir)
+    return gini_concentration(cat.documents, "source", "n_chars")
+
+
+ORACLE_DOC_LENGTH_GINI = r"""
+WITH v AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+  FROM documents WHERE n_chars IS NOT NULL
+),
+r AS (
+  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS i FROM v
+),
+a AS (
+  SELECT g, COUNT(*) AS n_rows, SUM(x) AS sx, SUM(2 * i * x) AS sxi2
+  FROM r GROUP BY g
+)
+SELECT g AS source, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sx AS BIGINT) AS total,
+       ROUND(CASE WHEN sx > 0 THEN
+         CAST(sxi2 - (n_rows + 1) * sx AS DOUBLE)
+         / CAST(n_rows * sx AS DOUBLE) END, 9) AS gini
+FROM a
+"""
+
+
 ORACLE_SOURCE_LANG_DRIFT = r"""
 WITH ref_cats AS (
   SELECT cat, ROW_NUMBER() OVER (ORDER BY cat) - 1 AS idx
@@ -2091,6 +2169,8 @@ CURATION_QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "source_drift_stats": q_source_drift_stats,
     "source_drift_stats_streamed": q_source_drift_stats_streamed,
+    "source_drift_ks": q_source_drift_ks,
+    "doc_length_gini": q_doc_length_gini,
     "source_lang_drift": q_source_lang_drift,
     "mixture_resample_stats": q_mixture_resample_stats,
 }
@@ -2134,6 +2214,8 @@ CURATION_ORACLES = {
     # the streamed twin shares the batch oracle VERBATIM: stream==batch
     # is the checked contract, not a tolerance
     "source_drift_stats_streamed": ORACLE_SOURCE_DRIFT_STATS,
+    "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
+    "doc_length_gini": ORACLE_DOC_LENGTH_GINI,
     "source_lang_drift": ORACLE_SOURCE_LANG_DRIFT,
     "mixture_resample_stats": ORACLE_MIXTURE_RESAMPLE_STATS,
 }

@@ -3366,6 +3366,47 @@ GROUP BY 1 ORDER BY 1
 # registry
 # --------------------------------------------------------------------- #
 
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events
+    (operators/temporal.retention_cohorts): users cohorted by first-
+    activity week (exact epoch-ms integer division), each
+    (cohort, offset) cell counts users active that many weeks later,
+    retention = cell / cohort size (one IEEE division of exact longs).
+    One user-keyed exchange + a cohort-cardinality-bounded aggregate —
+    the product-analytics matrix a training-data pipeline reads to
+    spot activity decay per ingestion cohort."""
+    from graphdb_for_drones_spark.operators.temporal import retention_cohorts
+
+    cat = Catalog(spark, sf_dir)
+    return retention_cohorts(cat.events, "user_id", "ts", period_days=7)
+
+
+ORACLE_USER_RETENTION_COHORTS = r"""
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, epoch_ms(ts) // 604800000 AS w
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+c AS (SELECT u, MIN(w) AS cw FROM uw GROUP BY u),
+k AS (
+  SELECT c.cw AS cohort_period, uw.w - c.cw AS period_offset,
+         COUNT(*) AS n_users
+  FROM uw JOIN c USING (u) GROUP BY 1, 2
+),
+m AS (
+  SELECT *, MAX(CASE WHEN period_offset = 0 THEN n_users END)
+              OVER (PARTITION BY cohort_period) AS cohort_size
+  FROM k
+)
+SELECT CAST(cohort_period AS BIGINT) AS cohort_period,
+       CAST(period_offset AS BIGINT) AS period_offset,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       ROUND(CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 9)
+         AS retention
+FROM m
+"""
+
+
 EXTRA_QUERIES = {
     "shipping_priority": q_shipping_priority,
     "region_volume": q_region_volume,
@@ -3428,6 +3469,7 @@ EXTRA_QUERIES = {
     "customer_fuzzy_pairs": q_customer_fuzzy_pairs,
     "customer_supplier_fuzzy_matches": q_customer_supplier_fuzzy_matches,
     "user_activity_islands": q_user_activity_islands,
+    "user_retention_cohorts": q_user_retention_cohorts,
 }
 
 EXTRA_ORACLES = {
@@ -3491,6 +3533,7 @@ EXTRA_ORACLES = {
     "customer_fuzzy_pairs": ORACLE_CUSTOMER_FUZZY_PAIRS,
     "customer_supplier_fuzzy_matches": ORACLE_CUSTOMER_SUPPLIER_FUZZY_MATCHES,
     "user_activity_islands": ORACLE_USER_ACTIVITY_ISLANDS,
+    "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
     # is approximate and its xxhash64 register family is engine-internal;
     # tests/test_sketches.py pins the 5% accuracy envelope vs exact

@@ -1,0 +1,122 @@
+"""Round-11 operator families: exact two-sample KS drift, cohort
+retention, Gini concentration — hand-computable fixtures plus the
+degenerate inputs the sf corpus never exercises (ANSI x/0 is a JOB
+failure, so empty/one-element/missing-reference slices must be probed
+explicitly)."""
+
+from pyspark.sql import functions as F
+
+from graphdb_for_drones_spark.operators.stats import (
+    gini_concentration,
+    ks_drift,
+)
+from graphdb_for_drones_spark.operators.temporal import retention_cohorts
+
+
+def test_ks_drift_hand_computed(spark):
+    # ref: {1, 2, 3, 4}; shifted: {3, 4, 5, 6} -> D = |F_s - F_r| peaks
+    # at x=2 (ref 0.5, shifted 0.0) and x=4 (ref 1.0, shifted 0.5): 0.5
+    rows = [("ref", v) for v in (1, 2, 3, 4)] + [
+        ("shift", v) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long").localCheckpoint()
+    got = {r.g: (r.n_rows, r.ks) for r in ks_drift(df, "g", "x", "ref").collect()}
+    assert got["ref"] == (4, 0.0)  # self-consistency row
+    assert got["shift"] == (4, 0.5)
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    rows = (
+        [("ref", v) for v in (10, 20, 30)]
+        + [("same", v) for v in (10, 20, 30)]
+        + [("far", v) for v in (100, 200)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long").localCheckpoint()
+    got = {r.g: r.ks for r in ks_drift(df, "g", "x", "ref").collect()}
+    assert got["same"] == 0.0
+    assert got["far"] == 1.0  # fully separated supports
+
+
+def test_ks_drift_missing_reference_is_null_not_crash(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "g string, x long"
+    ).localCheckpoint()
+    rows = ks_drift(df, "g", "x", "nope").collect()
+    assert [r.ks for r in rows] == [None]  # no ANSI div-by-zero job fail
+
+
+def test_retention_cohorts_hand_computed(spark):
+    # week length 604800000 ms; users u1/u2 start week 0, u1 returns
+    # week 1; u3 starts week 1
+    wk = 604_800_000
+    rows = [
+        (1, 10), (1, 20), (2, 30),           # week 0: u1, u2
+        (1, wk + 5), (3, wk + 6),            # week 1: u1 returns, u3 new
+    ]
+    df = spark.createDataFrame(
+        [(u, ms) for u, ms in rows], "user_id long, ms long"
+    ).select(
+        "user_id", F.timestamp_millis(F.col("ms")).alias("ts")
+    ).localCheckpoint()
+    got = {
+        (r.cohort_period, r.period_offset): (
+            r.n_users,
+            r.cohort_size,
+            r.retention,
+        )
+        for r in retention_cohorts(df, "user_id", "ts").collect()
+    }
+    assert got[(0, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (1, 2, 0.5)
+    assert got[(1, 0)] == (1, 1, 1.0)
+    assert len(got) == 3
+
+
+def test_retention_cohorts_null_users_dropped(spark):
+    df = spark.createDataFrame(
+        [(None, 1000), (5, 1000)], "user_id long, ms long"
+    ).select(
+        "user_id", F.timestamp_millis(F.col("ms")).alias("ts")
+    ).localCheckpoint()
+    rows = retention_cohorts(df, "user_id", "ts").collect()
+    assert len(rows) == 1 and rows[0].n_users == 1
+
+
+def test_gini_hand_computed(spark):
+    # perfectly equal slice -> 0; one-holder slice {0,0,0,9}:
+    # num = sum((2i-n-1)x) = (8-5)*9 = 27, den = 4*9 = 36 -> 0.75
+    rows = (
+        [("eq", 5), ("eq", 5), ("eq", 5), ("eq", 5)]
+        + [("one", 0), ("one", 0), ("one", 0), ("one", 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long").localCheckpoint()
+    got = {r.g: (r.n_rows, r.total, r.gini) for r in
+           gini_concentration(df, "g", "x").collect()}
+    assert got["eq"] == (4, 20, 0.0)
+    assert got["one"] == (4, 9, 0.75)
+
+
+def test_gini_zero_total_and_singleton(spark):
+    df = spark.createDataFrame(
+        [("z", 0), ("z", 0), ("s", 7)], "g string, x long"
+    ).localCheckpoint()
+    got = {r.g: r.gini for r in gini_concentration(df, "g", "x").collect()}
+    assert got["z"] is None  # zero mass: undefined, not a job failure
+    assert got["s"] == 0.0  # a singleton holds everything equally
+
+
+def test_gini_tie_order_invariance(spark):
+    """Duplicated values must yield the same coefficient regardless of
+    partitioning (the row_number tiebreak is provably block-invariant)."""
+    rows = [("g", v) for v in (3, 1, 3, 1, 3, 1)]
+    a = gini_concentration(
+        spark.createDataFrame(rows, "g string, x long").repartition(1),
+        "g",
+        "x",
+    ).collect()[0]
+    b = gini_concentration(
+        spark.createDataFrame(rows, "g string, x long").repartition(7),
+        "g",
+        "x",
+    ).collect()[0]
+    assert (a.n_rows, a.total, a.gini) == (b.n_rows, b.total, b.gini)
