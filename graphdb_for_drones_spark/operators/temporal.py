@@ -324,3 +324,75 @@ def retention_cohorts(
             F.col("n_users").cast("double") / size.cast("double"), 9
         ).alias("retention"),
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: tuple[str, ...],
+) -> DataFrame:
+    """Ordered funnel completion — for each prefix of ``steps``, how
+    many users performed those event types IN TIME ORDER (strictly
+    increasing timestamps; same-instant events do not chain, the
+    deterministic reading of "then").  The classic product-analytics
+    question ("view → click → purchase"), answered with the textbook
+    first-reach recurrence: t_k(u) = MIN ts of a step-k event with
+    ts > t_{k-1}(u) — each step is one user-keyed join + MIN aggregate,
+    so every shuffle rides the user key (co-partitioned chain, no
+    row blowup at 100 TB; K steps = K joins, K fixed and small).
+
+    The K step frames union into ONE lazy plan (no eager pins — the
+    bench thunks rule); branch k re-derives steps 1..k, an O(K²)-scan
+    trade that keeps plan construction free.  ``conversion`` is each
+    count over the step-0 count: exact longs, one IEEE division,
+    NULL when the funnel head is empty.  Returns (step_idx, step,
+    n_users, conversion)."""
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("s"),
+    ).filter(F.col("u").isNotNull() & F.col("t").isNotNull())
+
+    def reach(k: int) -> DataFrame:
+        cur = (
+            base.filter(F.col("s") == steps[0])
+            .groupBy("u")
+            .agg(F.min("t").alias("t"))
+        )
+        for s in steps[1 : k + 1]:
+            ev = base.filter(F.col("s") == s).select(
+                "u", F.col("t").alias("t2")
+            )
+            cur = (
+                ev.join(cur, "u")
+                .filter(F.col("t2") > F.col("t"))
+                .groupBy("u")
+                .agg(F.min("t2").alias("t"))
+            )
+        return cur
+
+    parts = [
+        reach(k).groupBy().agg(
+            F.lit(k).cast("long").alias("step_idx"),
+            F.lit(steps[k]).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        for k in range(len(steps))
+    ]
+    counts = parts[0]
+    for p in parts[1:]:
+        counts = counts.unionByName(p)
+    head = F.max(
+        F.when(F.col("step_idx") == 0, F.col("n_users"))
+    ).over(Window.partitionBy())
+    return counts.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            head > 0,
+            F.round(F.col("n_users").cast("double") / head.cast("double"), 9),
+        ).alias("conversion"),
+    )

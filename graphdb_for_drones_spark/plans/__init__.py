@@ -90,13 +90,14 @@ _GATE_FIRST = [
     "source_drift_ks",
     "user_retention_cohorts",
     "doc_length_gini",
+    "event_funnel",
     # ---- Stalest cohort fill (latest driver row = round 7) -------------
     # Eleven r7 rows defer to round 12 to make room for the round-11
     # additions (distinct_segments, entity_counts, events_filter,
     # priority_histogram, event_props_extract, event_type_stats,
     # event_user_distinct, latest_event_per_user, event_hll_vs_exact,
-    # doc_repetition + this comment's count is checked the hard way:
-    # test_gate_rotation makes the deferral binding, not optional).
+    # doc_repetition, doc_dedup_stats) -- test_gate_rotation makes the
+    # deferral binding, not optional.
     "asof_signup_before_purchase",
     "cdc_apply_events",
     "contamination_check",
@@ -105,7 +106,6 @@ _GATE_FIRST = [
     "dedup_cluster_keepers",
     "dedup_clusters",
     "delegation_count_by_level",
-    "doc_dedup_stats",
     "embedding_clusters",
     "embedding_dup_clusters",
     "event_value_hist_quantiles",

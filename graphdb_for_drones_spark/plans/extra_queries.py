@@ -3407,6 +3407,53 @@ FROM m
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel over events
+    (operators/temporal.funnel_counts): per funnel prefix, users who
+    performed the steps in strictly increasing time order (first-reach
+    recurrence, one user-keyed join + MIN per step — co-partitioned
+    chain, no row blowup), conversion = each count over the funnel
+    head as one IEEE division of exact longs."""
+    from graphdb_for_drones_spark.operators.temporal import funnel_counts
+
+    cat = Catalog(spark, sf_dir)
+    return funnel_counts(
+        cat.events, "user_id", "ts", "event_type",
+        ("view", "click", "purchase"),
+    )
+
+
+ORACLE_EVENT_FUNNEL = r"""
+WITH s0 AS (
+  SELECT user_id AS u, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+k AS (
+  SELECT 0 AS step_idx, 'view' AS step, COUNT(*) AS n FROM s0
+  UNION ALL SELECT 1, 'click', COUNT(*) FROM s1
+  UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s2
+)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n AS BIGINT) AS n_users,
+       CASE WHEN MAX(CASE WHEN step_idx = 0 THEN n END) OVER () > 0 THEN
+         ROUND(CAST(n AS DOUBLE)
+               / CAST(MAX(CASE WHEN step_idx = 0 THEN n END) OVER ()
+                      AS DOUBLE), 9) END AS conversion
+FROM k
+"""
+
+
 EXTRA_QUERIES = {
     "shipping_priority": q_shipping_priority,
     "region_volume": q_region_volume,
@@ -3450,6 +3497,7 @@ EXTRA_QUERIES = {
     "trade_temporal_reach": q_trade_temporal_reach,
     "user_funnel_counts": q_user_funnel_counts,
     "user_retention_cohorts": q_user_retention_cohorts,
+    "event_funnel": q_event_funnel,
     "ivf_topk": q_ivf_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
@@ -3470,6 +3518,7 @@ EXTRA_QUERIES = {
     "customer_supplier_fuzzy_matches": q_customer_supplier_fuzzy_matches,
     "user_activity_islands": q_user_activity_islands,
     "user_retention_cohorts": q_user_retention_cohorts,
+    "event_funnel": q_event_funnel,
 }
 
 EXTRA_ORACLES = {
@@ -3516,6 +3565,7 @@ EXTRA_ORACLES = {
     "trade_temporal_reach": ORACLE_TRADE_TEMPORAL_REACH,
     "user_funnel_counts": ORACLE_USER_FUNNEL_COUNTS,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "ivfpq_residual_topk": ORACLE_IVFPQ_RESIDUAL_TOPK,
@@ -3534,6 +3584,7 @@ EXTRA_ORACLES = {
     "customer_supplier_fuzzy_matches": ORACLE_CUSTOMER_SUPPLIER_FUZZY_MATCHES,
     "user_activity_islands": ORACLE_USER_ACTIVITY_ISLANDS,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
     # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
     # is approximate and its xxhash64 register family is engine-internal;
     # tests/test_sketches.py pins the 5% accuracy envelope vs exact

@@ -120,3 +120,61 @@ def test_gini_tie_order_invariance(spark):
         "x",
     ).collect()[0]
     assert (a.n_rows, a.total, a.gini) == (b.n_rows, b.total, b.gini)
+
+
+def _ts_df(spark, rows):
+    return (
+        spark.createDataFrame(rows, "user_id long, ms long, event_type string")
+        .select(
+            "user_id",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            "event_type",
+        )
+        .localCheckpoint()
+    )
+
+
+def test_funnel_hand_computed(spark):
+    from graphdb_for_drones_spark.operators.temporal import funnel_counts
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # u2 clicks BEFORE viewing: reaches step 0 only
+        (2, 200, "click"), (2, 300, "view"),
+        # u3 views and clicks, purchase is same-instant as click: no chain
+        (3, 100, "view"), (3, 200, "click"), (3, 200, "purchase"),
+        # u4 never views
+        (4, 100, "purchase"),
+    ]
+    got = {
+        r.step_idx: (r.step, r.n_users, r.conversion)
+        for r in funnel_counts(
+            _ts_df(spark, rows),
+            "user_id",
+            "ts",
+            "event_type",
+            ("view", "click", "purchase"),
+        ).collect()
+    }
+    assert got[0] == ("view", 3, 1.0)
+    assert got[1] == ("click", 2, round(2 / 3, 9))
+    assert got[2] == ("purchase", 1, round(1 / 3, 9))
+
+
+def test_funnel_empty_head_is_null_not_crash(spark):
+    from graphdb_for_drones_spark.operators.temporal import funnel_counts
+
+    rows = [(1, 100, "click")]
+    got = {
+        r.step_idx: (r.n_users, r.conversion)
+        for r in funnel_counts(
+            _ts_df(spark, rows),
+            "user_id",
+            "ts",
+            "event_type",
+            ("view", "click"),
+        ).collect()
+    }
+    assert got[0] == (0, None)
+    assert got[1] == (0, None)
