@@ -1682,15 +1682,23 @@ def q_source_drift_stats_streamed(
 
     cat = Catalog(spark, sf_dir)
     ref = cat.documents.filter(F.col("source") == "src0")
+    # stage the table behind symlinks: FileStreamSource requires a
+    # DIRECTORY of plain files, and documents.parquet may be either a
+    # single file (driver testdata) or a Spark-written dataset dir
+    # (whose top-level subdir a batch/stream listing will not recurse)
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     stage = tempfile.mkdtemp(prefix="drift_stream_src_")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
-        os.path.join(stage, "documents.parquet"),
-    )
+    if os.path.isdir(src):
+        for i, fname in enumerate(sorted(os.listdir(src))):
+            if fname.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, fname),
+                    os.path.join(stage, f"part_{i}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(stage, "documents.parquet"))
     stream = (
-        spark.readStream.schema(
-            spark.read.parquet(stage).schema
-        )
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .parquet(stage)
         .select("source", "n_chars")
     )
