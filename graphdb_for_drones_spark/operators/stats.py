@@ -430,3 +430,70 @@ def gini_concentration(
         F.col("__sx").cast("long").alias("total"),
         gini.alias("gini"),
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    ref_group,
+    dim: int,
+) -> DataFrame:
+    """EMBEDDING drift: cosine between each slice's mean vector and a
+    REFERENCE slice's mean vector — the semantic companion to the
+    scalar drift family ("did this crawl move in embedding space", read
+    before admitting a source into a mixture).
+
+    Exact/oracle-reproducible mean: per-(group, dim) sums accumulate as
+    DECIMAL(28,10) of the double-widened elements (order-independent —
+    the established cross-engine float-aggregate contract), one IEEE
+    division per dim for the mean, then the cosine folds over the
+    FIXED dim order (``F.aggregate`` left fold ≡ the twin's
+    ``list_reduce``), so every double is driver-hash-checkable.
+
+    Plan shape at 100 TB: posexplode fans each row ×dim, the
+    (group, dim) aggregate takes ONE exchange with map-side combine
+    (state = |groups|·dim cells), centroids assemble via
+    dim-bounded sort_array(collect_list) per group, and the reference
+    centroid binds as a broadcast scalar row.  NULL vectors are
+    dropped; zero-norm centroids yield NULL cosine instead of an ANSI
+    division failure.  Returns (group_col, n_vecs, centroid_cosine)."""
+    dec = "decimal(28,10)"
+    ex = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(F.col(vec_col)).alias("d", "v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .select(
+            "g", "d", F.col("v").cast("double").cast(dec).alias("v")
+        )
+    )
+    sums = ex.groupBy("g", "d").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cent = sums.groupBy("g").agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "s", "n"))),
+            lambda e: e["s"].cast("double") / e["n"].cast("double"),
+        ).alias("m"),
+    )
+    ref = cent.filter(F.col("g").eqNullSafe(F.lit(ref_group))).select(
+        F.col("m").alias("rm")
+    )
+    j = cent.crossJoin(F.broadcast(ref))
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold(F.zip_with("m", "rm", lambda a, b: a * b))
+    na = fold(F.zip_with("m", "m", lambda a, b: a * b))
+    nr = fold(F.zip_with("rm", "rm", lambda a, b: a * b))
+    cos = F.when(
+        (na > 0) & (nr > 0),
+        F.round(dot / (F.sqrt(na) * F.sqrt(nr)), 9),
+    )
+    return j.select(
+        F.col("g").alias(group_col), "n_vecs", cos.alias("centroid_cosine")
+    )

@@ -91,12 +91,15 @@ _GATE_FIRST = [
     "user_retention_cohorts",
     "doc_length_gini",
     "event_funnel",
+    "lang_id_kappa",
+    "label_centroid_drift",
     # ---- Stalest cohort fill (latest driver row = round 7) -------------
-    # Eleven r7 rows defer to round 12 to make room for the round-11
+    # Thirteen r7 rows defer to round 12 to make room for the round-11
     # additions (distinct_segments, entity_counts, events_filter,
     # priority_histogram, event_props_extract, event_type_stats,
     # event_user_distinct, latest_event_per_user, event_hll_vs_exact,
-    # doc_repetition, doc_dedup_stats) -- test_gate_rotation makes the
+    # doc_repetition, doc_dedup_stats, event_value_percentiles,
+    # order_price_percentiles) -- test_gate_rotation makes the
     # deferral binding, not optional.
     "asof_signup_before_purchase",
     "cdc_apply_events",
@@ -109,7 +112,6 @@ _GATE_FIRST = [
     "embedding_clusters",
     "embedding_dup_clusters",
     "event_value_hist_quantiles",
-    "event_value_percentiles",
     "events_in_windows",
     "events_tumbling_hourly",
     "flat_chain_count_recursive_sql",
@@ -119,7 +121,6 @@ _GATE_FIRST = [
     "lang_temperature_mixture",
     "min_price_supplier",
     "nation_triangles",
-    "order_price_percentiles",
     "pricing_summary",
     "supplier_shared_customers",
     "user_event_hash_chain",

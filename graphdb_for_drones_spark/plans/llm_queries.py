@@ -696,19 +696,90 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing the prediction map-side, one (lang, pred) count shuffle,
     share via an unbounded window over the true language (reuses the
     count exchange — the count-per-key window rule)."""
-    cat = Catalog(spark, sf_dir)
-    pred = cat.documents.select(
-        "lang", T.tokens(F.lower(F.col("text"))).alias("__tl")
-    ).select("lang", T.lang_id_from_tokens(F.col("__tl")).alias("pred_lang"))
-    counts = pred.groupBy("lang", "pred_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    counts = _lang_pred_counts(Catalog(spark, sf_dir))
     tot = F.sum("n_docs").over(Window.partitionBy("lang"))
     return counts.select(
         "lang",
         "pred_lang",
         "n_docs",
         F.round(F.col("n_docs") / tot, 9).alias("share"),
+    )
+
+
+def _lang_pred_counts(cat: Catalog) -> DataFrame:
+    """(true lang, predicted lang, doc count) — the shared half of the
+    confusion matrix and the kappa agreement entry: one scan computing
+    the prediction map-side, one (lang, pred) count shuffle."""
+    pred = cat.documents.select(
+        "lang", T.tokens(F.lower(F.col("text"))).alias("__tl")
+    ).select("lang", T.lang_id_from_tokens(F.col("__tl")).alias("pred_lang"))
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the marker-word lang-ID classifier against the
+    labeled ``lang`` column — chance-corrected agreement, the one-number
+    companion to `lang_id_confusion` (accuracy alone flatters a
+    classifier on a skewed language mix).  Shares that entry's
+    (lang, pred) count pipeline; everything after is
+    |langs|²-row arithmetic: κ = (diag·N − Σ_k row_k·col_k) /
+    (N² − Σ_k row_k·col_k), kept in exact DECIMAL(38,0) integer
+    products until ONE final double division (the n²-scale products
+    overflow int64 at ~1e10 docs, hence decimal), so the statistic is
+    driver-hash-exact.  Degenerate all-one-class corpora (pe = 1)
+    return NULL instead of an ANSI 0/0 failure.  Returns one row:
+    (n_docs, accuracy, expected_accuracy, kappa)."""
+    counts = _lang_pred_counts(Catalog(spark, sf_dir))
+    dec = "decimal(38,0)"
+    rows = counts.groupBy("lang").agg(F.sum("n_docs").alias("r"))
+    cols = counts.groupBy("pred_lang").agg(F.sum("n_docs").alias("c"))
+    pe = rows.join(
+        cols, rows["lang"] == cols["pred_lang"]
+    ).agg(
+        F.coalesce(
+            F.sum(F.col("r").cast(dec) * F.col("c").cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("pe_num")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("lang") == F.col("pred_lang"), F.col("n_docs"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("diag"),
+    )
+    j = tot.crossJoin(F.broadcast(pe))
+    n_d = F.col("n").cast(dec)
+    diag_d = F.col("diag").cast(dec)
+    denom = n_d * n_d - F.col("pe_num")
+    return j.select(
+        F.col("n").alias("n_docs"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("diag").cast("double") / F.col("n").cast("double"), 9
+            ),
+        ).alias("accuracy"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("pe_num").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")),
+                9,
+            ),
+        ).alias("expected_accuracy"),
+        F.when(
+            denom > 0,
+            F.round(
+                (diag_d * n_d - F.col("pe_num")).cast("double")
+                / denom.cast("double"),
+                9,
+            ),
+        ).alias("kappa"),
     )
 
 
@@ -745,6 +816,109 @@ SELECT lang, pred_lang, n_docs,
        ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE),
              9) AS share
 FROM c
+"""
+
+
+ORACLE_LANG_ID_KAPPA = r"""
+WITH toks AS (
+  SELECT lang,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+hits AS (
+  SELECT lang,
+    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS de,
+    len(list_filter(w, t -> t IN ('the','and','of','is','with'))) AS en,
+    len(list_filter(w, t -> t IN ('el','la','los','y','es'))) AS es,
+    len(list_filter(w, t -> t IN ('le','la','les','et','est'))) AS fr,
+    len(list_filter(w, t -> t IN ('的','是','了','在','我'))) AS zh
+  FROM toks
+),
+pred AS (
+  SELECT lang, CASE
+    WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 AND zh = 0 THEN 'und'
+    WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+    WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+    WHEN es >= fr AND es >= zh THEN 'es'
+    WHEN fr >= zh THEN 'fr'
+    ELSE 'zh' END AS pred_lang
+  FROM hits
+),
+c AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang, pred_lang
+),
+r AS (SELECT lang, SUM(n_docs) AS r FROM c GROUP BY lang),
+col AS (SELECT pred_lang, SUM(n_docs) AS cc FROM c GROUP BY pred_lang),
+pe AS (
+  SELECT COALESCE(SUM(r.r * col.cc), 0) AS pe_num
+  FROM r JOIN col ON r.lang = col.pred_lang
+),
+t AS (
+  SELECT SUM(n_docs) AS n,
+         COALESCE(SUM(CASE WHEN lang = pred_lang THEN n_docs END), 0) AS diag
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+  CASE WHEN n > 0 THEN
+    ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 9) END AS accuracy,
+  CASE WHEN n > 0 THEN
+    ROUND(CAST(pe_num AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) END
+    AS expected_accuracy,
+  CASE WHEN n * n - pe_num > 0 THEN
+    ROUND(CAST(diag * n - pe_num AS DOUBLE)
+          / CAST(n * n - pe_num AS DOUBLE), 9) END AS kappa
+FROM t, pe
+"""
+
+
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING drift per label vs label 0
+    (operators/stats.centroid_drift): cosine between each label's mean
+    vector and the reference label's mean vector — the semantic "did
+    this slice move in embedding space" report completing the drift
+    suite (numeric, categorical, KS, streamed, embedding).
+    DECIMAL(28,10)-exact per-dim sums through ONE (label, dim)
+    exchange with map-side combine, dim-ordered cosine folds, broadcast
+    reference bind."""
+    from graphdb_for_drones_spark.operators.stats import centroid_drift
+
+    cat = Catalog(spark, sf_dir)
+    return centroid_drift(
+        cat.embeddings, "label", "embedding", ref_group=0, dim=64
+    )
+
+
+ORACLE_LABEL_CENTROID_DRIFT = r"""
+WITH ex AS (
+  -- no WITH ORDINALITY in DuckDB: index the fixed 64 dims via range
+  SELECT label AS g, r.d AS d,
+         CAST(CAST(embedding[r.d + 1] AS DOUBLE) AS DECIMAL(28,10)) AS v
+  FROM embeddings CROSS JOIN range(64) r(d)
+  WHERE embedding IS NOT NULL AND embedding[r.d + 1] IS NOT NULL
+),
+s AS (SELECT g, d, SUM(v) AS s, COUNT(*) AS n FROM ex GROUP BY g, d),
+cent AS (
+  SELECT g, MAX(n) AS n_vecs,
+         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY d) AS m
+  FROM s GROUP BY g
+),
+ref AS (SELECT m AS rm FROM cent WHERE g IS NOT DISTINCT FROM 0),
+parts AS (
+  SELECT g, n_vecs,
+    list_reduce(list_prepend(0.0, list_transform(range(64),
+      i -> m[i+1] * rm[i+1])), (a, x) -> a + x) AS dot,
+    list_reduce(list_prepend(0.0, list_transform(range(64),
+      i -> m[i+1] * m[i+1])), (a, x) -> a + x) AS na,
+    list_reduce(list_prepend(0.0, list_transform(range(64),
+      i -> rm[i+1] * rm[i+1])), (a, x) -> a + x) AS nr
+  FROM cent, ref
+)
+SELECT g AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+  CASE WHEN na > 0 AND nr > 0 THEN
+    ROUND(dot / (sqrt(na) * sqrt(nr)), 9) END AS centroid_cosine
+FROM parts
 """
 
 
@@ -1786,6 +1960,8 @@ LLM_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_lang_id": q_doc_lang_id,
     "lang_id_confusion": q_lang_id_confusion,
+    "lang_id_kappa": q_lang_id_kappa,
+    "label_centroid_drift": q_label_centroid_drift,
     "embedding_topk": q_embedding_topk,
     "label_maxsim_topk": q_label_maxsim_topk,
     "pq_adc_topk": q_pq_adc_topk,
@@ -1818,6 +1994,8 @@ LLM_ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "doc_lang_id": ORACLE_DOC_LANG_ID,
     "lang_id_confusion": ORACLE_LANG_ID_CONFUSION,
+    "lang_id_kappa": ORACLE_LANG_ID_KAPPA,
+    "label_centroid_drift": ORACLE_LABEL_CENTROID_DRIFT,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "label_maxsim_topk": ORACLE_LABEL_MAXSIM_TOPK,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,

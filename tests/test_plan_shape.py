@@ -113,6 +113,10 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
         # streamed twin: same one-row reference bind in drift_report
         # (the monitor side runs availableNow during plan build)
         "source_drift_stats_streamed",
+        # one-row chance-agreement (pe) scalar bind
+        "lang_id_kappa",
+        # one-row reference-centroid bind (the drift-family shape)
+        "label_centroid_drift",
         # KS grid: |sources|-row group dimension broadcast against the
         # distributed reference jump points (group cardinality bounded,
         # the drift-family contract) — big side never replicated

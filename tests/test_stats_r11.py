@@ -178,3 +178,27 @@ def test_funnel_empty_head_is_null_not_crash(spark):
     }
     assert got[0] == (0, None)
     assert got[1] == (0, None)
+
+
+def test_centroid_drift_self_and_opposite(spark):
+    from graphdb_for_drones_spark.operators.stats import centroid_drift
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [-2.0, 0.0, 0.0, 0.0]),   # centroid exactly opposite ref
+        (2, [0.0, 3.0, 0.0, 0.0]),    # orthogonal
+        (3, None),                     # failed embedding job: dropped
+        (3, [0.0, 0.0, 0.0, 0.0]),    # zero-norm centroid -> NULL cosine
+    ]
+    df = spark.createDataFrame(
+        rows, "label long, embedding array<double>"
+    ).localCheckpoint()
+    got = {
+        r.label: (r.n_vecs, r.centroid_cosine)
+        for r in centroid_drift(df, "label", "embedding", 0, dim=4).collect()
+    }
+    assert got[0] == (2, 1.0)   # reference vs itself
+    assert got[1] == (1, -1.0)
+    assert got[2] == (1, 0.0)
+    assert got[3] == (1, None)  # zero norm: undefined, not a job failure
