@@ -93,13 +93,14 @@ _GATE_FIRST = [
     "event_funnel",
     "lang_id_kappa",
     "label_centroid_drift",
+    "source_drift_w1",
     # ---- Stalest cohort fill (latest driver row = round 7) -------------
-    # Thirteen r7 rows defer to round 12 to make room for the round-11
+    # Fourteen r7 rows defer to round 12 to make room for the round-11
     # additions (distinct_segments, entity_counts, events_filter,
     # priority_histogram, event_props_extract, event_type_stats,
     # event_user_distinct, latest_event_per_user, event_hll_vs_exact,
     # doc_repetition, doc_dedup_stats, event_value_percentiles,
-    # order_price_percentiles) -- test_gate_rotation makes the
+    # order_price_percentiles, nation_triangles) -- test_gate_rotation makes the
     # deferral binding, not optional.
     "asof_signup_before_purchase",
     "cdc_apply_events",
@@ -120,7 +121,6 @@ _GATE_FIRST = [
     "ivfpq_topk",
     "lang_temperature_mixture",
     "min_price_supplier",
-    "nation_triangles",
     "pricing_summary",
     "supplier_shared_customers",
     "user_event_hash_chain",

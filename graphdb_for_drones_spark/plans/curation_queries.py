@@ -1801,6 +1801,64 @@ FROM a
 """
 
 
+def q_source_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Wasserstein-1 (earth-mover) drift of document length per
+    source vs src0 (operators/stats.wasserstein_drift): the integral
+    companion to `source_drift_ks` — Σ |F_g − F_ref|·Δx over the
+    pooled jump points, in characters ("how far does length mass have
+    to move"), integer DECIMAL(38,0) segment terms until one final
+    division so the value is driver-hash-exact.  Same plan shape as
+    the KS entry plus a lead window on the shared sort."""
+    from graphdb_for_drones_spark.operators.stats import wasserstein_drift
+
+    cat = Catalog(spark, sf_dir)
+    return wasserstein_drift(
+        cat.documents, "source", "n_chars", ref_group="src0"
+    )
+
+
+ORACLE_SOURCE_DRIFT_W1 = r"""
+WITH v AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+  FROM documents WHERE n_chars IS NOT NULL
+),
+gc AS (SELECT g, x, COUNT(*) AS cg FROM v GROUP BY g, x),
+rc AS (SELECT x, cg AS cr FROM gc WHERE g = 'src0'),
+gs AS (SELECT DISTINCT g FROM gc),
+rp AS (SELECT gs.g, rc.x, rc.cr FROM gs CROSS JOIN rc),
+allp AS (
+  SELECT COALESCE(l.g, r.g) AS g, COALESCE(l.x, r.x) AS x,
+         COALESCE(l.cg, 0) AS cg, COALESCE(r.cr, 0) AS cr
+  FROM gc l FULL OUTER JOIN rp r ON l.g = r.g AND l.x = r.x
+),
+cum AS (
+  SELECT g, x,
+         SUM(cg) OVER (PARTITION BY g ORDER BY x) AS Cg,
+         SUM(cr) OVER (PARTITION BY g ORDER BY x) AS Cr,
+         SUM(cg) OVER (PARTITION BY g) AS n_g,
+         SUM(cr) OVER (PARTITION BY g) AS n_r
+  FROM allp
+),
+seg AS (
+  SELECT g, n_g, n_r,
+         ABS(CAST(Cg AS HUGEINT) * n_r - CAST(Cr AS HUGEINT) * n_g)
+           * CAST(LEAD(x) OVER (PARTITION BY g ORDER BY x) - x AS HUGEINT)
+           AS term
+  FROM cum
+),
+a AS (
+  SELECT g, MAX(n_g) AS n_g, MAX(n_r) AS n_r,
+         COALESCE(SUM(term), 0) AS num
+  FROM seg GROUP BY g
+)
+SELECT g AS source, CAST(n_g AS BIGINT) AS n_rows,
+  CASE WHEN n_r > 0 THEN
+    ROUND(CAST(num AS DOUBLE)
+          / (CAST(n_g AS DOUBLE) * CAST(n_r AS DOUBLE)), 9) END AS w1
+FROM a
+"""
+
+
 ORACLE_SOURCE_LANG_DRIFT = r"""
 WITH ref_cats AS (
   SELECT cat, ROW_NUMBER() OVER (ORDER BY cat) - 1 AS idx
@@ -2178,6 +2236,7 @@ CURATION_QUERIES = {
     "source_drift_stats": q_source_drift_stats,
     "source_drift_stats_streamed": q_source_drift_stats_streamed,
     "source_drift_ks": q_source_drift_ks,
+    "source_drift_w1": q_source_drift_w1,
     "doc_length_gini": q_doc_length_gini,
     "source_lang_drift": q_source_lang_drift,
     "mixture_resample_stats": q_mixture_resample_stats,
@@ -2223,6 +2282,7 @@ CURATION_ORACLES = {
     # is the checked contract, not a tolerance
     "source_drift_stats_streamed": ORACLE_SOURCE_DRIFT_STATS,
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
+    "source_drift_w1": ORACLE_SOURCE_DRIFT_W1,
     "doc_length_gini": ORACLE_DOC_LENGTH_GINI,
     "source_lang_drift": ORACLE_SOURCE_LANG_DRIFT,
     "mixture_resample_stats": ORACLE_MIXTURE_RESAMPLE_STATS,

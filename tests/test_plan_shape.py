@@ -121,6 +121,7 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
         # distributed reference jump points (group cardinality bounded,
         # the drift-family contract) — big side never replicated
         "source_drift_ks",
+        "source_drift_w1",  # same shared grid
         "source_lang_drift",  # one-row reference category-mix bind
     }
     sf = "/root/testdata/sf0.001"

@@ -202,3 +202,44 @@ def test_centroid_drift_self_and_opposite(spark):
     assert got[1] == (1, -1.0)
     assert got[2] == (1, 0.0)
     assert got[3] == (1, None)  # zero norm: undefined, not a job failure
+
+
+def test_wasserstein_hand_computed(spark):
+    from graphdb_for_drones_spark.operators.stats import wasserstein_drift
+
+    # ref {0, 10}; shifted {5, 15}: W1 between two 2-point CDFs shifted
+    # by +5 is exactly 5.0; "same" distribution reads 0.0
+    rows = (
+        [("ref", 0), ("ref", 10)]
+        + [("shift", 5), ("shift", 15)]
+        + [("same", 0), ("same", 10)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long").localCheckpoint()
+    got = {
+        r.g: (r.n_rows, r.w1)
+        for r in wasserstein_drift(df, "g", "x", "ref").collect()
+    }
+    assert got["ref"] == (2, 0.0)
+    assert got["same"] == (2, 0.0)
+    assert got["shift"] == (2, 5.0)
+
+
+def test_wasserstein_missing_reference_is_null(spark):
+    from graphdb_for_drones_spark.operators.stats import wasserstein_drift
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 9)], "g string, x long"
+    ).localCheckpoint()
+    rows = wasserstein_drift(df, "g", "x", "nope").collect()
+    assert [r.w1 for r in rows] == [None]
+
+
+def test_ks_and_w1_ride_the_same_grid(spark):
+    """Refactor guard: ks_drift must be unchanged by the _cdf_grid
+    extraction (same hand-computed values as before)."""
+    rows = [("ref", v) for v in (1, 2, 3, 4)] + [
+        ("shift", v) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long").localCheckpoint()
+    got = {r.g: r.ks for r in ks_drift(df, "g", "x", "ref").collect()}
+    assert got == {"ref": 0.0, "shift": 0.5}
