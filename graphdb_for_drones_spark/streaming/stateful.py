@@ -151,3 +151,66 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user", LongType()),
+        StructField("stage", LongType()),
+        StructField("t_stage", LongType()),
+    ]
+)
+FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("stage", LongType()), StructField("t", LongType())]
+)
+
+
+def streaming_funnel(grouped, steps: tuple[str, ...]):
+    """Streaming ordered-funnel tracker — the stateful twin of
+    ``temporal.funnel_counts``: per user, the state is only the
+    FRONTIER (completed prefix length, timestamp of its last step); a
+    ts-ascending scan that advances on the first next-step event with
+    ``ms > t`` reproduces the batch first-reach recurrence exactly
+    (ascending order makes the first match the MIN, one event advances
+    at most one stage).  Emits (user, stage, t_stage) whenever a user's
+    frontier advances (update semantics) — the funnel report is a
+    latest-wins count of ``stage >= k`` over the sink.
+
+    Contract (every frontier state machine has it): equals the batch
+    funnel when each user's event time is NON-DECREASING across
+    micro-batches (the ordered-ingest / availableNow file contract).
+    Only the frontier is stored, so an event that could have chained
+    off a DISCARDED future event (late cross-batch reordering) cannot
+    be recovered — by design: per-user state is 2 longs, never an
+    event buffer, the 100 TB property.  Within one micro-batch arrival
+    order is irrelevant (rows sort by ms before the scan).
+
+    Input rows per group: (user long, ms long, step string)."""
+    n_steps = len(steps)
+
+    def fn(key, pdf_iter, state: GroupState):
+        stage, t = state.get if state.exists else (0, None)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        changed = False
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ms", kind="mergesort")
+            for ms, s in zip(pdf["ms"], pdf["step"]):
+                if stage >= n_steps:
+                    break
+                if s == steps[stage] and (stage == 0 or int(ms) > t):
+                    stage += 1
+                    t = int(ms)
+                    changed = True
+        if changed:
+            state.update((stage, t))
+            yield pd.DataFrame(
+                {"user": [key[0]], "stage": [stage], "t_stage": [t]}
+            )
+
+    return grouped.applyInPandasWithState(
+        fn,
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

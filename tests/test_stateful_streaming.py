@@ -173,3 +173,102 @@ def test_running_counts_unordered_chunks(spark, tmp_path):
         assert final["a"] == (4, 50)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+FUNNEL_IN_SCHEMA = StructType(
+    [
+        StructField("user", LongType()),
+        StructField("ms", LongType()),
+        StructField("step", StringType()),
+    ]
+)
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_drain(spark, tmp_path, batches):
+    from graphdb_for_drones_spark.streaming.stateful import streaming_funnel
+
+    sdir = _write_batches(tmp_path, batches)
+    stream = (
+        spark.readStream.schema(FUNNEL_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(sdir))
+    )
+    rows = _drain(
+        streaming_funnel(stream.groupBy("user"), FUNNEL_STEPS),
+        tmp_path,
+        "update",
+    )
+    latest = {}
+    for r in rows:  # memory sink keeps every update: latest t_stage wins
+        cur = latest.get(r.user)
+        if cur is None or r.stage > cur[0]:
+            latest[r.user] = (r.stage, r.t_stage)
+    return latest
+
+
+@pytest.mark.slow
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """In-order ingest: the streaming frontier must reproduce the batch
+    first-reach recurrence — including cross-batch chains and the
+    strict same-instant exclusion — and the stage>=k counts must match
+    temporal.funnel_counts on the union of all batches."""
+    batches = [
+        # batch 0: u1 views; u2 clicks before ever viewing; u3 views
+        [
+            {"user": 1, "ms": 100, "step": "view"},
+            {"user": 2, "ms": 100, "step": "click"},
+            {"user": 3, "ms": 100, "step": "view"},
+        ],
+        # batch 1: u1 clicks; u2 views; u3 click+purchase SAME instant
+        [
+            {"user": 1, "ms": 200, "step": "click"},
+            {"user": 2, "ms": 200, "step": "view"},
+            {"user": 3, "ms": 200, "step": "click"},
+            {"user": 3, "ms": 200, "step": "purchase"},
+        ],
+        # batch 2: u1 purchases (completes across three batches)
+        [{"user": 1, "ms": 300, "step": "purchase"}],
+    ]
+    latest = _funnel_drain(spark, tmp_path, batches)
+    assert latest[1] == (3, 300)  # full funnel across batches
+    assert latest[2] == (1, 200)  # early click can't count
+    assert latest[3] == (2, 200)  # same-instant purchase doesn't chain
+
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.temporal import funnel_counts
+
+    union = spark.createDataFrame(
+        [(r["user"], r["ms"], r["step"]) for b in batches for r in b],
+        FUNNEL_IN_SCHEMA,
+    ).select(
+        "user", F.timestamp_millis(F.col("ms")).alias("ts"), "step"
+    ).localCheckpoint()
+    batch_counts = {
+        r.step_idx: r.n_users
+        for r in funnel_counts(
+            union, "user", "ts", "step", FUNNEL_STEPS
+        ).collect()
+    }
+    stream_counts = {
+        k: sum(1 for s, _ in latest.values() if s >= k + 1)
+        for k in range(len(FUNNEL_STEPS))
+    }
+    assert stream_counts == batch_counts
+
+
+@pytest.mark.slow
+def test_streaming_funnel_state_is_frontier_only(spark, tmp_path):
+    """The documented degradation: a future-step event DISCARDED at a
+    lower stage is not recoverable after a cross-batch time reorder —
+    the price of 2-longs-per-user state (no event buffer)."""
+    batches = [
+        [{"user": 7, "ms": 100, "step": "view"}],
+        # purchase arrives BEFORE the click that would enable it
+        [{"user": 7, "ms": 300, "step": "purchase"}],
+        [{"user": 7, "ms": 200, "step": "click"}],  # late, out of order
+    ]
+    latest = _funnel_drain(spark, tmp_path, batches)
+    assert latest[7] == (2, 200)  # batch over the union would say 3
