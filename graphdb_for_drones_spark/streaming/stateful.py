@@ -214,3 +214,73 @@ def streaming_funnel(grouped, steps: tuple[str, ...]):
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+RETENTION_OUT_SCHEMA = StructType(
+    [
+        StructField("cohort_period", LongType()),
+        StructField("period_offset", LongType()),
+        StructField("user", LongType()),
+    ]
+)
+RETENTION_STATE_SCHEMA = StructType(
+    [StructField("cohort", LongType()), StructField("emitted", LongType())]
+)
+
+
+def streaming_retention(grouped, period_ms: int, horizon: int = 64):
+    """Streaming cohort-retention tracker — the stateful twin of
+    ``temporal.retention_cohorts``: per user the state is (cohort
+    period, emitted-offset BITMASK) — exactly 2 longs, which is why
+    ``horizon`` is capped at 64 periods (~15 months of weekly cohorts;
+    offsets past the horizon are dropped, the documented window).
+    Each (user, offset) pair is emitted EXACTLY ONCE across all
+    micro-batches (append semantics, the ``streaming_first_seen``
+    shape), so the retention matrix is a plain COUNT over the sink
+    grouped by (cohort_period, period_offset) — no latest-wins
+    reconciliation needed.
+
+    Contract: equals the batch matrix when each user's FIRST-period
+    activity arrives before later periods (ordered ingest — the cohort
+    is pinned by the first batch that touches the user; an
+    earlier-period event arriving later cannot re-cohort, by design:
+    no event history is stored).
+
+    Input rows per group: (user long, ms long)."""
+    if not 1 <= horizon <= 64:
+        raise ValueError("horizon must be in [1, 64] (one-long bitmask)")
+
+    def fn(key, pdf_iter, state: GroupState):
+        cohort, emitted = state.get if state.exists else (None, 0)
+        periods = set()
+        for pdf in pdf_iter:
+            if len(pdf):
+                periods.update(int(v) // period_ms for v in pdf["ms"])
+        if not periods:
+            return
+        if cohort is None:
+            cohort = min(periods)
+        new_offsets = sorted(
+            off
+            for off in ((p - cohort) for p in periods)
+            if 0 <= off < horizon and not (emitted >> off) & 1
+        )
+        for off in new_offsets:
+            emitted |= 1 << off
+        state.update((cohort, emitted))
+        if new_offsets:
+            yield pd.DataFrame(
+                {
+                    "cohort_period": [cohort] * len(new_offsets),
+                    "period_offset": new_offsets,
+                    "user": [key[0]] * len(new_offsets),
+                }
+            )
+
+    return grouped.applyInPandasWithState(
+        fn,
+        RETENTION_OUT_SCHEMA,
+        RETENTION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

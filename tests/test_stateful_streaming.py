@@ -272,3 +272,89 @@ def test_streaming_funnel_state_is_frontier_only(spark, tmp_path):
     ]
     latest = _funnel_drain(spark, tmp_path, batches)
     assert latest[7] == (2, 200)  # batch over the union would say 3
+
+
+RETENTION_IN_SCHEMA = StructType(
+    [StructField("user", LongType()), StructField("ms", LongType())]
+)
+
+WK = 604_800_000
+
+
+@pytest.mark.slow
+def test_streaming_retention_equals_batch(spark, tmp_path):
+    """Ordered ingest: the (cohort, offset) matrix counted over the
+    append sink must equal temporal.retention_cohorts on the union —
+    each (user, offset) emitted exactly once across batches."""
+    from graphdb_for_drones_spark.streaming.stateful import (
+        streaming_retention,
+    )
+
+    batches = [
+        # week 0: u1, u2 start
+        [{"user": 1, "ms": 10}, {"user": 2, "ms": 30}],
+        # week 1: u1 returns (twice: second event must NOT re-emit), u3 new
+        [
+            {"user": 1, "ms": WK + 5},
+            {"user": 1, "ms": WK + 6},
+            {"user": 3, "ms": WK + 7},
+        ],
+        # week 2: u1 returns again, u2 returns after skipping week 1
+        [{"user": 1, "ms": 2 * WK + 1}, {"user": 2, "ms": 2 * WK + 2}],
+    ]
+    sdir = _write_batches(tmp_path, batches)
+    stream = (
+        spark.readStream.schema(RETENTION_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(sdir))
+    )
+    rows = _drain(
+        streaming_retention(stream.groupBy("user"), WK), tmp_path, "append"
+    )
+    assert len(rows) == len({(r.user, r.period_offset) for r in rows})
+    stream_counts = {}
+    for r in rows:
+        k = (r.cohort_period, r.period_offset)
+        stream_counts[k] = stream_counts.get(k, 0) + 1
+
+    from pyspark.sql import functions as F
+
+    from graphdb_for_drones_spark.operators.temporal import retention_cohorts
+
+    union = spark.createDataFrame(
+        [(r["user"], r["ms"]) for b in batches for r in b],
+        RETENTION_IN_SCHEMA,
+    ).select(
+        "user", F.timestamp_millis(F.col("ms")).alias("ts")
+    ).localCheckpoint()
+    batch_counts = {
+        (r.cohort_period, r.period_offset): r.n_users
+        for r in retention_cohorts(union, "user", "ts").collect()
+    }
+    assert stream_counts == batch_counts
+    assert stream_counts[(0, 0)] == 2 and stream_counts[(0, 2)] == 2
+
+
+@pytest.mark.slow
+def test_streaming_retention_cohort_is_pinned_by_first_batch(spark, tmp_path):
+    """The documented degradation: an earlier-period event arriving
+    after the cohort was pinned cannot re-cohort the user (2-long
+    state, no event history)."""
+    from graphdb_for_drones_spark.streaming.stateful import (
+        streaming_retention,
+    )
+
+    batches = [
+        [{"user": 9, "ms": WK + 1}],  # first seen in week 1
+        [{"user": 9, "ms": 5}],       # late week-0 event: batch would re-cohort
+    ]
+    sdir = _write_batches(tmp_path, batches)
+    stream = (
+        spark.readStream.schema(RETENTION_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(sdir))
+    )
+    rows = _drain(
+        streaming_retention(stream.groupBy("user"), WK), tmp_path, "append"
+    )
+    assert {(r.cohort_period, r.period_offset) for r in rows} == {(1, 0)}
