@@ -396,3 +396,57 @@ def funnel_counts(
             F.round(F.col("n_users").cast("double") / head.cast("double"), 9),
         ).alias("conversion"),
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: tuple[str, ...],
+) -> DataFrame:
+    """Time-to-convert for funnel COMPLETERS: the same first-reach
+    recurrence as ``funnel_counts``, carrying the head timestamp
+    through the chain, then one global aggregate over
+    latency = t_K − t_1 in epoch milliseconds (exact long
+    subtraction; the mean sums as DECIMAL(38,0) before ONE double
+    division, so the report is driver-hash-exact).  Same co-partitioned
+    user-keyed plan shape as the counts entry.  Returns one row:
+    (n_completers, avg_latency_ms, min_latency_ms, max_latency_ms) —
+    NULL stats on an empty completer set instead of an ANSI failure."""
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("s"),
+    ).filter(F.col("u").isNotNull() & F.col("t").isNotNull())
+    cur = (
+        base.filter(F.col("s") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t0"))
+        .withColumn("t", F.col("t0"))
+    )
+    for s in steps[1:]:
+        ev = base.filter(F.col("s") == s).select("u", F.col("t").alias("t2"))
+        cur = (
+            ev.join(cur, "u")
+            .filter(F.col("t2") > F.col("t"))
+            .groupBy("u", "t0")
+            .agg(F.min("t2").alias("t"))
+        )
+    lat = cur.select(
+        (F.unix_millis("t") - F.unix_millis("t0")).alias("ms")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    return lat.groupBy().agg(
+        n.alias("n_completers"),
+        F.when(
+            n > 0,
+            F.round(
+                F.sum(F.col("ms").cast("decimal(38,0)")).cast("double")
+                / n.cast("double"),
+                9,
+            ),
+        ).alias("avg_latency_ms"),
+        F.min("ms").alias("min_latency_ms"),
+        F.max("ms").alias("max_latency_ms"),
+    )

@@ -94,13 +94,15 @@ _GATE_FIRST = [
     "lang_id_kappa",
     "label_centroid_drift",
     "source_drift_w1",
+    "event_funnel_latency",
     # ---- Stalest cohort fill (latest driver row = round 7) -------------
-    # Fourteen r7 rows defer to round 12 to make room for the round-11
+    # Fifteen r7 rows defer to round 12 to make room for the round-11
     # additions (distinct_segments, entity_counts, events_filter,
     # priority_histogram, event_props_extract, event_type_stats,
     # event_user_distinct, latest_event_per_user, event_hll_vs_exact,
     # doc_repetition, doc_dedup_stats, event_value_percentiles,
-    # order_price_percentiles, nation_triangles) -- test_gate_rotation makes the
+    # order_price_percentiles, nation_triangles,
+    # lang_temperature_mixture) -- test_gate_rotation makes the
     # deferral binding, not optional.
     "asof_signup_before_purchase",
     "cdc_apply_events",
@@ -119,7 +121,6 @@ _GATE_FIRST = [
     "ivf_topk",
     "ivfpq_residual_topk",
     "ivfpq_topk",
-    "lang_temperature_mixture",
     "min_price_supplier",
     "pricing_summary",
     "supplier_shared_customers",

@@ -3454,6 +3454,48 @@ FROM k
 """
 
 
+def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for view -> click -> purchase completers
+    (operators/temporal.funnel_latency): epoch-ms latency from funnel
+    head to last step, mean as DECIMAL(38,0)-exact sum over one
+    division — the "how long does conversion take" report beside the
+    funnel counts."""
+    from graphdb_for_drones_spark.operators.temporal import funnel_latency
+
+    cat = Catalog(spark, sf_dir)
+    return funnel_latency(
+        cat.events, "user_id", "ts", "event_type",
+        ("view", "click", "purchase"),
+    )
+
+
+ORACLE_EVENT_FUNNEL_LATENCY = r"""
+WITH s0 AS (
+  SELECT user_id AS u, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id AS u, s0.t0, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t0
+  WHERE e.event_type = 'click' GROUP BY 1, 2
+),
+s2 AS (
+  SELECT e.user_id AS u, s1.t0, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY 1, 2
+),
+l AS (SELECT epoch_ms(t) - epoch_ms(t0) AS ms FROM s2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_completers,
+  CASE WHEN COUNT(*) > 0 THEN
+    ROUND(CAST(SUM(ms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) END
+    AS avg_latency_ms,
+  CAST(MIN(ms) AS BIGINT) AS min_latency_ms,
+  CAST(MAX(ms) AS BIGINT) AS max_latency_ms
+FROM l
+"""
+
+
 EXTRA_QUERIES = {
     "shipping_priority": q_shipping_priority,
     "region_volume": q_region_volume,
@@ -3498,6 +3540,7 @@ EXTRA_QUERIES = {
     "user_funnel_counts": q_user_funnel_counts,
     "user_retention_cohorts": q_user_retention_cohorts,
     "event_funnel": q_event_funnel,
+    "event_funnel_latency": q_event_funnel_latency,
     "ivf_topk": q_ivf_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
@@ -3519,6 +3562,7 @@ EXTRA_QUERIES = {
     "user_activity_islands": q_user_activity_islands,
     "user_retention_cohorts": q_user_retention_cohorts,
     "event_funnel": q_event_funnel,
+    "event_funnel_latency": q_event_funnel_latency,
 }
 
 EXTRA_ORACLES = {
@@ -3566,6 +3610,7 @@ EXTRA_ORACLES = {
     "user_funnel_counts": ORACLE_USER_FUNNEL_COUNTS,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
+    "event_funnel_latency": ORACLE_EVENT_FUNNEL_LATENCY,
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "ivfpq_residual_topk": ORACLE_IVFPQ_RESIDUAL_TOPK,
@@ -3585,6 +3630,7 @@ EXTRA_ORACLES = {
     "user_activity_islands": ORACLE_USER_ACTIVITY_ISLANDS,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
+    "event_funnel_latency": ORACLE_EVENT_FUNNEL_LATENCY,
     # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
     # is approximate and its xxhash64 register family is engine-internal;
     # tests/test_sketches.py pins the 5% accuracy envelope vs exact

@@ -243,3 +243,31 @@ def test_ks_and_w1_ride_the_same_grid(spark):
     df = spark.createDataFrame(rows, "g string, x long").localCheckpoint()
     got = {r.g: r.ks for r in ks_drift(df, "g", "x", "ref").collect()}
     assert got == {"ref": 0.0, "shift": 0.5}
+
+
+def test_funnel_latency_hand_computed(spark):
+    from graphdb_for_drones_spark.operators.temporal import funnel_latency
+
+    rows = [
+        (1, 100, "view"), (1, 200, "click"), (1, 700, "purchase"),
+        (2, 100, "view"), (2, 300, "click"), (2, 400, "purchase"),
+        (3, 100, "view"), (3, 200, "click"),  # never completes
+    ]
+    r = funnel_latency(
+        _ts_df(spark, rows), "user_id", "ts", "event_type",
+        ("view", "click", "purchase"),
+    ).collect()[0]
+    assert r.n_completers == 2
+    assert r.avg_latency_ms == 450.0  # (600 + 300) / 2
+    assert (r.min_latency_ms, r.max_latency_ms) == (300, 600)
+
+
+def test_funnel_latency_no_completers_is_null(spark):
+    from graphdb_for_drones_spark.operators.temporal import funnel_latency
+
+    r = funnel_latency(
+        _ts_df(spark, [(1, 100, "view")]), "user_id", "ts", "event_type",
+        ("view", "click"),
+    ).collect()[0]
+    assert r.n_completers == 0
+    assert r.avg_latency_ms is None and r.min_latency_ms is None
