@@ -282,3 +282,25 @@ def test_posting_bucket_pinning_no_reaggregation(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "collect_list" not in plan, plan[:1200]
         assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_funnel_pushes_step_filters_and_prunes(spark):
+    """Each funnel branch must push its event_type equality into the
+    parquet scan and read only (ts, user_id, event_type) — the props
+    JSON blob is the table's widest column and must never load."""
+    plan = formatted_plan(QUERIES["event_funnel"](spark, SF_DIR))
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters")[1:]]
+    for step in ("view", "click", "purchase"):
+        assert any(f"EqualTo(event_type,{step}" in p for p in pushed), step
+    for seg in plan.split("ReadSchema")[1:]:
+        line = seg.splitlines()[0]
+        assert "props" not in line and "value" not in line
+
+
+def test_retention_and_gini_scans_are_pruned(spark):
+    plan = formatted_plan(QUERIES["user_retention_cohorts"](spark, SF_DIR))
+    line = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "user_id" in line and "props" not in line and "value" not in line
+    plan = formatted_plan(QUERIES["doc_length_gini"](spark, SF_DIR))
+    line = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "n_chars" in line and "text" not in line
