@@ -95,14 +95,15 @@ _GATE_FIRST = [
     "label_centroid_drift",
     "source_drift_w1",
     "event_funnel_latency",
+    "orders_snapshot_diff",
     # ---- Stalest cohort fill (latest driver row = round 7) -------------
-    # Fifteen r7 rows defer to round 12 to make room for the round-11
+    # Sixteen r7 rows defer to round 12 to make room for the round-11
     # additions (distinct_segments, entity_counts, events_filter,
     # priority_histogram, event_props_extract, event_type_stats,
     # event_user_distinct, latest_event_per_user, event_hll_vs_exact,
     # doc_repetition, doc_dedup_stats, event_value_percentiles,
     # order_price_percentiles, nation_triangles,
-    # lang_temperature_mixture) -- test_gate_rotation makes the
+    # lang_temperature_mixture, flat_chain_count_recursive_sql) -- test_gate_rotation makes the
     # deferral binding, not optional.
     "asof_signup_before_purchase",
     "cdc_apply_events",
@@ -117,7 +118,6 @@ _GATE_FIRST = [
     "event_value_hist_quantiles",
     "events_in_windows",
     "events_tumbling_hourly",
-    "flat_chain_count_recursive_sql",
     "ivf_topk",
     "ivfpq_residual_topk",
     "ivfpq_topk",

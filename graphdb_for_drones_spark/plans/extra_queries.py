@@ -3496,6 +3496,72 @@ FROM l
 """
 
 
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table reconciliation between two corpus snapshots
+    (snapshots.snapshot_diff): per-order item count + DECIMAL-exact
+    quantity over two overlapping ship-date windows, classified
+    added / removed / changed / unchanged by NULL-SAFE value-struct
+    comparison after ONE co-partitioned full-outer join — the
+    data-diff a CDC apply or corpus-version bump is validated with.
+    Both windows populate all four classes on this data."""
+    from graphdb_for_drones_spark.snapshots import snapshot_diff
+
+    cat = Catalog(spark, sf_dir)
+
+    def snap(lo: str | None, hi: str) -> DataFrame:
+        li = cat.lineitem.filter(F.col("l_shipdate") < hi)
+        if lo is not None:
+            li = li.filter(F.col("l_shipdate") >= lo)
+        return li.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("qty"),
+        )
+
+    return snapshot_diff(
+        snap(None, "1999-01-01"),
+        snap("1996-01-01", "2000-01-01"),
+        ["l_orderkey"],
+        ["n_items", "qty"],
+    )
+
+
+ORACLE_ORDERS_SNAPSHOT_DIFF = r"""
+WITH a AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n_items,
+         SUM(CAST(l_quantity AS DECIMAL(28,10))) AS qty
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY 1
+),
+b AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n_items,
+         SUM(CAST(l_quantity AS DECIMAL(28,10))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '2000-01-01'
+  GROUP BY 1
+),
+j AS (
+  SELECT a.k AS ka, b.k AS kb,
+         a.n_items AS na, a.qty AS qa, b.n_items AS nb, b.qty AS qb
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT CAST(COUNT(ka) AS BIGINT) AS n_a,
+       CAST(COUNT(kb) AS BIGINT) AS n_b,
+       CAST(COALESCE(SUM(CASE WHEN ka IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS added,
+       CAST(COALESCE(SUM(CASE WHEN kb IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS removed,
+       CAST(COALESCE(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 AND (na IS DISTINCT FROM nb OR qa IS DISTINCT FROM qb)
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS changed,
+       CAST(COALESCE(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                 AND na IS NOT DISTINCT FROM nb
+                 AND qa IS NOT DISTINCT FROM qb
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS unchanged
+FROM j
+"""
+
+
 EXTRA_QUERIES = {
     "shipping_priority": q_shipping_priority,
     "region_volume": q_region_volume,
@@ -3541,6 +3607,7 @@ EXTRA_QUERIES = {
     "user_retention_cohorts": q_user_retention_cohorts,
     "event_funnel": q_event_funnel,
     "event_funnel_latency": q_event_funnel_latency,
+    "orders_snapshot_diff": q_orders_snapshot_diff,
     "ivf_topk": q_ivf_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
@@ -3563,6 +3630,7 @@ EXTRA_QUERIES = {
     "user_retention_cohorts": q_user_retention_cohorts,
     "event_funnel": q_event_funnel,
     "event_funnel_latency": q_event_funnel_latency,
+    "orders_snapshot_diff": q_orders_snapshot_diff,
 }
 
 EXTRA_ORACLES = {
@@ -3611,6 +3679,7 @@ EXTRA_ORACLES = {
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "event_funnel_latency": ORACLE_EVENT_FUNNEL_LATENCY,
+    "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "ivfpq_residual_topk": ORACLE_IVFPQ_RESIDUAL_TOPK,
@@ -3631,6 +3700,7 @@ EXTRA_ORACLES = {
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "event_funnel_latency": ORACLE_EVENT_FUNNEL_LATENCY,
+    "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
     # is approximate and its xxhash64 register family is engine-internal;
     # tests/test_sketches.py pins the 5% accuracy envelope vs exact

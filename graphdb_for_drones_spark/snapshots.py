@@ -93,3 +93,48 @@ class SnapshotStore:
                 f"(have {manifest['versions']})"
             )
         return spark.read.parquet(self.path_for(version))
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Keyed table reconciliation FROM snapshot ``a`` TO snapshot ``b``
+    — the data-diff primitive a CDC pipeline runs to validate an apply
+    (and a training pipeline runs between corpus versions): per key,
+    classify ``added`` (in b only), ``removed`` (in a only),
+    ``changed`` (both, any value column differs — NULL-SAFE struct
+    comparison, so NULL→value and value→NULL count as changes) or
+    ``unchanged``, and return ONE row of exact counts
+    (n_a, n_b, added, removed, changed, unchanged).
+
+    Plan shape at 100 TB: each side reduces to (key, value-struct) —
+    column-pruned scans — then ONE full-outer join on the key
+    (co-partitioned exchange both sides) and a single global count
+    aggregate with map-side combine; no row ever leaves its key
+    partition.  Value columns that need order-independent exactness
+    across engines (float aggregates) must be pre-reduced to exact
+    types by the caller — the diff itself is pure comparison."""
+    from pyspark.sql import functions as F
+
+    ka = a.select(*key_cols, F.struct(*value_cols).alias("__va"))
+    kb = b.select(*key_cols, F.struct(*value_cols).alias("__vb"))
+    j = ka.join(kb, list(key_cols), "full_outer")
+    in_a = F.col("__va").isNotNull()
+    in_b = F.col("__vb").isNotNull()
+    changed = in_a & in_b & ~F.col("__va").eqNullSafe(F.col("__vb"))
+    unchanged = in_a & in_b & F.col("__va").eqNullSafe(F.col("__vb"))
+    # coalesce: a diff of two EMPTY snapshots is all-zeros, not all-NULL
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    return j.agg(
+        cnt(in_a).alias("n_a"),
+        cnt(in_b).alias("n_b"),
+        cnt(~in_a & in_b).alias("added"),
+        cnt(in_a & ~in_b).alias("removed"),
+        cnt(changed).alias("changed"),
+        cnt(unchanged).alias("unchanged"),
+    )

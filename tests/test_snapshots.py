@@ -103,3 +103,36 @@ print(json.dumps({{"versions": store.versions(),
     assert out.returncode == 0, out.stderr[-2000:]
     got = json.loads(out.stdout.strip().splitlines()[-1])
     assert got == {"versions": [1, 2], "rows": 4, "sum_x": 60}
+
+
+def test_snapshot_diff_classes(spark):
+    """Hand-computed reconciliation: every class incl. the NULL-safe
+    value transitions (value->NULL inside a present row is a CHANGE,
+    not an add/remove)."""
+    from graphdb_for_drones_spark.snapshots import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y"), (3, 30, None), (4, 40, "z")],
+        "k long, v long, w string",
+    ).localCheckpoint()
+    b = spark.createDataFrame(
+        [(2, 20, "y"), (3, 30, "now-set"), (4, 41, "z"), (5, 50, "new")],
+        "k long, v long, w string",
+    ).localCheckpoint()
+    r = snapshot_diff(a, b, ["k"], ["v", "w"]).collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.added == 1      # k=5
+    assert r.removed == 1    # k=1
+    assert r.changed == 2    # k=3 (NULL -> value), k=4 (41)
+    assert r.unchanged == 1  # k=2
+
+
+def test_snapshot_diff_empty_sides(spark):
+    from graphdb_for_drones_spark.snapshots import snapshot_diff
+
+    a = spark.createDataFrame([(1, 10)], "k long, v long").localCheckpoint()
+    empty = a.filter("v < 0")
+    r = snapshot_diff(a, empty, ["k"], ["v"]).collect()[0]
+    assert (r.n_a, r.n_b, r.added, r.removed) == (1, 0, 0, 1)
+    r = snapshot_diff(empty, empty, ["k"], ["v"]).collect()[0]
+    assert tuple(r) == (0, 0, 0, 0, 0, 0)
