@@ -2,31 +2,41 @@
 
 The driver's CORRECTNESS gate checks exactly the FIRST 50 entries of the
 dict returned by ``__spark_entry__.queries()`` (which is ``dict(QUERIES)``,
-so insertion order here is the gate order).  The catalog is larger than 50,
-so ``_GATE_FIRST`` below explicitly rotates queries into the checked window.
+so insertion order here is the gate order).  The catalog is larger than
+50, so the window must ROTATE so every entry keeps a recent driver row.
 
-Round-11 rotation (the VERDICT r10 task #1 contract): the window LEADS
-with every entry the driver has NEVER attested — the seven r10
-additions (`event_type_trimmed_stats`, `lang_id_confusion`,
-`source_drift_stats`, `source_lang_drift`, `source_vocab_overlap`,
-`sq8_topk`, `sq8_recall_at_k`), the two saturation-knee twins
-(`ann_near_pairs_fixed16`, `embedding_dbscan_cores_fixed16`), and any
-entry NEW this round — plus the five aggregates whose latest driver
-row dates to round 6 (`customer_rfm_segments`,
-`customer_spend_quartiles`, `orders_cube`, `orders_profile`,
-`part_type_profit`) and the two defaults whose PLANS changed in r10
-(`ann_near_pairs`, `embedding_dbscan_cores` now execute the auto
-geometry; changed entries outrank stale-unchanged rows).  The
-remaining slots take the stalest cohort (latest driver row = round 7);
-the handful of r7 rows that do not fit defer to round 12, where
-``tests/test_gate_rotation.py`` makes their inclusion MANDATORY: the
-test parses the committed ``CORRECTNESS_r*.json`` history and fails
-the suite if any never-gated entry, or any entry whose latest driver
-row is more than 3 rounds old, sits outside the current first-50.
-Staleness is now enforced by pytest, not by this docstring.
-Rotated-out entries stay covered by the local oracle replica
+Round 12 makes the rotation SELF-DERIVING (VERDICT r11 task #1): the
+order is computed at import time from the committed ``CORRECTNESS_r*.json``
+history — the same files ``tests/test_gate_rotation.py`` parses — so the
+window can never again drift out of sync with the staleness test:
+
+1. ``_GATE_OVERRIDE`` leads: the explicit, per-round list of entries
+   whose PLANS changed this round or that are NEW this round (a changed
+   plan outranks a stale-unchanged row — its old driver rows attest a
+   plan that no longer exists).
+2. Then every remaining catalog entry, stalest first: never-gated
+   entries (no driver row in any committed gate file) sort before all
+   gated ones, then ascending latest-gated round, tie-broken by catalog
+   insertion order so the order is deterministic for a given history.
+
+With a 50-entry window, ~160 entries, and ≤ ~15 new entries per round,
+the stalest-first fill guarantees every entry re-gates at least every
+⌈160/35⌉ ≈ 5 rounds and the never-gated/staleness invariants of
+``tests/test_gate_rotation.py`` hold by construction.  Rotated-out
+entries stay covered every round by the local oracle replica
 (``tests/test_queries_oracle.py`` runs every oracle-paired query).
+
+Round-12 override rationale: ``source_drift_ks`` / ``source_drift_w1``
+re-gate because their shared ``_cdf_grid`` half moved to the two-level
+(range-bucketed) prefix sum this round — identical values, new plan;
+``event_hll_rollup_md5`` and ``event_funnel_streamed`` are new this
+round (never-gated also catches them; the override records intent).
 """
+
+import glob
+import json
+import os
+import re
 
 from graphdb_for_drones_spark.plans.queries import QUERIES as _BASE_QUERIES
 from graphdb_for_drones_spark.plans.queries import ORACLES as _BASE_ORACLES
@@ -53,94 +63,52 @@ _MERGED_ORACLES = {
     **CURATION_ORACLES,
 }
 
-# Queries promoted to the head of the gate window this round.  Order within
-# the first 50 does not matter; membership does.
-_GATE_FIRST = [
-    # ---- Round-11 rotation ---------------------------------------------
-    # Never driver-gated (r10 additions + the two knee twins):
-    "event_type_trimmed_stats",
-    "lang_id_confusion",
-    "source_drift_stats",
-    "source_lang_drift",
-    "source_vocab_overlap",
-    "sq8_topk",
-    "sq8_recall_at_k",
-    "ann_near_pairs_fixed16",
-    "embedding_dbscan_cores_fixed16",
-    # Latest driver row = round 6 (the five r6-deferred aggregates):
-    "customer_rfm_segments",
-    "customer_spend_quartiles",
-    "orders_cube",
-    "orders_profile",
-    "part_type_profit",
-    # Plans changed in r10 (renamed to the auto-geometry defaults):
-    "ann_near_pairs",
-    "embedding_dbscan_cores",
-    # Changed/new THIS round (r11): the DIMSUM default now derives
-    # auto-γ from the item-dimension count (plan change), with the
-    # pinned γ=32 A/B twin new beside it.
-    "supplier_shared_customers_sampled",
-    "supplier_shared_customers_sampled_fixed32",
-    # New in r11: the streaming drift monitor's report path, gated
-    # against the batch entry's oracle SQL verbatim (stream==batch as
-    # a driver-checked fact).
-    "source_drift_stats_streamed",
-    # New in r11: exact two-sample KS drift, weekly retention cohorts,
-    # Gini length concentration — never-gated entries lead.
+# Entries whose plans CHANGED this round, or that are NEW this round —
+# the only hand-maintained part of the rotation (see module docstring).
+_GATE_OVERRIDE = [
     "source_drift_ks",
-    "user_retention_cohorts",
-    "doc_length_gini",
-    "event_funnel",
-    "lang_id_kappa",
-    "label_centroid_drift",
     "source_drift_w1",
-    "event_funnel_latency",
-    "orders_snapshot_diff",
-    # ---- Stalest cohort fill (latest driver row = round 7) -------------
-    # Sixteen r7 rows defer to round 12 to make room for the round-11
-    # additions (distinct_segments, entity_counts, events_filter,
-    # priority_histogram, event_props_extract, event_type_stats,
-    # event_user_distinct, latest_event_per_user, event_hll_vs_exact,
-    # doc_repetition, doc_dedup_stats, event_value_percentiles,
-    # order_price_percentiles, nation_triangles,
-    # lang_temperature_mixture, flat_chain_count_recursive_sql) -- test_gate_rotation makes the
-    # deferral binding, not optional.
-    "asof_signup_before_purchase",
-    "cdc_apply_events",
-    "contamination_check",
-    "contamination_containment",
-    "corpus_curation_stats",
-    "dedup_cluster_keepers",
-    "dedup_clusters",
-    "delegation_count_by_level",
-    "embedding_clusters",
-    "embedding_dup_clusters",
-    "event_value_hist_quantiles",
-    "events_in_windows",
-    "events_tumbling_hourly",
-    "ivf_topk",
-    "ivfpq_residual_topk",
-    "ivfpq_topk",
-    "min_price_supplier",
-    "pricing_summary",
-    "supplier_shared_customers",
-    "user_event_hash_chain",
-    "vc_count_per_region",
-    "wot_path_count_short",
 ]
 
-_missing = [n for n in _GATE_FIRST if n not in _MERGED_QUERIES]
+_missing = [n for n in _GATE_OVERRIDE if n not in _MERGED_QUERIES]
 if _missing:  # pragma: no cover - guards against catalog renames
-    raise KeyError(f"_GATE_FIRST names not in catalog: {_missing}")
+    raise KeyError(f"_GATE_OVERRIDE names not in catalog: {_missing}")
 
-QUERIES = {name: _MERGED_QUERIES[name] for name in _GATE_FIRST}
-for _name, _fn in _MERGED_QUERIES.items():
-    if _name not in QUERIES:
-        QUERIES[_name] = _fn
 
-ORACLES = {name: _MERGED_ORACLES[name] for name in _GATE_FIRST if name in _MERGED_ORACLES}
-for _name, _sql in _MERGED_ORACLES.items():
-    if _name not in ORACLES:
-        ORACLES[_name] = _sql
+def _latest_gated_round() -> dict:
+    """Latest committed driver-gate round per entry, parsed from the
+    CORRECTNESS_r*.json files at the repo root (absent files — e.g. a
+    fresh checkout — mean every entry is 'never gated', and the order
+    degrades gracefully to override + catalog order)."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    latest: dict = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        match = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if match is None:
+            continue
+        round_no = int(match.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, json.JSONDecodeError):  # pragma: no cover
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), round_no)
+    return latest
+
+
+def _gate_order() -> list:
+    latest = _latest_gated_round()
+    catalog_idx = {name: i for i, name in enumerate(_MERGED_QUERIES)}
+    rest = [n for n in _MERGED_QUERIES if n not in _GATE_OVERRIDE]
+    # never-gated entries get latest = -1 and sort before every gated one
+    rest.sort(key=lambda n: (latest.get(n, -1), catalog_idx[n]))
+    return list(_GATE_OVERRIDE) + rest
+
+
+QUERIES = {name: _MERGED_QUERIES[name] for name in _gate_order()}
+ORACLES = {name: _MERGED_ORACLES[name] for name in QUERIES if name in _MERGED_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -2026,39 +2026,6 @@ FROM u GROUP BY stage
 """
 
 
-def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention: users grouped by first-activity day (epoch
-    days — integer arithmetic, timezone-free), distinct active users
-    per (cohort_day, day offset) — the classic retention triangle.
-    One min-aggregation for cohorts, one broadcast join back, one
-    grouped COUNT DISTINCT; all shuffles keyed on bounded-cardinality
-    (day, offset) keys."""
-    cat = Catalog(spark, sf_dir)
-    ev = cat.events.select(
-        "user_id", F.expr("unix_millis(ts) DIV 86400000").alias("day")
-    )
-    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (
-        ev.join(cohort, "user_id")
-        .groupBy(
-            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset")
-        )
-        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
-    )
-
-
-ORACLE_USER_RETENTION_COHORTS = """
-WITH e AS (
-  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
-),
-c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
-SELECT c.cohort_day, e.day - c.cohort_day AS offset,
-       COUNT(DISTINCT e.user_id) AS n_users
-FROM e JOIN c USING (user_id)
-GROUP BY 1, 2
-"""
-
-
 def _dot64(x: str, y: str) -> str:
     return (
         f"list_sum(list_transform(range(64), i -> "
@@ -3627,10 +3594,6 @@ EXTRA_QUERIES = {
     "customer_fuzzy_pairs": q_customer_fuzzy_pairs,
     "customer_supplier_fuzzy_matches": q_customer_supplier_fuzzy_matches,
     "user_activity_islands": q_user_activity_islands,
-    "user_retention_cohorts": q_user_retention_cohorts,
-    "event_funnel": q_event_funnel,
-    "event_funnel_latency": q_event_funnel_latency,
-    "orders_snapshot_diff": q_orders_snapshot_diff,
 }
 
 EXTRA_ORACLES = {
@@ -3697,10 +3660,6 @@ EXTRA_ORACLES = {
     "customer_fuzzy_pairs": ORACLE_CUSTOMER_FUZZY_PAIRS,
     "customer_supplier_fuzzy_matches": ORACLE_CUSTOMER_SUPPLIER_FUZZY_MATCHES,
     "user_activity_islands": ORACLE_USER_ACTIVITY_ISLANDS,
-    "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
-    "event_funnel": ORACLE_EVENT_FUNNEL,
-    "event_funnel_latency": ORACLE_EVENT_FUNNEL_LATENCY,
-    "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
     # is approximate and its xxhash64 register family is engine-internal;
     # tests/test_sketches.py pins the 5% accuracy envelope vs exact
