@@ -915,8 +915,12 @@ def cooccurrence_similarity_sampled(
     )
     deg = e.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     if gamma is None:
-        # one column-pruned count over the (pinned) distinct-item table;
-        # the oracle twin derives the SAME γ from COUNT(*) in SQL
+        # the auto-γ path gives deg a SECOND consumer (this count plus
+        # the carry join below), so pin deg itself before counting —
+        # counting the unpinned aggregate re-ran the degree derivation
+        # per consumer (ADVICE r11); the oracle twin derives the SAME γ
+        # from COUNT(*) in SQL
+        deg = pin(deg)
         gamma = auto_dimsum_gamma(deg.count())
     ed = e.join(
         F.broadcast(deg) if broadcast_degrees else deg, "__i"

@@ -271,3 +271,32 @@ def test_funnel_latency_no_completers_is_null(spark):
     ).collect()[0]
     assert r.n_completers == 0
     assert r.avg_latency_ms is None and r.min_latency_ms is None
+
+
+def test_centroid_drift_dim_mismatch_raises(spark):
+    """dim is a contract (ADVICE r11): ragged / mis-declared vectors
+    must fail the job loudly, never fold into a NULL cosine."""
+    import pytest
+
+    from graphdb_for_drones_spark.operators.stats import centroid_drift
+
+    bad = spark.createDataFrame(
+        [("ref", [1.0, 2.0]), ("a", [2.0, 1.0, 9.9])],
+        "g string, v array<double>",
+    ).localCheckpoint()
+    with pytest.raises(Exception, match="centroid_drift.*declared dim"):
+        centroid_drift(bad, "g", "v", "ref", 2).collect()
+
+
+def test_centroid_drift_null_vectors_still_drop(spark):
+    from graphdb_for_drones_spark.operators.stats import centroid_drift
+
+    df = spark.createDataFrame(
+        [("ref", [1.0, 2.0]), ("a", [2.0, 1.0]), ("b", None)],
+        "g string, v array<double>",
+    ).localCheckpoint()
+    got = {
+        r.g: (r.n_vecs, r.centroid_cosine)
+        for r in centroid_drift(df, "g", "v", "ref", 2).collect()
+    }
+    assert got == {"ref": (1, 1.0), "a": (1, 0.8)}
