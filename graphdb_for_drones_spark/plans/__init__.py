@@ -68,6 +68,8 @@ _MERGED_ORACLES = {
 _GATE_OVERRIDE = [
     "source_drift_ks",
     "source_drift_w1",
+    "event_hll_rollup_md5",
+    "event_funnel_streamed",
 ]
 
 _missing = [n for n in _GATE_OVERRIDE if n not in _MERGED_QUERIES]

@@ -2948,6 +2948,76 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_event_hll_rollup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-REPRODUCIBLE twin of `event_hll_rollup` (VERDICT r11
+    task #4 — the minhash_pairs_md5 pattern applied to HLL): daily
+    per-type md5-HLL REGISTER tables of distinct users, merged to
+    per-type by register MAX, then the Flajolet estimate from an exact
+    integer register sum + one IEEE division (small-range branch:
+    m·ln(m/V), glibc-identical across engines) — so the DuckDB twin
+    reproduces the ESTIMATE bit-for-bit, making the last rows-only
+    catalog entry fully oracle-paired.  The xxhash64 DataSketches entry
+    stays the production fast path."""
+    from graphdb_for_drones_spark.operators.sketches import (
+        hll_md5_estimate,
+        hll_md5_registers,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "event_type",
+        F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+        "user_id",
+    )
+    daily = hll_md5_registers(ev, ["event_type", "day"], "user_id")
+    return hll_md5_estimate(daily, ["event_type"]).orderBy("event_type")
+
+
+_HLL_MD5_HH = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5("
+    "CAST(user_id AS VARCHAR) || ':hll'), i+1, 1)) - 1 AS BIGINT)"
+    " << ((14 - i) * 4))) AS BIGINT)"
+)
+
+# Constants mirrored from operators/sketches.py: m = 256 registers,
+# rho sentinel 53 (60 md5 bits = 8 index + 52 rank), alpha·m²·2^53
+# embedded as the same double literal on both sides.
+ORACLE_EVENT_HLL_ROLLUP_MD5 = rf"""
+WITH h AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day, {_HLL_MD5_HH} AS hh
+  FROM events WHERE user_id IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day, hh % 256 AS idx,
+         MAX(CASE WHEN hh // 256 > 0 THEN 53 - length(bin(hh // 256))
+                  ELSE 53 END) AS rho
+  FROM h GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, idx, MAX(rho) AS rho FROM daily GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_registers,
+         SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INTEGER)) AS s_present
+  FROM merged GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_registers,
+         4.2399330249068963e+20
+           / CAST(s_present + (256 - n_registers)
+                  * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS raw,
+         256 - n_registers AS v
+  FROM agg
+)
+SELECT event_type, CAST(n_registers AS BIGINT) AS n_registers,
+       ROUND(CASE WHEN raw <= 640.0 AND v > 0
+                  THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                  ELSE raw END, 9) AS approx_distinct
+FROM est ORDER BY event_type
+"""
+
+
 HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 1000.0, 200
 
 
@@ -3463,6 +3533,127 @@ FROM l
 """
 
 
+def q_event_funnel_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream==batch FUNNEL as an ORACLE-checked fact (VERDICT r11 task
+    #5 — the `source_drift_stats_streamed` pattern applied to the
+    stateful trackers): drains the events table through the STREAMING
+    frontier funnel (streaming/stateful.streaming_funnel — per-user
+    state is exactly (completed-prefix length, last-step time), never an
+    event buffer) and rebuilds the funnel report from the FINAL
+    frontiers, gated against the IDENTICAL SQL oracle as the batch
+    `event_funnel` entry, so the frontier state machine's equivalence to
+    the batch first-reach recurrence is driver-attested rather than
+    pytest-only.
+
+    Event times feed the tracker as unix MICROS: the oracle compares raw
+    timestamps (microsecond precision in the testdata), so a
+    millisecond truncation could chain two same-ms events differently.
+    The availableNow drain lands the staged file(s) in one micro-batch
+    (≤1000 files), inside which the tracker sorts by time — the ordered
+    -ingest contract under which stream == batch holds exactly.
+
+    Report shape: each user's final frontier explodes into one row per
+    completed stage, so n_users(k) = COUNT(frontier ≥ k+1) is one
+    aggregate over |users| rows; a static 3-row step frame left-joins
+    the counts (zero-count steps must still report, as the oracle's
+    COUNT(*) over empty CTEs does)."""
+    import os
+    import tempfile
+    import uuid
+
+    from graphdb_for_drones_spark.streaming.stateful import streaming_funnel
+
+    steps = ("view", "click", "purchase")
+    cat = Catalog(spark, sf_dir)
+    # stage behind symlinks: FileStreamSource needs a DIRECTORY of plain
+    # files (same dance as q_source_drift_stats_streamed)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage_dir = tempfile.mkdtemp(prefix="funnel_stream_src_")
+    if os.path.isdir(src):
+        for i, fname in enumerate(sorted(os.listdir(src))):
+            if fname.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, fname),
+                    os.path.join(stage_dir, f"part_{i}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    ts_type = raw_schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stage_dir)
+        .select(
+            F.col("user_id").alias("user"),
+            # NTZ-safe micros extraction (catalog.load_table's cast,
+            # replicated here because readStream bypasses the catalog)
+            F.unix_micros(
+                F.col("ts").cast("timestamp")
+                if ts_type == "timestamp_ntz"
+                else F.col("ts")
+            ).alias("ms"),
+            F.col("event_type").alias("step"),
+        )
+        .filter(F.col("user").isNotNull() & F.col("ms").isNotNull())
+    )
+    qn = f"funnel_stream_{uuid.uuid4().hex}"
+    query = (
+        streaming_funnel(stream.groupBy("user"), steps)
+        .writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="funnel_stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # memory sink keeps every frontier update; stage only advances, so
+    # latest-wins == MAX per user
+    frontier = (
+        spark.table(qn)
+        .groupBy("user")
+        .agg(F.max("stage").alias("stage"))
+    )
+    counts = (
+        frontier.select(
+            F.explode(F.sequence(F.lit(1), F.col("stage"))).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    step_dim = spark.range(len(steps)).select(
+        F.col("id").cast("long").alias("step_idx"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in steps]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("step"),
+    )
+    joined = step_dim.join(
+        counts, step_dim.step_idx == counts.k - 1, "left"
+    ).select(
+        "step_idx",
+        "step",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_users"),
+    )
+    head = F.max(
+        F.when(F.col("step_idx") == 0, F.col("n_users"))
+    ).over(Window.partitionBy())
+    return joined.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            head > 0,
+            F.round(
+                F.col("n_users").cast("double") / head.cast("double"), 9
+            ),
+        ).alias("conversion"),
+    )
+
+
 def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed table reconciliation between two corpus snapshots
     (snapshots.snapshot_diff): per-order item count + DECIMAL-exact
@@ -3573,6 +3764,7 @@ EXTRA_QUERIES = {
     "user_funnel_counts": q_user_funnel_counts,
     "user_retention_cohorts": q_user_retention_cohorts,
     "event_funnel": q_event_funnel,
+    "event_funnel_streamed": q_event_funnel_streamed,
     "event_funnel_latency": q_event_funnel_latency,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "ivf_topk": q_ivf_topk,
@@ -3582,6 +3774,7 @@ EXTRA_QUERIES = {
     "sq8_recall_at_k": q_sq8_recall_at_k,
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
+    "event_hll_rollup_md5": q_event_hll_rollup_md5,
     "event_hll_vs_exact": q_event_hll_vs_exact,
     "event_value_hist_quantiles": q_event_value_hist_quantiles,
     "event_user_cm_counts": q_event_user_cm_counts,
@@ -3597,6 +3790,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "event_hll_rollup_md5": ORACLE_EVENT_HLL_ROLLUP_MD5,
     "event_hll_vs_exact": ORACLE_EVENT_HLL_VS_EXACT,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "region_volume": ORACLE_REGION_VOLUME,
@@ -3641,6 +3835,9 @@ EXTRA_ORACLES = {
     "user_funnel_counts": ORACLE_USER_FUNNEL_COUNTS,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
+    # event_funnel_streamed is gated against the batch oracle VERBATIM:
+    # stream == batch as a driver-checked fact
+    "event_funnel_streamed": ORACLE_EVENT_FUNNEL,
     "event_funnel_latency": ORACLE_EVENT_FUNNEL_LATENCY,
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "ivf_topk": ORACLE_IVF_TOPK,
@@ -3660,8 +3857,8 @@ EXTRA_ORACLES = {
     "customer_fuzzy_pairs": ORACLE_CUSTOMER_FUZZY_PAIRS,
     "customer_supplier_fuzzy_matches": ORACLE_CUSTOMER_SUPPLIER_FUZZY_MATCHES,
     "user_activity_islands": ORACLE_USER_ACTIVITY_ISLANDS,
-    # event_hll_rollup is EXPLICITLY rows-only by design: an HLL estimate
-    # is approximate and its xxhash64 register family is engine-internal;
-    # tests/test_sketches.py pins the 5% accuracy envelope vs exact
-    # COUNT(DISTINCT), which is the meaningful correctness contract
+    # event_hll_rollup stays rows-only by design (DataSketches binary
+    # blobs, engine-internal); its md5-register twin above IS fully
+    # oracle-paired (bit-exact estimate), and tests/test_sketches.py
+    # pins the 5% accuracy envelope vs exact COUNT(DISTINCT) here
 }

@@ -210,3 +210,58 @@ def test_cm_merge_equals_union_build(spark):
         for r in cm_build(both, ["g"], "elem", width=128, depth=3).collect()
     }
     assert merged == direct
+
+
+def test_hll_md5_accuracy_and_merge_invariance(spark, sf_dir):
+    """md5-register HLL (the oracle-reproducible twin): the estimate
+    must track exact distinct counts within the m=256 sketch envelope,
+    and merging DAILY register tables by MAX must equal building the
+    registers at the coarse grain directly (sketch mergeability)."""
+    from graphdb_for_drones_spark.operators.sketches import (
+        hll_md5_estimate,
+        hll_md5_registers,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "event_type",
+        F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+        "user_id",
+    ).localCheckpoint()
+    daily = hll_md5_registers(ev, ["event_type", "day"], "user_id")
+    merged = hll_md5_estimate(daily, ["event_type"])
+    direct = hll_md5_estimate(
+        hll_md5_registers(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+    got_m = {r.event_type: (r.n_registers, r.approx_distinct)
+             for r in merged.collect()}
+    got_d = {r.event_type: (r.n_registers, r.approx_distinct)
+             for r in direct.collect()}
+    assert got_m == got_d  # merge-then-estimate == direct build
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, (_, est) in got_m.items():
+        # 3x the m=256 RSE (1.04/sqrt(256) = 6.5%) as the hard envelope
+        assert abs(est - exact[k]) / exact[k] < 0.20, (k, est, exact[k])
+
+
+def test_hll_md5_empty_and_single_value(spark):
+    """Degenerate inputs: a single distinct value must estimate ~1 via
+    the linear-counting branch; NULL values drop."""
+    from graphdb_for_drones_spark.operators.sketches import (
+        hll_md5_estimate,
+        hll_md5_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 7)] * 5 + [("a", None)], "g string, v long"
+    ).localCheckpoint()
+    regs = hll_md5_registers(df, ["g"], "v")
+    assert regs.count() == 1  # one distinct value -> one register
+    r = hll_md5_estimate(regs, ["g"]).first()
+    assert r.n_registers == 1
+    assert 0.9 < r.approx_distinct < 1.5
