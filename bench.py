@@ -303,12 +303,20 @@ def main() -> None:
     def line_for(subset: dict[str, float]) -> str:
         return json.dumps(
             {
-                "metric": "headline wall-clock local[%s]" % CPUS,
-                "value": round(sum(timings.values()), 3),
-                "value_headline38": headline38,
-                # frozen-semantics metric (r11): raw + host-normalized
-                "value_headline_v2": headline_v2,
+                # r12 (VERDICT r11 #7): headline_v2 IS the primary metric
+                # — 20 frozen-semantics entries, raw seconds as "value",
+                # host-normalized beside it.  headline38 appears one
+                # last time for r4-r12 continuity (retired hereafter:
+                # its members' plans keep evolving, so its drift mixes
+                # engine changes with host noise); the full-catalog sum
+                # stays as value_full_catalog (it grows with the
+                # catalog, so it is a coverage metric, not a trend).
+                "metric": "headline_v2 wall-clock local[%s] "
+                "(20 frozen-semantics entries)" % CPUS,
+                "value": headline_v2,
                 "value_headline_v2_norm": headline_v2_norm,
+                "value_full_catalog": round(sum(timings.values()), 3),
+                "value_headline38_final": headline38,
                 "unit": "sec",
                 # host-state annotation (VERDICT r8 #2, r10 #2): 1-min
                 # loadavg at start/end, per-quartile calibration samples

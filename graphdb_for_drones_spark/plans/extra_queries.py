@@ -3654,6 +3654,101 @@ def q_event_funnel_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_retention_cohorts_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream==batch RETENTION as an ORACLE-checked fact (the
+    `event_funnel_streamed` pattern applied to the second stateful
+    tracker): drains events through streaming/stateful.
+    streaming_retention — per-user state is exactly (cohort period,
+    emitted-offset bitmask), two longs — and rebuilds the weekly
+    retention matrix from the exactly-once (cohort, offset, user)
+    emissions, gated against the batch `user_retention_cohorts` oracle
+    VERBATIM.  The testdata spans 4 weekly periods, far inside the
+    64-offset bitmask horizon, and the availableNow drain lands all
+    files in one micro-batch — the ordered-ingest contract under which
+    the stream equals the batch matrix exactly.  Counts are plain
+    COUNT(*) over the append sink (no latest-wins reconciliation);
+    cohort_size binds back as a cohort-partitioned MAX window, retention
+    is one IEEE division of exact longs rounded 9dp (the family
+    contract)."""
+    import os
+    import tempfile
+
+    from graphdb_for_drones_spark.streaming.stateful import (
+        streaming_retention,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage_dir = tempfile.mkdtemp(prefix="retention_stream_src_")
+    if os.path.isdir(src):
+        for i, fname in enumerate(sorted(os.listdir(src))):
+            if fname.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, fname),
+                    os.path.join(stage_dir, f"part_{i}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    ts_type = raw_schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stage_dir)
+        .select(
+            F.col("user_id").alias("user"),
+            F.unix_millis(
+                F.col("ts").cast("timestamp")
+                if ts_type == "timestamp_ntz"
+                else F.col("ts")
+            ).alias("ms"),
+        )
+        .filter(F.col("user").isNotNull() & F.col("ms").isNotNull())
+    )
+    import uuid
+
+    qn = f"retention_stream_{uuid.uuid4().hex}"
+    query = (
+        streaming_retention(stream.groupBy("user"), period_ms=604800000)
+        .writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="retention_stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    cells = (
+        spark.table(qn)
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    w = Window.partitionBy("cohort_period")
+    sized = cells.select(
+        "cohort_period",
+        "period_offset",
+        "n_users",
+        F.max(
+            F.when(F.col("period_offset") == 0, F.col("n_users"))
+        ).over(w).alias("cohort_size"),
+    )
+    return sized.select(
+        "cohort_period",
+        "period_offset",
+        "n_users",
+        "cohort_size",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.col("cohort_size").cast("double"),
+            9,
+        ).alias("retention"),
+    )
+
+
 def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed table reconciliation between two corpus snapshots
     (snapshots.snapshot_diff): per-order item count + DECIMAL-exact
@@ -3763,6 +3858,7 @@ EXTRA_QUERIES = {
     "trade_temporal_reach": q_trade_temporal_reach,
     "user_funnel_counts": q_user_funnel_counts,
     "user_retention_cohorts": q_user_retention_cohorts,
+    "user_retention_cohorts_streamed": q_user_retention_cohorts_streamed,
     "event_funnel": q_event_funnel,
     "event_funnel_streamed": q_event_funnel_streamed,
     "event_funnel_latency": q_event_funnel_latency,
@@ -3834,6 +3930,8 @@ EXTRA_ORACLES = {
     "trade_temporal_reach": ORACLE_TRADE_TEMPORAL_REACH,
     "user_funnel_counts": ORACLE_USER_FUNNEL_COUNTS,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
+    # streamed twin gated against the batch oracle VERBATIM
+    "user_retention_cohorts_streamed": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     # event_funnel_streamed is gated against the batch oracle VERBATIM:
     # stream == batch as a driver-checked fact

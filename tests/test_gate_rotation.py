@@ -87,3 +87,23 @@ def test_no_stale_entry_outside_window():
         f"rounds older than round {newest_round} must rotate into the "
         f"first-{GATE_WINDOW} window: {stale}"
     )
+
+
+def test_gate_order_is_self_deriving():
+    """Round 12: the window order must come from the committed gate
+    history — overrides first, then never-gated, then ascending
+    latest-gated round — so the staleness invariants above hold by
+    construction, not by hand-maintained lists."""
+    from graphdb_for_drones_spark import plans
+
+    latest, _ = _gate_history()
+    order = list(QUERIES)
+    n_over = len(plans._GATE_OVERRIDE)
+    assert order[:n_over] == list(plans._GATE_OVERRIDE)
+    rest = order[n_over:]
+    # never-gated block (if any) strictly precedes every gated entry,
+    # and gated entries are non-decreasing in latest-gated round
+    ranks = [latest.get(n, -1) for n in rest]
+    assert ranks == sorted(ranks), (
+        "gate order must be stalest-first after the override block"
+    )
