@@ -418,6 +418,24 @@ def hll_md5_registers(
     (< 2^60, nonnegative), idx = h mod m, w = h div m, and
     rho = 53 − bit_length(w) (length of bin(w) — both engines print
     binary without leading zeros) with the w = 0 sentinel 53."""
+    return (
+        hll_md5_row_registers(df, keys, distinct_col, salt)
+        .groupBy(*keys, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_md5_row_registers(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    salt: str = "hll",
+) -> DataFrame:
+    """The STATELESS half of ``hll_md5_registers``: one (keys…, idx,
+    rho) row per input element, no aggregation — shared by the batch
+    builder (groupBy MAX on top) and the STREAMING rollup (the same MAX
+    as a streaming aggregation: register MAX is associative and
+    commutative, so a sketch rollup is a continuous aggregate)."""
     from graphdb_for_drones_spark.operators.split import _md5_60bit
 
     h = _md5_60bit(
@@ -431,10 +449,8 @@ def hll_md5_registers(
         rest > 0,
         F.lit(_HLL_MD5_RANK_BITS + 1) - F.length(F.bin(rest)),
     ).otherwise(F.lit(_HLL_MD5_RANK_BITS + 1))
-    return (
-        staged.select(*keys, idx.alias("idx"), rho.cast("long").alias("rho"))
-        .groupBy(*keys, "idx")
-        .agg(F.max("rho").alias("rho"))
+    return staged.select(
+        *keys, idx.alias("idx"), rho.cast("long").alias("rho")
     )
 
 

@@ -2901,6 +2901,67 @@ def q_event_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup(hll_build(ev, ["event_type", "day"], "user_id"), ["event_type"])
 
 
+def q_event_hll_rollup_md5_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streamed sketch rollup as an ORACLE-checked fact: register MAX
+    is associative and commutative, so the md5-HLL rollup IS a
+    continuous aggregate — this entry drains events through a STREAMING
+    (event_type, register) MAX aggregation (state bounded at
+    |event_types| × 256 registers regardless of ingest volume — the
+    sketch property, now a streaming-state bound) and estimates from
+    the final registers, gated against `event_hll_rollup_md5`'s oracle
+    VERBATIM.  The update-mode memory sink keeps every register update;
+    rho only ever rises, so `hll_md5_estimate`'s own merge (MAX per
+    (key, idx)) is the exact latest-wins reconciliation.  No watermark:
+    a register table never grows with the data, the same reason the
+    batch sketch replaces COUNT(DISTINCT) at serving time."""
+    import os
+    import tempfile
+    import uuid
+
+    from graphdb_for_drones_spark.operators.sketches import (
+        hll_md5_estimate,
+        hll_md5_row_registers,
+    )
+
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage_dir = tempfile.mkdtemp(prefix="hll_stream_src_")
+    if os.path.isdir(src):
+        for i, fname in enumerate(sorted(os.listdir(src))):
+            if fname.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, fname),
+                    os.path.join(stage_dir, f"part_{i}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stage_dir)
+        .select("event_type", "user_id")
+    )
+    regs = hll_md5_row_registers(
+        stream, ["event_type"], "user_id"
+    ).groupBy("event_type", "idx").agg(F.max("rho").alias("rho"))
+    qn = f"hll_stream_{uuid.uuid4().hex}"
+    query = (
+        regs.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="hll_stream_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return hll_md5_estimate(
+        spark.table(qn), ["event_type"]
+    ).orderBy("event_type")
+
+
 def q_event_hll_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL accuracy made DRIVER-VISIBLE (the count-min est-beside-exact
     pattern applied to `event_hll_rollup`): per event_type, the exact
@@ -3871,6 +3932,7 @@ EXTRA_QUERIES = {
     "user_event_hash_chain": q_user_event_hash_chain,
     "event_hll_rollup": q_event_hll_rollup,
     "event_hll_rollup_md5": q_event_hll_rollup_md5,
+    "event_hll_rollup_md5_streamed": q_event_hll_rollup_md5_streamed,
     "event_hll_vs_exact": q_event_hll_vs_exact,
     "event_value_hist_quantiles": q_event_value_hist_quantiles,
     "event_user_cm_counts": q_event_user_cm_counts,
@@ -3887,6 +3949,9 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "event_hll_rollup_md5": ORACLE_EVENT_HLL_ROLLUP_MD5,
+    # streamed twin gated against the batch oracle VERBATIM (register
+    # MAX is a continuous aggregate)
+    "event_hll_rollup_md5_streamed": ORACLE_EVENT_HLL_ROLLUP_MD5,
     "event_hll_vs_exact": ORACLE_EVENT_HLL_VS_EXACT,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "region_volume": ORACLE_REGION_VOLUME,
