@@ -1,6 +1,7 @@
 """HLL sketch rollups: merged coarse-grain estimates must track exact
 distinct counts within sketch error, WITHOUT touching the fact table."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphdb_for_drones_spark.catalog import Catalog
@@ -265,3 +266,70 @@ def test_hll_md5_empty_and_single_value(spark):
     r = hll_md5_estimate(regs, ["g"]).first()
     assert r.n_registers == 1
     assert 0.9 < r.approx_distinct < 1.5
+
+
+def _hll_md5_reference(values, m=256, sent=53):
+    """Straight-line python md5-HLL: the same registers and estimate
+    arithmetic as the engine and the SQL twin, independently coded."""
+    import hashlib
+    import math
+
+    regs = {}
+    for v in values:
+        if v is None:
+            continue
+        h = int(hashlib.md5(f"{v}:hll".encode()).hexdigest()[:15], 16)
+        idx, rest = h % m, h // m
+        rho = sent - rest.bit_length() if rest > 0 else sent
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s = sum(1 << (sent - r) for r in regs.values()) + (m - len(regs)) * (
+        1 << sent
+    )
+    from graphdb_for_drones_spark.operators.sketches import HLL_MD5_ALPHA_NUM
+
+    raw = HLL_MD5_ALPHA_NUM / float(s)
+    v_zero = m - len(regs)
+    if raw <= 2.5 * m and v_zero > 0:
+        est = float(m) * math.log(float(m) / float(v_zero))
+    else:
+        est = raw
+    return regs, round(est, 9)
+
+
+@pytest.mark.parametrize("seed,n,domain", [
+    (1, 40, 10**3),      # tiny: deep linear-counting region
+    (2, 500, 10**6),     # LC region with hash collisions
+    (3, 5000, 10**9),    # past 2.5m: raw-branch region
+    (4, 200, 5),         # heavy value collisions (5 distinct)
+])
+def test_hll_md5_matches_python_reference(spark, seed, n, domain):
+    """Engine registers AND estimate must equal an independently coded
+    straight-line python reference exactly (same md5-60 hash, same
+    integer register algebra, same one-division/ln arithmetic) — the
+    cross-engine contract pinned without DuckDB in the loop."""
+    import random
+
+    from graphdb_for_drones_spark.operators.sketches import (
+        hll_md5_estimate,
+        hll_md5_registers,
+    )
+
+    rng = random.Random(seed)
+    vals = [rng.randrange(domain) for _ in range(n)]
+    ref_regs, ref_est = _hll_md5_reference(vals)
+    df = spark.createDataFrame(
+        [("k", v) for v in vals], "g string, v long"
+    ).localCheckpoint()
+    got_regs = {
+        r.idx: r.rho
+        for r in hll_md5_registers(df, ["g"], "v").collect()
+    }
+    assert got_regs == ref_regs
+    got = hll_md5_estimate(
+        hll_md5_registers(df, ["g"], "v"), ["g"]
+    ).first()
+    assert got.n_registers == len(ref_regs)
+    assert got.approx_distinct == pytest.approx(ref_est, abs=0.0), (
+        got.approx_distinct,
+        ref_est,
+    )
