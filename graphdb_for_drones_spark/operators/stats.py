@@ -330,6 +330,24 @@ def ks_drift(
     the self-consistency row the drift family always carries):
     (group_col, n_rows, ks)."""
     cum = _cdf_grid(df, group_col, value_col, ref_group)
+    return _ks_from_grid(cum, group_col)
+
+
+def ks_drift_from_counts(
+    counts: DataFrame, group_col: str, ref_group
+) -> DataFrame:
+    """``ks_drift`` from PRE-AGGREGATED (g, x, cg) jump-point counts —
+    the streaming entry point: per-(group, value) counts are a
+    continuous aggregate, so the EXACT KS statistic over a drained
+    stream is this function over the accumulated count state (state is
+    distinct-value-bounded, the same bound as the batch grid).  Same
+    math half as ``ks_drift`` verbatim."""
+    return _ks_from_grid(
+        _cdf_grid_from_counts(counts, ref_group), group_col
+    )
+
+
+def _ks_from_grid(cum: DataFrame, group_col: str) -> DataFrame:
     # n_g >= 1 for every emitted group; n_r = 0 only when ref_group is
     # absent — NULL the statistic instead of an ANSI division failure
     d = F.when(
@@ -387,17 +405,31 @@ def _cdf_grid(
     point) — emitted here so ``wasserstein_drift`` needs no extra
     whole-group window.  All counts stay exact longs; every CDF value
     downstream is one IEEE division of exact integers."""
-    from graphdb_for_drones_spark.operators._pin import pin
-
     v = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("long").alias("x"),
     ).filter(F.col("x").isNotNull())
+    gc = v.groupBy("g", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    return _cdf_grid_from_counts(gc, ref_group)
+
+
+def _cdf_grid_from_counts(counts: DataFrame, ref_group) -> DataFrame:
+    """``_cdf_grid`` from PRE-AGGREGATED (g, x, cg) jump-point counts —
+    the entry point the STREAMING path shares: per-(group, value)
+    counts are a continuous aggregate (monotone, mergeable by SUM/MAX),
+    so exact KS/W1 over a drained stream is this function over the
+    accumulated count state."""
+    from graphdb_for_drones_spark.operators._pin import pin
+
     # one exchange: per-(group, value) counts feed the ref slice, the
     # group dimension, the per-group range stats, and the join's left
     # side (pin: 4 consumers)
     gc = pin(
-        v.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+        counts.select(
+            "g", F.col("x").cast("long").alias("x"), F.col("cg").cast("long").alias("cg")
+        )
     )
     ref = gc.filter(F.col("g") == ref_group).select(
         "x", F.col("cg").alias("cr")

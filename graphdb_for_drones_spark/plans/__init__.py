@@ -30,8 +30,8 @@ Round-12 override rationale: ``source_drift_ks`` / ``source_drift_w1``
 re-gate because their shared ``_cdf_grid`` half moved to the two-level
 (range-bucketed) prefix sum this round — identical values, new plan;
 ``event_hll_rollup_md5``, ``event_funnel_streamed``,
-``user_retention_cohorts_streamed`` and
-``event_hll_rollup_md5_streamed`` are new this round (never-gated
+``user_retention_cohorts_streamed``, ``event_hll_rollup_md5_streamed``
+and ``source_drift_ks_streamed`` are new this round (never-gated
 also catches them; the override records intent).
 """
 
@@ -74,6 +74,7 @@ _GATE_OVERRIDE = [
     "event_funnel_streamed",
     "user_retention_cohorts_streamed",
     "event_hll_rollup_md5_streamed",
+    "source_drift_ks_streamed",
 ]
 
 _missing = [n for n in _GATE_OVERRIDE if n not in _MERGED_QUERIES]

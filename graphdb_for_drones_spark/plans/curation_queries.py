@@ -1730,11 +1730,75 @@ def q_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no binning loss, every CDF value one IEEE division of exact
     cumulative counts so the statistic is driver-hash-exact.  Plan: one
     (source, n_chars) count shuffle, a |sources|-row broadcast grid,
-    one group-partitioned window."""
+    and the two-level range-bucketed prefix sum (r12 — no whole-group
+    window; see stats._cdf_grid)."""
     from graphdb_for_drones_spark.operators.stats import ks_drift
 
     cat = Catalog(spark, sf_dir)
     return ks_drift(cat.documents, "source", "n_chars", ref_group="src0")
+
+
+def q_source_drift_ks_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT KS drift as a CONTINUOUS AGGREGATE, driver-attested: the
+    KS grid needs only per-(group, value) counts, and counts are a
+    streaming aggregation (monotone, mergeable) — so this entry drains
+    documents through a streaming (source, n_chars) COUNT (update-mode
+    memory sink; state is distinct-value-bounded, the same bound as the
+    batch grid, never row-count-sized) and computes the statistic from
+    the accumulated counts via stats.ks_drift_from_counts — the SAME
+    math half as the batch entry, gated against `source_drift_ks`'s
+    oracle VERBATIM.  Counts only grow, so latest-wins over the update
+    sink is MAX per (group, value).  Completes the streaming drift
+    story: binned (r11) and exact rank-based (r12) both stream==batch
+    as driver-checked facts."""
+    import os
+    import tempfile
+    import uuid
+
+    from graphdb_for_drones_spark.operators.stats import (
+        ks_drift_from_counts,
+    )
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    stage_dir = tempfile.mkdtemp(prefix="ks_stream_src_")
+    if os.path.isdir(src):
+        for i, fname in enumerate(sorted(os.listdir(src))):
+            if fname.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, fname),
+                    os.path.join(stage_dir, f"part_{i}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(stage_dir, "documents.parquet"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(stage_dir)
+        .select(
+            F.col("source").alias("g"),
+            F.col("n_chars").cast("long").alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+        .groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    )
+    qn = f"ks_stream_{uuid.uuid4().hex}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ks_stream_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    counts = (
+        spark.table(qn)
+        .groupBy("g", "x")
+        .agg(F.max("cg").alias("cg"))
+    )
+    return ks_drift_from_counts(counts, "source", "src0").orderBy("source")
 
 
 ORACLE_SOURCE_DRIFT_KS = r"""
@@ -2236,6 +2300,7 @@ CURATION_QUERIES = {
     "source_drift_stats": q_source_drift_stats,
     "source_drift_stats_streamed": q_source_drift_stats_streamed,
     "source_drift_ks": q_source_drift_ks,
+    "source_drift_ks_streamed": q_source_drift_ks_streamed,
     "source_drift_w1": q_source_drift_w1,
     "doc_length_gini": q_doc_length_gini,
     "source_lang_drift": q_source_lang_drift,
@@ -2282,6 +2347,9 @@ CURATION_ORACLES = {
     # is the checked contract, not a tolerance
     "source_drift_stats_streamed": ORACLE_SOURCE_DRIFT_STATS,
     "source_drift_ks": ORACLE_SOURCE_DRIFT_KS,
+    # streamed twin gated against the batch oracle VERBATIM (counts are
+    # a continuous aggregate; same math half)
+    "source_drift_ks_streamed": ORACLE_SOURCE_DRIFT_KS,
     "source_drift_w1": ORACLE_SOURCE_DRIFT_W1,
     "doc_length_gini": ORACLE_DOC_LENGTH_GINI,
     "source_lang_drift": ORACLE_SOURCE_LANG_DRIFT,
