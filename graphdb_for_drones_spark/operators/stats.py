@@ -541,6 +541,21 @@ def wasserstein_drift(
     statistic.  Missing reference → NULL.
     Returns (group_col, n_rows, w1)."""
     cum = _cdf_grid(df, group_col, value_col, ref_group)
+    return _w1_from_grid(cum, group_col)
+
+
+def wasserstein_drift_from_counts(
+    counts: DataFrame, group_col: str, ref_group
+) -> DataFrame:
+    """``wasserstein_drift`` from PRE-AGGREGATED (g, x, cg) jump-point
+    counts — the streaming entry point (see ``ks_drift_from_counts``):
+    same grid, same math half, distinct-value-bounded state."""
+    return _w1_from_grid(
+        _cdf_grid_from_counts(counts, ref_group), group_col
+    )
+
+
+def _w1_from_grid(cum: DataFrame, group_col: str) -> DataFrame:
     dec = "decimal(38,0)"
     seg = cum.select(
         "g",

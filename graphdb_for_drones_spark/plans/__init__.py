@@ -30,9 +30,10 @@ Round-12 override rationale: ``source_drift_ks`` / ``source_drift_w1``
 re-gate because their shared ``_cdf_grid`` half moved to the two-level
 (range-bucketed) prefix sum this round — identical values, new plan;
 ``event_hll_rollup_md5``, ``event_funnel_streamed``,
-``user_retention_cohorts_streamed``, ``event_hll_rollup_md5_streamed``
-and ``source_drift_ks_streamed`` are new this round (never-gated
-also catches them; the override records intent).
+``user_retention_cohorts_streamed``, ``event_hll_rollup_md5_streamed``,
+``source_drift_ks_streamed`` and ``source_drift_w1_streamed`` are new
+this round (never-gated also catches them; the override records
+intent).
 """
 
 import glob
@@ -75,6 +76,7 @@ _GATE_OVERRIDE = [
     "user_retention_cohorts_streamed",
     "event_hll_rollup_md5_streamed",
     "source_drift_ks_streamed",
+    "source_drift_w1_streamed",
 ]
 
 _missing = [n for n in _GATE_OVERRIDE if n not in _MERGED_QUERIES]

@@ -1881,6 +1881,66 @@ def q_source_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_drift_w1_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed EXACT Wasserstein-1 drift — the integral companion to
+    `source_drift_ks_streamed`, riding the identical construction: a
+    streaming (source, n_chars) COUNT aggregation (distinct-value-
+    bounded state), statistic from the accumulated counts via
+    stats.wasserstein_drift_from_counts (the SAME math half as the
+    batch entry), gated against `source_drift_w1`'s oracle VERBATIM.
+    The whole rank-based drift pair now streams exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from graphdb_for_drones_spark.operators.stats import (
+        wasserstein_drift_from_counts,
+    )
+
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    stage_dir = tempfile.mkdtemp(prefix="w1_stream_src_")
+    if os.path.isdir(src):
+        for i, fname in enumerate(sorted(os.listdir(src))):
+            if fname.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, fname),
+                    os.path.join(stage_dir, f"part_{i}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(stage_dir, "documents.parquet"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(stage_dir)
+        .select(
+            F.col("source").alias("g"),
+            F.col("n_chars").cast("long").alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+        .groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    )
+    qn = f"w1_stream_{uuid.uuid4().hex}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="w1_stream_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    counts = (
+        spark.table(qn)
+        .groupBy("g", "x")
+        .agg(F.max("cg").alias("cg"))
+    )
+    return wasserstein_drift_from_counts(
+        counts, "source", "src0"
+    ).orderBy("source")
+
+
 ORACLE_SOURCE_DRIFT_W1 = r"""
 WITH v AS (
   SELECT source AS g, CAST(n_chars AS BIGINT) AS x
@@ -2301,6 +2361,7 @@ CURATION_QUERIES = {
     "source_drift_stats_streamed": q_source_drift_stats_streamed,
     "source_drift_ks": q_source_drift_ks,
     "source_drift_ks_streamed": q_source_drift_ks_streamed,
+    "source_drift_w1_streamed": q_source_drift_w1_streamed,
     "source_drift_w1": q_source_drift_w1,
     "doc_length_gini": q_doc_length_gini,
     "source_lang_drift": q_source_lang_drift,
@@ -2351,6 +2412,8 @@ CURATION_ORACLES = {
     # a continuous aggregate; same math half)
     "source_drift_ks_streamed": ORACLE_SOURCE_DRIFT_KS,
     "source_drift_w1": ORACLE_SOURCE_DRIFT_W1,
+    # streamed twin gated against the batch oracle VERBATIM
+    "source_drift_w1_streamed": ORACLE_SOURCE_DRIFT_W1,
     "doc_length_gini": ORACLE_DOC_LENGTH_GINI,
     "source_lang_drift": ORACLE_SOURCE_LANG_DRIFT,
     "mixture_resample_stats": ORACLE_MIXTURE_RESAMPLE_STATS,
