@@ -122,6 +122,9 @@ def test_no_cartesian_or_nested_loop_joins_in_catalog(spark):
         # the drift-family contract) — big side never replicated
         "source_drift_ks",
         "source_drift_w1",  # same shared grid
+        # streamed twins: identical grid via ks/wasserstein_drift_from_counts
+        "source_drift_ks_streamed",
+        "source_drift_w1_streamed",
         "source_lang_drift",  # one-row reference category-mix bind
     }
     sf = "/root/testdata/sf0.001"
