@@ -182,14 +182,22 @@ def winnow_fingerprints(
     zero shuffles, zero Python.  Docs shorter than ``k`` words
     contribute their whole text as the single gram (the shingle-family
     convention)."""
-    from graphdb_for_drones_spark.operators.dedup import normalize_text
+    from graphdb_for_drones_spark.operators.dedup import (
+        _spread_input,
+        normalize_text,
+    )
     from graphdb_for_drones_spark.operators.split import _md5_60bit
 
     words = F.filter(
         F.split(normalize_text(F.col(text_col)), " "),
         lambda t: t != F.lit(""),
     )
-    staged = df.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+    # r12 (guide §2): the gram-hash fold is the dominant CPU; a
+    # single-split source would serialize it onto one core (profiled:
+    # one 4 s task at sf0.1).  No-op at real corpus scale.
+    staged = _spread_input(df, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"), words.alias("__w")
+    )
     w = F.col("__w")
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
 
@@ -471,6 +479,16 @@ def hashed_logit_scores(
     )
 
 
+#: Distinct-word vocabulary size up to which BPE training runs its
+#: sequential merge rounds in the driver over the collected (word,
+#: count) table instead of as n_merges distributed jobs — the
+#: traversal-family COLLECT_THRESHOLD pattern (a few MB of strings;
+#: the rounds are sequential either way, the driver path just skips
+#: the per-round job floor).  Larger vocabularies use the distributed
+#: loop unchanged.
+BPE_DRIVER_VOCAB_THRESHOLD = 200_000
+
+
 def bpe_train_list(
     df: DataFrame,
     n_merges: int = 8,
@@ -513,6 +531,37 @@ def bpe_train_list(
         .agg(F.count(F.lit(1)).cast("long").alias("__wc"))
         .localCheckpoint()
     )
+
+    # r12 optimization (guide §1.2 — remove unnecessary passes): each
+    # distributed round is a full job (scan vocab → explode pairs → agg
+    # → collect top-1), and the rounds are SEQUENTIAL by nature, so
+    # n_merges × the ~0.2 s job floor dominates training wall on any
+    # vocab that is not huge.  When the vocabulary fits the driver
+    # (the traversal-family COLLECT_THRESHOLD pattern; a BPE vocab is
+    # |distinct words|, not corpus-sized) run the SAME algorithm in
+    # pure Python over the collected (word, count) rows: identical pair
+    # counting (weighted, len>=2 words), identical (count DESC, pair
+    # ASC) argmax, and str.replace == F.replace (both left-to-right
+    # non-overlapping), so the merge list is bit-identical — pinned by
+    # test_bpe_driver_path_matches_distributed.  Vocabs past the
+    # threshold keep the distributed loop unchanged.
+    rows = vocab.limit(BPE_DRIVER_VOCAB_THRESHOLD + 1).collect()
+    if len(rows) <= BPE_DRIVER_VOCAB_THRESHOLD:
+        words = [(r["__word"], int(r["__wc"])) for r in rows]
+        found_local: list[tuple[int, str, int]] = []
+        for r in range(1, n_merges + 1):
+            counts: dict[str, int] = {}
+            for w_, c_ in words:
+                for i in range(len(w_) - 1):
+                    p = w_[i : i + 2]
+                    counts[p] = counts.get(p, 0) + c_
+            if not counts:
+                break
+            pair = min(counts, key=lambda p: (-counts[p], p))
+            found_local.append((r, pair, counts[pair]))
+            sym = chr(0xE000 + r - 1)
+            words = [(w_.replace(pair, sym), c_) for w_, c_ in words]
+        return found_local
 
     encoded = F.col("__word")
     found: list[tuple[int, str, int]] = []

@@ -2608,20 +2608,40 @@ def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak), restricted to parts with >= 3 distinct suppliers, top 20
     parts.  The correlated-subquery pattern as a rank window."""
     cat = Catalog(spark, sf_dir)
-    cost = cat.lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        (
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_price"),
+    # r12 optimization (guide §2.4 — two operations keyed the same way
+    # share one exchange): the old shape (groupBy(p,s) agg → separate
+    # n_suppliers agg → join back → rank window) executed the lineitem
+    # scan + (p,s) aggregate TWICE (two plan consumers; ReuseExchange
+    # dedups only the shuffle, not the post-shuffle aggregate) and paid
+    # 3 exchanges.  Partitioning the projected 3-column slice by
+    # l_partkey ONCE up front satisfies the (p,s) aggregate (subset
+    # clustering), the per-part count, and both windows — the whole
+    # query runs on a single exchange.  n_suppliers == rows per
+    # l_partkey in `cost`, so the unbounded count window is the same
+    # value the join used to attach.  (p,s) multiplicity in lineitem is
+    # low, so the raw-slice shuffle carries no more bytes than the two
+    # aggregated exchanges it replaces.  Measured 2.9 → 0.9 s at sf0.1,
+    # identical rows.
+    cost = (
+        cat.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
     )
-    nsup = cost.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers")
-    ).filter(F.col("n_suppliers") >= 3)
     w = Window.partitionBy("l_partkey").orderBy(
         F.asc("avg_price"), F.asc("l_suppkey")
     )
+    wp = Window.partitionBy("l_partkey")
     best = (
-        cost.join(nsup, "l_partkey")
+        cost.withColumn("n_suppliers", F.count(F.lit(1)).over(wp))
+        .filter(F.col("n_suppliers") >= 3)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )

@@ -1919,6 +1919,13 @@ def q_vc_verify_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload")
     )
+    # r12 optimization (guide §2/§4): the single-file customer table
+    # arrives as ONE split, serializing every Ed25519 sign+verify into
+    # one Python worker (profiled: 1-task stage, 4.9 s wall, JVM cpu
+    # 0.14 s — all the time is the lone worker).  Spread the projected
+    # payload across the cluster's parallelism first — a no-op exchange
+    # at real scale where the table already has enough splits.
+    base = D._spread_input(base, "payload")
     signed = base.withColumn(
         "sig", sign_ed25519_udf(F.col("payload"), F.lit(sk_bytes))
     )

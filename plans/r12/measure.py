@@ -34,10 +34,12 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--tag", default=None, help="write plans/r12/<q>_<tag>.txt")
     ap.add_argument("--collect", action="store_true", help="time .collect() like bench.py instead of the noop sink")
+    ap.add_argument("--profile", action="store_true", help="enable the UI and dump per-stage metrics after each timed run")
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("measure-r12", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    extra = {"spark.ui.enabled": "true"} if args.profile else None
+    spark = get_spark("measure-r12", master=f"local[{cpus}]", shuffle_partitions=int(cpus), extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     here = os.path.dirname(os.path.abspath(__file__))
 
@@ -48,8 +50,11 @@ def main() -> None:
         sc._jvm.System.gc()
 
     def run_once(name: str) -> float:
-        df = QUERIES[name](spark, args.sf)
+        # plan construction INSIDE the timed region: eager-pinned kernels
+        # (localCheckpoint during build) do their work here, and bench.py
+        # times the function call too
         t0 = time.time()
+        df = QUERIES[name](spark, args.sf)
         if args.collect:
             df.collect()
         else:
@@ -74,9 +79,26 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"warm:{name}")
         run_once(name)  # warm-up (page cache, codegen)
         times = []
+        stage_mark = None
+        if args.profile:
+            import urllib.request, json as _json
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            def stages():
+                with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete") as r:
+                    return _json.load(r)
+            stage_mark = max((s["stageId"] for s in stages()), default=-1)
         for i in range(args.runs):
             spark.sparkContext.setJobDescription(f"timed:{name}:{i}")
             times.append(run_once(name))
+        if args.profile:
+            new = [s for s in stages() if s["stageId"] > stage_mark]
+            new.sort(key=lambda s: -s.get("executorRunTime", 0))
+            print(f"--- {name}: top stages over {args.runs} timed runs (executorRunTime ms / tasks / shuffleRead MB / desc)")
+            for s in new[:14]:
+                desc = (s.get("description") or s.get("name", ""))[:110]
+                print(f"  {s.get('executorRunTime',0):8d}ms cpu={s.get('executorCpuTime',0)//1000000:7d}ms t={s.get('numCompleteTasks',0):3d} "
+                      f"sr={s.get('shuffleReadBytes',0)//1048576}MB {desc}", flush=True)
         print(
             f"{name}: min={min(times):.3f} med={sorted(times)[len(times)//2]:.3f} "
             f"all={[round(t, 3) for t in times]}",

@@ -283,6 +283,26 @@ def test_bpe_train_matches_pure_python_trainer(spark):
     assert out.count() == 0
 
 
+def test_bpe_driver_path_matches_distributed(spark, monkeypatch):
+    """The r12 driver-sized training shortcut must be bit-identical to
+    the distributed merge loop: force the distributed path by zeroing
+    the vocab threshold and compare the full merge lists."""
+    from graphdb_for_drones_spark.operators import text as T
+
+    texts = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "wider wide wide widest"),
+        (3, "abab ababab ab"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    driver = T.bpe_train_list(docs, n_merges=6)
+    monkeypatch.setattr(T, "BPE_DRIVER_VOCAB_THRESHOLD", 0)
+    distributed = T.bpe_train_list(docs, n_merges=6)
+    assert driver == distributed
+    assert driver, "trainer found no merges on a repetitive corpus"
+
+
 def test_bpe_segment_stats_matches_python_segmentation(spark):
     from graphdb_for_drones_spark.operators.text import (
         bpe_segment_stats,
