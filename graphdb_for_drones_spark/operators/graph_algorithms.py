@@ -310,10 +310,11 @@ def trust_propagation(
     depths (the catalog entry measured 4.3 → ~1.5 s at depth 4); keep
     the default for deep/converging propagation where the shrinking
     improved-frontier is the win."""
-    frontier = (
-        edges.sparkSession.createDataFrame([(anchor, 1.0)], "id string, trust double")
-        .localCheckpoint()
-    )
+    from graphdb_for_drones_spark.traversal import _local_df
+
+    frontier = _local_df(
+        edges.sparkSession, [(anchor, 1.0)], "id string, trust double"
+    ).localCheckpoint()
     edges = edges.select("src", "dst").persist()
     best = frontier
     if not early_exit:
@@ -530,8 +531,10 @@ def temporal_reach(
     spark = edges.sparkSession
     ts = F.col(ts_col).cast("long")
     e = edges.select("src", "dst", ts.alias("__t")).persist()
-    frontier = spark.createDataFrame(
-        [(anchor, -(1 << 62), 0)], "id string, arrival long, hops int"
+    from graphdb_for_drones_spark.traversal import _local_df
+
+    frontier = _local_df(
+        spark, [(anchor, -(1 << 62), 0)], "id string, arrival long, hops int"
     ).localCheckpoint()
     # defer the best-merge to ONE final aggregation (the fixed-depth
     # trust_propagation lesson): per-level min-arrival frontiers are
@@ -1007,8 +1010,10 @@ def weighted_sssp(
     e = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
     ).localCheckpoint()
-    best = spark.createDataFrame(
-        [(source, 0)], "id string, cost long"
+    from graphdb_for_drones_spark.traversal import _local_df
+
+    best = _local_df(
+        spark, [(source, 0)], "id string, cost long"
     ).localCheckpoint()
     # the best-so-far table is node-dimension-sized while e is the edge
     # table: broadcasting best makes each superstep's relaxation a

@@ -46,7 +46,7 @@ def _as_seed_df(edges: DataFrame, seeds) -> DataFrame:
         col = seeds.columns[0]
         return seeds.select(F.col(col).cast("string").alias("node"))
     spark = edges.sparkSession
-    return spark.createDataFrame([(str(s),) for s in seeds], "node string")
+    return _local_df(spark, [(str(s),) for s in seeds], "node string")
 
 
 def expand(
@@ -135,17 +135,23 @@ COLLECT_THRESHOLD = 200_000  # frontier rows the driver will coordinate
 ISIN_THRESHOLD = 512
 
 
-def _local_df(spark, rows, schema: str) -> DataFrame:
+def _local_df(spark, rows, schema) -> DataFrame:
     """Local rows → DataFrame via the Arrow path (pandas input): the
     plain tuple path is Python-RDD-backed, so every downstream scan
     respawns Python workers — measured ~2.4× slower per consuming query
-    on a 3 k-row frontier."""
+    on a 3 k-row frontier (and a single materialization of a tuple-backed
+    frame pays one worker spawn PER PARTITION — profiled as 32-task
+    zero-JVM-CPU stages inside the iterative kernels).  ``schema`` is a
+    DDL string or a StructType."""
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
     import pandas as pd
 
-    cols = [f.strip().split()[0] for f in schema.split(",")]
+    if isinstance(schema, str):
+        cols = [f.strip().split()[0] for f in schema.split(",")]
+    else:
+        cols = list(schema.fieldNames())
     return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema=schema)
 
 
@@ -414,7 +420,8 @@ def path_count_to_mitm(
     ).select(
         F.col("node"), F.col("level").alias("lb"), F.col("cnt").alias("cb")
     )
-    combos = spark.createDataFrame(
+    combos = _local_df(
+        spark,
         sorted({(min(t, half), t - min(t, half)) for t in range(1, max_len + 1)}),
         "lf int, lb int",
     )
