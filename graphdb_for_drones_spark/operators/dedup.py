@@ -348,6 +348,17 @@ def posting_pairs(
 
     Duplicate pairs across lists are preserved; callers count or
     ``dropDuplicates`` as their semantics require."""
+    # r12 (guide §2 — partition for the work, not the bytes): callers
+    # pin the posting table, and AQE coalesces that exchange to
+    # byte-balanced partitions — but this operator's output is the
+    # C(d,2) EXPANSION of its input, so byte-sizing leaves most of the
+    # cluster idle in the heaviest stage (profiled: 12.5M-pair
+    # enumeration on 8 of 32 cores; spreading halved the stage wall).
+    # No-op whenever the posting table already has >= cluster
+    # parallelism partitions — always true at real corpus scale.
+    sc = posting.sparkSession.sparkContext
+    if posting.rdd.getNumPartitions() < sc.defaultParallelism:
+        posting = posting.repartition(sc.defaultParallelism)
     out_cols = [*key_cols, "id_a", "id_b"] if keep_keys else ["id_a", "id_b"]
     small = posting.filter(F.size("ids") <= HOT_POSTING_SIZE)
     hot = posting.filter(F.size("ids") > HOT_POSTING_SIZE)

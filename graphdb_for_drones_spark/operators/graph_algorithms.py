@@ -651,7 +651,11 @@ def _cooccurrence_dense(
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
-    return spark.createDataFrame(rows, schema).orderBy(
+    # Arrow local-rows path: the tuple form is Python-RDD-backed and
+    # spawns one Python worker per partition per scan (r12 profiling)
+    from graphdb_for_drones_spark.traversal import _local_df
+
+    return _local_df(spark, rows, schema).orderBy(
         F.desc("n_common"), F.asc("id_a"), F.asc("id_b")
     )
 
