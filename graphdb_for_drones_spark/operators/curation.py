@@ -885,6 +885,7 @@ def top_ngram_stats(
     """
     from graphdb_for_drones_spark.operators.dedup import (
         _shingle_hashes_from,
+        _spread_input,
         normalize_text,
     )
 
@@ -893,7 +894,8 @@ def top_ngram_stats(
         lambda t: t != F.lit(""),
     )
     staged = (
-        df.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+        _spread_input(df, id_col, text_col)  # r12: spread per-doc CPU
+        .select(F.col(id_col).alias("doc_id"), words.alias("__w"))
         .select(
             "doc_id",
             "__w",
@@ -1070,6 +1072,7 @@ def gopher_rule_flags(
     staged columns."""
     from graphdb_for_drones_spark.operators.dedup import (
         _shingle_hashes_from,
+        _spread_input,
         normalize_text,
     )
     from graphdb_for_drones_spark.operators.text import (
@@ -1085,7 +1088,8 @@ def gopher_rule_flags(
         lambda t: t != F.lit(""),
     )
     staged = (
-        df.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+        _spread_input(df, id_col, text_col)  # r12: spread per-doc CPU
+        .select(F.col(id_col).alias("doc_id"), words.alias("__w"))
         .select(
             "doc_id",
             "__w",
@@ -1322,9 +1326,12 @@ def bigram_lm_scores(
     docs surface with n_bigrams=0, fluency=0.0 via the left join
     (ANSI-safe: no division ever sees them).
     """
+    from graphdb_for_drones_spark.operators.dedup import _spread_input
     from graphdb_for_drones_spark.operators.text import tokens
 
-    staged = df.select(
+    # r12 (guide §2): tokenize+hash across the cluster's parallelism —
+    # a single-split source serialized the bigram build onto one core
+    staged = _spread_input(df, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("__w"),
     )

@@ -464,7 +464,9 @@ def cosine_pairs_blocked(
     # both vectors' norms once per PAIR (O(pairs·dim) extra) — computing
     # sqrt(Σx²) per ROW first is the same double arithmetic (fold, sqrt,
     # multiply) so results are bit-identical, at O(rows·dim)
-    withn = embeddings.select(
+    from graphdb_for_drones_spark.operators.dedup import _spread_input
+
+    withn = _spread_input(embeddings, block_col, id_col, vec_col).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -485,20 +487,36 @@ def cosine_pairs_blocked(
             .filter(F.col("cosine") >= threshold)
         )
 
+    # r12 (guide §2.5 — salt the key): the exact leg's parallelism was
+    # bounded by |blocks| (and AQE byte-coalescing shrank it further —
+    # profiled as ONE 2 s task at sf0.1), while its WORK is O(rows²·dim)
+    # per block.  Deterministic salt derived from the block's own row
+    # count splits the a-side into ⌈rows/128⌉ groups and replicates the
+    # b-side per group, so per-task pair work is bounded by 128·rows·dim
+    # regardless of block count; with blocks capped at
+    # ``max_block_rows`` the replication factor is bounded too (≤ 32 at
+    # the 4096 default).  Each unordered pair still meets exactly once
+    # (a-side membership is a function of id_a), scored by the identical
+    # expression.
+    salt_k = F.greatest(
+        F.lit(1), F.ceil(F.col("__bn") / F.lit(128)).cast("int")
+    )
     a = small.select(
         "blk",
+        F.pmod(F.xxhash64("id"), salt_k).cast("int").alias("__salt"),
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = small.select(
         "blk",
+        F.explode(F.sequence(F.lit(0), salt_k - 1)).alias("__salt"),
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     exact = _score_pairs(
-        a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["blk", "__salt"]).filter(F.col("id_a") < F.col("id_b"))
     )
 
     # LSH leg for over-cap blocks: bucket candidates within (blk, band,

@@ -14,13 +14,14 @@ the exact sums).  Centered, every unpacked double has ≤ 13 significant
 digits and the conversion is exact, so the closed form is bit-identical
 (observed: intercepts differing at 1e-6 uncentered, exact after).
 
-Pattern: the per-key min attaches as a window over the key (the
-count-per-key window rule — the groupBy reuses the window's exchange,
-so centering costs no extra shuffle); per-row products are computed in
-double (deterministic per row), cast to DECIMAL(28,10) and summed
-exactly; the closed form unpacks in ONE documented op order that the
-SQL twins replicate literally.  At 100 TB this is one scan and one
-key-partitioned exchange.
+Pattern: the per-key mins are a map-side-combined aggregate broadcast
+back onto the rows (r12: the earlier key-partitioned window bounded the
+whole moment fold's parallelism by |keys| — 3 tasks on l_returnflag);
+per-row products are computed in double (deterministic per row), cast
+to DECIMAL(28,10) and summed exactly in the scan partitioning; the
+closed form unpacks in ONE documented op order that the SQL twins
+replicate literally.  At 100 TB this is two column-pruned scans of the
+(key, x, y) slice and two tiny map-combined exchanges.
 """
 
 from __future__ import annotations
@@ -33,17 +34,29 @@ from pyspark.sql.window import Window
 def _centered_moments(
     df: DataFrame, key_cols, x: str, y: str
 ) -> DataFrame:
-    w = Window.partitionBy(*key_cols)
-    base = df.select(
-        *key_cols,
-        (F.col(x) - F.min(x).over(w)).alias("__x"),
-        (F.col(y) - F.min(y).over(w)).alias("__y"),
-        F.min(x).over(w).alias("__x0"),
-        F.min(y).over(w).alias("__y0"),
+    # r12 (guide §2.5 — parallelism bounded by key cardinality): the old
+    # ``Window.partitionBy(key)`` centering repartitioned the whole fact
+    # slice into |keys| partitions, serializing the decimal moment fold
+    # onto |keys| cores (profiled: 3-task 4 s stage on l_returnflag).
+    # Compute the per-key mins as a map-side-combined aggregate instead,
+    # broadcast them back, and fold the moments in the SCAN partitioning
+    # (spread when the source arrives in fewer splits than the cluster —
+    # no-op at real scale).  The final aggregate is map-side combined,
+    # so the exchange carries |tasks|·|keys| partial rows.  Values are
+    # identical: same per-key mins, same per-row doubles, and the
+    # DECIMAL sums are reduction-order-independent by design.
+    from graphdb_for_drones_spark.operators.dedup import _spread_input
+
+    keys = list(key_cols)
+    base = _spread_input(df, *keys, x, y)
+    mins = base.groupBy(*keys).agg(
+        F.min(x).alias("__x0"), F.min(y).alias("__y0")
     )
-    xc, yc = F.col("__x"), F.col("__y")
+    base = base.join(F.broadcast(mins), keys)
+    xc = F.col(x) - F.col("__x0")
+    yc = F.col(y) - F.col("__y0")
     d = lambda c: c.cast("decimal(28,10)")  # noqa: E731
-    return base.groupBy(*key_cols).agg(
+    return base.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.first("__x0").alias("x0"),
         F.first("__y0").alias("y0"),

@@ -949,7 +949,13 @@ def q_source_bloom_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.filter(
         F.split(normalize_text(F.col("text")), " "), lambda t: t != F.lit("")
     )
-    staged = cat.documents.select("source", words.alias("__w"))
+    # r12 (guide §2): spread the gram-hash fold — single-split source
+    # otherwise serializes it onto one core; no-op at real scale
+    from graphdb_for_drones_spark.operators.dedup import _spread_input
+
+    staged = _spread_input(cat.documents, "source", "text").select(
+        "source", words.alias("__w")
+    )
     w = F.col("__w")
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0)))
 

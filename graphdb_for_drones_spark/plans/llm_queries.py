@@ -648,8 +648,10 @@ FROM documents
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID prediction counts per predicted language."""
     cat = Catalog(spark, sf_dir)
+    # r12 (guide §2): spread the tokenize+classify CPU; no-op at scale
     return (
-        cat.documents.select(T.tokens(F.lower(F.col("text"))).alias("__tl"))
+        D._spread_input(cat.documents, "text")
+        .select(T.tokens(F.lower(F.col("text"))).alias("__tl"))
         .select(T.lang_id_from_tokens(F.col("__tl")).alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
