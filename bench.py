@@ -337,8 +337,42 @@ def main() -> None:
         )
 
     MAX_LINE = 1700  # < 2000-char driver tail, with margin for a trailing newline
-    subset: dict[str, float] = {}
+    # r13: the driver diffs the printed `queries` dict across rounds and
+    # flags any name that disappears as "dropped_from_bench" (PERF_r12
+    # listed 48 such artifacts when the r12 metric-line change shifted
+    # the truncation point).  The names BENCH_r12 printed are therefore
+    # pinned to print FIRST — they can never again fall out of the
+    # subset because a timing grew a digit — and the remaining space is
+    # filled with the rest of the catalog in HEADLINE order as before.
+    # All 166 entries are still TIMED (sidecar file); only the printed
+    # subset is capped by the driver's 2000-char tail.
+    PRINT_FIRST = (
+        "mission_count", "delegation_reachable", "path_count_diamond",
+        "wot_path_count", "abac_check", "pricing_summary", "top_customers",
+        "shipping_priority", "region_volume", "orders_rollup",
+        "latest_event_per_user", "event_type_stats", "cdc_apply_events",
+        "events_tumbling_hourly", "events_sliding_windows", "user_sessions",
+        "asof_signup_before_purchase", "events_in_windows",
+        "user_event_hash_chain", "min_price_supplier", "minhash_pairs",
+        "ngram_jaccard", "ngram_jaccard_prefix", "doc_token_stats",
+        "embedding_topk", "ann_topk", "ivf_topk",
+        "event_value_hist_quantiles", "doc_split_counts",
+        "corpus_curation_stats", "contamination_check",
+        "contamination_containment", "doc_pack_stats",
+        "doc_pack_greedy_stats", "mixture_weights", "doc_repetition",
+        "doc_quality_sample_stats", "embedding_dup_clusters",
+        "source_drift_ks", "source_drift_w1", "event_hll_rollup_md5",
+        "event_funnel_streamed", "user_retention_cohorts_streamed",
+        "event_hll_rollup_md5_streamed", "source_drift_ks_streamed",
+        "source_drift_w1_streamed", "user_funnel_counts",
+        "event_user_cm_counts",
+    )
+    subset: dict[str, float] = {
+        name: timings[name] for name in PRINT_FIRST if name in timings
+    }
     for name in HEADLINE:
+        if name in subset:
+            continue
         trial = dict(subset)
         trial[name] = timings[name]
         if len(line_for(trial)) > MAX_LINE:

@@ -36,15 +36,38 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _plan_has_shuffle(df: DataFrame) -> bool:
+    """True when ``df``'s physical plan contains a shuffle Exchange.
+
+    r13 (ADVICE r12): probing ``df.rdd.getNumPartitions()`` on a plan
+    that contains exchanges MATERIALIZES its AQE query stages — an
+    eager extra execution the real run does not reuse.  The plan-string
+    check costs one driver-side planning pass (no job).  Word-bounded
+    so ``BroadcastExchange`` (which leaves row partitioning unchanged)
+    does not count."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # pragma: no cover - py4j surface drift
+        return True  # conservative: skip the probe rather than risk a job
+    return re.search(r"\bExchange\b", plan) is not None
+
+
 def _spread_input(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition a narrow projection up to the cluster's parallelism when
     the source arrives in fewer splits (a single small parquet file reads
     as ONE partition, which would serialize all shingle/hash CPU work onto
     one core).  No-op — no exchange added — when the source already has
-    enough splits, i.e. always at real corpus scale."""
+    enough splits, i.e. always at real corpus scale.
+
+    The partition probe runs only on shuffle-free plans (scans, pinned
+    frames): a post-shuffle frame is already at cluster parallelism, and
+    probing it via ``.rdd`` would eagerly materialize its query stages
+    (ADVICE r12)."""
     sel = df.select(*cols)
     target = df.sparkSession.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() < target:
+    if not _plan_has_shuffle(sel) and sel.rdd.getNumPartitions() < target:
         sel = sel.repartition(target)
     return sel
 
@@ -355,9 +378,17 @@ def posting_pairs(
     # cluster idle in the heaviest stage (profiled: 12.5M-pair
     # enumeration on 8 of 32 cores; spreading halved the stage wall).
     # No-op whenever the posting table already has >= cluster
-    # parallelism partitions — always true at real corpus scale.
+    # parallelism partitions — always true at real corpus scale.  The
+    # probe is guarded to shuffle-free plans (callers pin the posting
+    # table, so the common case is an ExistingRDD scan): probing an
+    # unpinned aggregate via .rdd would eagerly materialize its AQE
+    # stages (ADVICE r12), and a post-shuffle frame is already at
+    # cluster parallelism anyway.
     sc = posting.sparkSession.sparkContext
-    if posting.rdd.getNumPartitions() < sc.defaultParallelism:
+    if (
+        not _plan_has_shuffle(posting)
+        and posting.rdd.getNumPartitions() < sc.defaultParallelism
+    ):
         posting = posting.repartition(sc.defaultParallelism)
     out_cols = [*key_cols, "id_a", "id_b"] if keep_keys else ["id_a", "id_b"]
     small = posting.filter(F.size("ids") <= HOT_POSTING_SIZE)

@@ -49,10 +49,25 @@ def _centered_moments(
 
     keys = list(key_cols)
     base = _spread_input(df, *keys, x, y)
+    # null-SAFE broadcast-back (ADVICE r12): a plain equi-join on the
+    # keys silently dropped NULL-keyed groups that the old window
+    # centering kept as their own partition.  <=> plans as a
+    # BroadcastHashJoin key the same as =, so the shape is unchanged;
+    # groupBy below groups NULL keys together, matching the window.
     mins = base.groupBy(*keys).agg(
         F.min(x).alias("__x0"), F.min(y).alias("__y0")
+    ).select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        "__x0",
+        "__y0",
     )
-    base = base.join(F.broadcast(mins), keys)
+    cond = None
+    for i, k in enumerate(keys):
+        c = base[k].eqNullSafe(mins[f"__k{i}"])
+        cond = c if cond is None else (cond & c)
+    base = base.join(F.broadcast(mins), cond).drop(
+        *[f"__k{i}" for i in range(len(keys))]
+    )
     xc = F.col(x) - F.col("__x0")
     yc = F.col(y) - F.col("__y0")
     d = lambda c: c.cast("decimal(28,10)")  # noqa: E731

@@ -545,8 +545,13 @@ def bpe_train_list(
     # non-overlapping), so the merge list is bit-identical — pinned by
     # test_bpe_driver_path_matches_distributed.  Vocabs past the
     # threshold keep the distributed loop unchanged.
-    rows = vocab.limit(BPE_DRIVER_VOCAB_THRESHOLD + 1).collect()
-    if len(rows) <= BPE_DRIVER_VOCAB_THRESHOLD:
+    # r13 (ADVICE r12): gate the path choice with a COUNT of the
+    # already-materialized (localCheckpointed) vocab instead of
+    # collecting up to 200,001 rows only to discard them when the vocab
+    # is over the threshold — an over-threshold corpus now pays a block
+    # scan, not a 200k-row driver transfer.
+    if vocab.count() <= BPE_DRIVER_VOCAB_THRESHOLD:
+        rows = vocab.collect()
         words = [(r["__word"], int(r["__wc"])) for r in rows]
         found_local: list[tuple[int, str, int]] = []
         for r in range(1, n_merges + 1):

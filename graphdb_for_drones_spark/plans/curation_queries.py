@@ -1710,6 +1710,10 @@ def q_source_drift_stats_streamed(
     )
     work = tempfile.mkdtemp(prefix="drift_stream_mon_")
     counts_dir = os.path.join(work, "counts")
+    # r13: measured with input-derived state partitions (the KS/W1
+    # drains' win) — 1.64 s @32 parts vs 4.53 s @1 vs 2.09 s @8: the
+    # monitor's foreachBatch ref-geometry work wants the cores, so the
+    # session partitioning stays (see OPTIMIZATION_r13.md)
     query = start_drift_monitor(
         stream,
         ref,
@@ -1788,16 +1792,23 @@ def q_source_drift_ks_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cg"))
     )
     qn = f"ks_stream_{uuid.uuid4().hex}"
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("update")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ks_stream_ckpt_")
+    from graphdb_for_drones_spark.streaming.util import stream_state_scope
+
+    # r13 (guide §2.5): state partitions sized to the staged input, not
+    # the session constant — count-valued results are partitioning-
+    # independent, so the drain is cheaper, not different
+    with stream_state_scope(spark, stage_dir):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("update")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ks_stream_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
     query.awaitTermination()
     counts = (
         spark.table(qn)
@@ -1926,16 +1937,23 @@ def q_source_drift_w1_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cg"))
     )
     qn = f"w1_stream_{uuid.uuid4().hex}"
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("update")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="w1_stream_ckpt_")
+    from graphdb_for_drones_spark.streaming.util import stream_state_scope
+
+    # r13 (guide §2.5): state partitions sized to the staged input, not
+    # the session constant — count-valued results are partitioning-
+    # independent, so the drain is cheaper, not different
+    with stream_state_scope(spark, stage_dir):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("update")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="w1_stream_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
     query.awaitTermination()
     counts = (
         spark.table(qn)

@@ -2985,6 +2985,10 @@ def q_event_hll_rollup_md5_streamed(
         stream, ["event_type"], "user_id"
     ).groupBy("event_type", "idx").agg(F.max("rho").alias("rho"))
     qn = f"hll_stream_{uuid.uuid4().hex}"
+    # r13: measured with input-derived state partitions (the KS/W1
+    # drains' win) — 1.91 s @32 parts vs 2.48 s @1 vs 1.80 s @8: the
+    # md5 register computation is CPU work that wants the cores, so the
+    # session partitioning stays (see OPTIMIZATION_r13.md)
     query = (
         regs.writeStream.format("memory")
         .queryName(qn)
@@ -3697,6 +3701,10 @@ def q_event_funnel_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user").isNotNull() & F.col("ms").isNotNull())
     )
     qn = f"funnel_stream_{uuid.uuid4().hex}"
+    # r13: measured with input-derived state partitions (the KS/W1
+    # drains' win) — 2.31 s @32 parts vs 4.16 s @1 vs 2.66 s @8: the
+    # applyInPandasWithState tracker is per-user PYTHON work that wants
+    # the cores, so the session partitioning stays
     query = (
         streaming_funnel(stream.groupBy("user"), steps)
         .writeStream.format("memory")
@@ -3809,6 +3817,9 @@ def q_user_retention_cohorts_streamed(
     import uuid
 
     qn = f"retention_stream_{uuid.uuid4().hex}"
+    # r13: measured with input-derived state partitions (the KS/W1
+    # drains' win) — 1.92 s @32 parts vs 3.57 s @1 vs 2.20 s @8: the
+    # tracker is per-user Python work; session partitioning stays
     query = (
         streaming_retention(stream.groupBy("user"), period_ms=604800000)
         .writeStream.format("memory")

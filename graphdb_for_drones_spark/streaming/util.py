@@ -1,11 +1,67 @@
-"""Shared helpers for the incremental-guard family (dedup_guard,
-linkage_guard): persistent-index reads that distinguish "not created
-yet" from "broken"."""
+"""Shared helpers for the streaming entries: persistent-index reads
+that distinguish "not created yet" from "broken" (dedup_guard,
+linkage_guard), and the scale-adaptive state-partition scope the
+drain-style catalog entries start their queries under."""
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
+
+# Streaming aggregations/state stores are partitioned by
+# spark.sql.shuffle.partitions AT QUERY START (the count is frozen into
+# the checkpoint).  The catalog's drain entries start a FRESH checkpoint
+# per invocation over a staged copy of one table, so the right state
+# partition count is a function of the INPUT SIZE, not the session
+# constant: a 10 MB stage needs one state partition, not |cores| of them
+# (r12 scaling run: the five drain entries ran 1.3-1.8x FASTER on 8
+# cores than 32 — per-partition state-store commit + Python-worker
+# lifecycle dominating).  At real scale the derivation saturates at the
+# session value, so cluster behaviour is unchanged.  Env-overridable for
+# deployments whose state rows are much wider than their source bytes.
+STREAM_STATE_BYTES_PER_PARTITION = int(
+    os.environ.get(
+        "SPARK_GRAFT_STREAM_STATE_BYTES_PER_PARTITION", 32 * 1024 * 1024
+    )
+)
+
+
+def _tree_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path, followlinks=True):
+        for f in files:
+            p = os.path.join(root, f)
+            try:
+                total += os.path.getsize(p)
+            except OSError:  # pragma: no cover - racing deletion
+                pass
+    return total
+
+
+@contextlib.contextmanager
+def stream_state_scope(spark: SparkSession, *paths: str):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming-query
+    START so its state is partitioned for the staged input's size:
+    ``clamp(ceil(bytes / STREAM_STATE_BYTES_PER_PARTITION), 1,
+    session_value)``.  StreamExecution clones the session (and its conf)
+    synchronously inside ``start()``, so restoring the session value on
+    exit never races the running drain; batch plans built outside the
+    scope are untouched."""
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = sum(_tree_bytes(p) for p in paths if os.path.exists(p))
+    n = max(
+        1, min(sess, -(-total // STREAM_STATE_BYTES_PER_PARTITION))
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess))
 
 
 def read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
