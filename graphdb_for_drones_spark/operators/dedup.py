@@ -72,6 +72,34 @@ def _spread_input(df: DataFrame, *cols: str) -> DataFrame:
     return sel
 
 
+def _spread_pinned(df: DataFrame, *cols: str) -> DataFrame:
+    """``_spread_input`` + ``pin``, pinning ONLY when a spread actually
+    occurred (single-split source).
+
+    Why: predicate pushdown substitutes projected aliases into filters
+    and pushes them through Project AND Repartition nodes, so a filter
+    on a derived column (quality score, gopher flags) re-evaluates the
+    whole fold BELOW the spread exchange — single-threaded on a 1-split
+    source (profiled: a 1-task 1.4 s CPU stage under
+    curation_pipeline_stats while 31 cores idled).  Pinning the spread
+    projection turns it into an ExistingRDD scan: pushed filters land
+    on the parallel materialized blocks, and multiple plan consumers
+    (dedup keyed/keepers, the pipeline's three legs) read the blocks
+    instead of re-scanning the source.
+
+    Scale honesty: a source with >= cluster-parallelism splits (>= ~4 GB
+    at default maxPartitionBytes) never spreads, so nothing is ever
+    pinned at real corpus scale — this is a no-op there, exactly like
+    ``_spread_input`` itself."""
+    from graphdb_for_drones_spark.operators._pin import pin
+
+    sel = df.select(*cols)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if not _plan_has_shuffle(sel) and sel.rdd.getNumPartitions() < target:
+        sel = pin(sel.repartition(target))
+    return sel
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

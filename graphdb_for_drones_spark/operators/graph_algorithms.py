@@ -891,7 +891,10 @@ def cooccurrence_similarity_sampled(
     Returns top-``k`` by (est_common DESC, item_a, item_b):
     (item_a, item_b, deg_a, deg_b, est_common)."""
     from graphdb_for_drones_spark.operators._pin import pin
-    from graphdb_for_drones_spark.operators.dedup import posting_pairs
+    from graphdb_for_drones_spark.operators.dedup import (
+        _spread_input,
+        posting_pairs,
+    )
     from graphdb_for_drones_spark.operators.split import _md5_60bit
 
     P = 2147483647  # Mersenne prime 2^31 - 1
@@ -914,11 +917,20 @@ def cooccurrence_similarity_sampled(
 
     # one scan of the (possibly expensive, e.g. join+distinct) edge
     # input: deg and the carry join below are two consumers (the exact
-    # op pins for the same reason)
-    e = pin(
-        edges.select(
-            F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
-        ).filter(F.col("__i").isNotNull())
+    # op pins for the same reason).  r13 (guide §2.5): the pin
+    # materializes at AQE's byte-coalesced partitioning (profiled: the
+    # 2×-md5-per-row seed stage ran as 5 tasks of ~600 ms CPU on 32
+    # cores); re-spread the PINNED blocks — a cheap probe on an
+    # ExistingRDD, and a no-op whenever the pin already carries >=
+    # cluster-parallelism partitions, i.e. always at real scale.
+    e = _spread_input(
+        pin(
+            edges.select(
+                F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+            ).filter(F.col("__i").isNotNull())
+        ),
+        "__g",
+        "__i",
     )
     deg = e.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     if gamma is None:

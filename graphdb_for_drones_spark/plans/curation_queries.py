@@ -1063,11 +1063,22 @@ def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches one SQL twin — the v2 of `corpus_curation_stats`
     exercising the round-5 operators as pipeline stages rather than
     stand-alone reports."""
-    from graphdb_for_drones_spark.operators.dedup import normalize_text
+    from graphdb_for_drones_spark.operators.dedup import (
+        _spread_pinned,
+        normalize_text,
+    )
     from graphdb_for_drones_spark.operators.text import token_count
 
     cat = Catalog(spark, sf_dir)
-    docs = cat.documents
+    # r13 (guide §2): the pass-flag filter pushes BELOW any spread
+    # exchange (alias substitution through Project + Repartition), so
+    # the gopher fold ran as a 1-task 1.4 s CPU stage on the single-
+    # split scan, and the kept leg computed md5 + token_count on
+    # another 1-task scan.  One pinned spread projection feeds all
+    # three legs: pushed filters land on the parallel materialized
+    # blocks, and the corpus is scanned once, not three times.  No-op
+    # (no pin, no exchange) at real corpus scale — see _spread_pinned.
+    docs = _spread_pinned(cat.documents, "doc_id", "source", "text")
     ok = curation.gopher_rule_flags(docs).filter(
         F.col("pass_word_count")
         & F.col("pass_word_len")

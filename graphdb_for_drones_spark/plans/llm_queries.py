@@ -1743,7 +1743,18 @@ def q_corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = Catalog(spark, sf_dir)
-    scored = cat.documents.filter(quality_score(F.col("text")) >= 0.5)
+    # r13 (guide §2): quality_score + md5(normalize) + token_count all
+    # ran inside the single-split documents scan (1-task stage — and a
+    # plain spread does NOT fix the quality filter, which pushes below
+    # the exchange by alias substitution).  The pinned spread projection
+    # parallelizes the pushed filter AND lets keyed's two consumers
+    # (left side + keepers) share one materialization instead of two
+    # scans.  No-op at real corpus scale — see _spread_pinned.
+    from graphdb_for_drones_spark.operators.dedup import _spread_pinned
+
+    scored = _spread_pinned(cat.documents, "doc_id", "text").filter(
+        quality_score(F.col("text")) >= 0.5
+    )
     keyed = scored.withColumn("__h", F.md5(normalize_text(F.col("text"))))
     keepers = keyed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
     kept = keyed.join(keepers, ["__h", "doc_id"], "left_semi")
