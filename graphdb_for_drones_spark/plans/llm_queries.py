@@ -198,9 +198,14 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus re-shingle each run twice (r9: the invariant legs doubled
     # the entry's cost at sf1)
     mh = pin(D.minhash_lsh_pairs(docs, jaccard_threshold=0.3))
+    # r13 (guide §2): the independent shingle-set projection re-shingled
+    # the corpus on the single-split scan; spread first (same raw-text
+    # derivation, just parallel; no-op at real corpus scale)
     sets = pin(
         D.with_shingle_hashes(
-            docs.select(F.col("doc_id").alias("id"), "text"),
+            D._spread_input(docs, "doc_id", "text").select(
+                F.col("doc_id").alias("id"), "text"
+            ),
             "text",
             3,
             out_col="__sh",
@@ -294,11 +299,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join legs — the independence of the recomputation is unchanged
     # (fps still derives from raw text, not from the kernel)
     sp = pin(D.simhash_pairs(docs, max_hamming=6))
+    # r13 (guide §2): the recomputed-fingerprint leg folded 64 bit votes
+    # per doc on the single-split scan (profiled: 1-task 1.1 s CPU
+    # stage); spread the projection first — same raw-text derivation,
+    # just parallel, and a no-op at real corpus scale
     fps = pin(
-        docs.select(
+        D._spread_input(docs, "doc_id", "text")
+        .select(
             F.col("doc_id").alias("id"),
             D.word_hashes_xx(F.col("text")).alias("__h"),
-        ).select("id", D.simhash_from_hashes("__h").alias("fp"))
+        )
+        .select("id", D.simhash_from_hashes("__h").alias("fp"))
     )
     pairs = sp.join(
         fps.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a")),

@@ -84,6 +84,16 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r13 (guide §2.2/§2.5): AQE's parallelism-first coalescing is
+        # overridden by the 1 MB minPartitionSize floor, which coalesced
+        # compute-DENSE shuffles (pair verification reading 9 MB of
+        # shingle arrays, 11.6 s CPU) onto 8 of 32 cores.  A 256 KB
+        # floor lets such stages keep cluster parallelism while truly
+        # tiny shuffles still collapse; at real scale the 64 MB advisory
+        # size dominates and this floor is irrelevant.  Measured:
+        # ngram_jaccard_prefix 3.8→1.9 s, minhash_pairs 3.2→2.5 s,
+        # overhead-bound entries unchanged (A/B in OPTIMIZATION_r13.md).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
